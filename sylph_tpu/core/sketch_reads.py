@@ -1,0 +1,231 @@
+"""Read sketching: FracMinHash counting with PCR-duplicate removal.
+
+Behavioral spec:
+  - single-end: sylph src/sketch.rs:897-959 (dedup fingerprints only for
+    reads <= 400 bp, consulted only while a k-mer's count < MAX_DEDUP_COUNT)
+  - paired-end: src/sketch.rs:771-895 (fingerprint from both mates; R2
+    k-mers already seen in the same pair's R1 are skipped)
+  - dedup cell: dup_removal_lsh_full_exact src/sketch.rs:690-731 — an
+    occurrence is dropped iff one of its two (kmer, fingerprint) keys was
+    already seen AND the k-mer's count is nonzero; unseen keys are inserted.
+
+Divergence (documented): for paired-end dedup the reference defaults to an
+*approximate* scalable cuckoo filter with FPR 1e-4 (src/sketch.rs:800-804);
+we always use an exact set, which matches the reference whenever the filter
+fires no false positive (its own tests rely on this equivalence at tiny FPR).
+
+Extraction and fingerprints are vectorized; only the order-dependent dedup
+fold runs per-survivor (~1/c of bases).
+"""
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import MAX_DEDUP_COUNT
+from ..io.fastx import FastxParseError, ParsedFastx, parse_fastx
+from ..kmer.seeding import fmh_seeds_concat_np
+from .types import SequencesSketch
+
+log = logging.getLogger("sylph")
+
+_FP_K = 16  # fingerprint k-mer length: size_of::<u32>() * 4 (src/sketch.rs:625)
+
+
+def _mean_fold(lengths: np.ndarray) -> float:
+    """Sequential running mean, bit-exact with the reference's f64 fold
+    (src/sketch.rs:824-826, 941-943)."""
+    if lengths.size == 0:
+        return 0.0
+    if np.all(lengths == lengths[0]):
+        return float(lengths[0])  # the fold is exact when all equal
+    mean = 0.0
+    counter = 0.0
+    for ln in lengths.tolist():
+        counter += 1.0
+        mean = mean + (float(ln) - mean) / counter
+    return mean
+
+
+def _pack16(cols: List[np.ndarray]) -> np.ndarray:
+    """Pack 16 per-read 2-bit codes MSB-first into a uint32 vector."""
+    f = np.zeros(cols[0].shape[0], dtype=np.uint32)
+    for c in cols:
+        f = (f << np.uint32(2)) | c.astype(np.uint32)
+    return f
+
+
+def _gather_cols(codes, base_idx, offsets):
+    return [codes[base_idx + o] for o in offsets]
+
+
+def _fp_single(px: ParsedFastx, rids: np.ndarray):
+    """pair_kmer_single fingerprints (src/sketch.rs:624-656) for the given
+    read ids; None when len < 66 or len > 400 (gate src/sketch.rs:922-927).
+
+    Returns dict rid -> ((f, r), (g, t)) for eligible reads."""
+    lens = px.lengths[rids]
+    ok = (lens >= 4 * _FP_K + 2) & (lens <= 400)
+    rr = rids[ok]
+    if rr.size == 0:
+        return {}
+    starts = px.starts[rr]
+    half = px.lengths[rr] // 2
+    ev = [2 * i for i in range(_FP_K)]
+    f = _pack16(_gather_cols(px.codes, starts, ev))
+    r = _pack16(_gather_cols(px.codes, starts + half, ev))
+    g = _pack16(_gather_cols(px.codes, starts + 1, ev))
+    t = _pack16(_gather_cols(px.codes, starts + 1 + half, ev))
+    return {int(rid): ((int(a), int(b)), (int(cc), int(dd)))
+            for rid, a, b, cc, dd in zip(rr.tolist(), f.tolist(), r.tolist(),
+                                         g.tolist(), t.tolist())}
+
+
+def _fp_paired(px1: ParsedFastx, px2: ParsedFastx, rids: np.ndarray):
+    """pair_kmer fingerprints (src/sketch.rs:658-688): None if either mate
+    is shorter than 33 bp."""
+    ok = (px1.lengths[rids] >= 2 * _FP_K + 1) & \
+         (px2.lengths[rids] >= 2 * _FP_K + 1)
+    rr = rids[ok]
+    if rr.size == 0:
+        return {}
+    ev = [2 * i for i in range(_FP_K)]
+    f = _pack16(_gather_cols(px1.codes, px1.starts[rr], ev))
+    r = _pack16(_gather_cols(px2.codes, px2.starts[rr], ev))
+    g = _pack16(_gather_cols(px1.codes, px1.starts[rr] + 1, ev))
+    t = _pack16(_gather_cols(px2.codes, px2.starts[rr] + 1, ev))
+    return {int(rid): ((int(a), int(b)), (int(cc), int(dd)))
+            for rid, a, b, cc, dd in zip(rr.tolist(), f.tolist(), r.tolist(),
+                                         g.tolist(), t.tolist())}
+
+
+def _segments_by_read(rids: np.ndarray, hashes: np.ndarray):
+    """Split survivor hashes into per-read lists (rids is ascending)."""
+    if rids.size == 0:
+        return {}
+    boundaries = np.flatnonzero(np.diff(rids)) + 1
+    segs = np.split(hashes, boundaries)
+    seg_rids = rids[np.concatenate([[0], boundaries])]
+    return {int(r): s.tolist() for r, s in zip(seg_rids.tolist(), segs)}
+
+
+def _dedup_fold(segments_iter, counts: Dict[int, int], pair_set: set,
+                no_dedup: bool, threshold: Optional[int]) -> int:
+    """The exact dedup fold (src/sketch.rs:690-731). segments_iter yields
+    (kmer_list, fingerprint_or_None). Returns #occurrences removed."""
+    thr = threshold if threshold is not None else (1 << 32) - 1
+    ndup = 0
+    for kms, fp in segments_iter:
+        for km in kms:
+            c = counts.get(km, 0)
+            if not no_dedup and c < thr and fp is not None:
+                ret = False
+                k0 = (km, fp[0])
+                k1 = (km, fp[1])
+                if k0 in pair_set:
+                    if c > 0:
+                        ret = True
+                else:
+                    pair_set.add(k0)
+                if k1 in pair_set:
+                    if c > 0:
+                        ret = True
+                else:
+                    pair_set.add(k1)
+                if ret:
+                    ndup += 1
+                    continue
+            counts[km] = c + 1
+    return ndup
+
+
+def _finish(counts: Dict[int, int], file_name, c, k, paired, sample_name,
+            mean_read_length) -> SequencesSketch:
+    kmers = np.fromiter(counts.keys(), dtype=np.uint64, count=len(counts))
+    cnts = np.fromiter(counts.values(), dtype=np.uint32, count=len(counts))
+    return SequencesSketch(kmers=kmers, counts=cnts, c=c, k=k,
+                           file_name=file_name, sample_name=sample_name,
+                           paired=paired, mean_read_length=mean_read_length)
+
+
+def sketch_sequences(read_file: str, c: int, k: int,
+                     sample_name: Optional[str] = None,
+                     no_dedup: bool = False) -> Optional[SequencesSketch]:
+    """Single-end read sketch (sylph src/sketch.rs:897-959)."""
+    try:
+        px = parse_fastx(read_file, skip_names=True)
+    except (FastxParseError, OSError):
+        log.warning("%s is not a valid fasta/fastq file; skipping.",
+                    read_file)
+        return None
+    rids, hashes = fmh_seeds_concat_np(px.codes, px.starts, px.ends, c, k)
+    segs = _segments_by_read(rids, hashes)
+    fps = {} if no_dedup else _fp_single(
+        px, np.fromiter(segs.keys(), dtype=np.int64, count=len(segs)))
+    counts: Dict[int, int] = {}
+    pair_set: set = set()
+    ndup = _dedup_fold(((kms, fps.get(rid)) for rid, kms in segs.items()),
+                       counts, pair_set, no_dedup, MAX_DEDUP_COUNT)
+    total = sum(counts.values()) + ndup
+    if total:
+        log.debug("Dedup removed %d sketched k-mers for %s (%.2f%%)",
+                  ndup, read_file, 100.0 * ndup / total)
+    return _finish(counts, read_file, c, k, False, sample_name,
+                   _mean_fold(px.lengths))
+
+
+def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
+                          sample_name: Optional[str] = None,
+                          no_dedup: bool = False,
+                          fpr: float = 0.0) -> Optional[SequencesSketch]:
+    """Paired-end read sketch (sylph src/sketch.rs:771-895).
+
+    ``fpr`` is accepted for CLI compatibility; dedup is always exact here
+    (see module docstring)."""
+    try:
+        px1 = parse_fastx(read_file1, skip_names=True)
+        px2 = parse_fastx(read_file2, skip_names=True)
+    except (FastxParseError, OSError):
+        log.error("Paired end reading failed for '%s' and '%s'.",
+                  read_file1, read_file2)
+        raise SystemExit(1)
+
+    n_pairs = min(px1.n_records, px2.n_records)
+    r1_ids, r1_hashes = fmh_seeds_concat_np(px1.codes, px1.starts, px1.ends,
+                                            c, k)
+    r2_ids, r2_hashes = fmh_seeds_concat_np(px2.codes, px2.starts, px2.ends,
+                                            c, k)
+    keep1 = r1_ids < n_pairs
+    keep2 = r2_ids < n_pairs
+    segs1 = _segments_by_read(r1_ids[keep1], r1_hashes[keep1])
+    segs2 = _segments_by_read(r2_ids[keep2], r2_hashes[keep2])
+    pair_rids = np.fromiter(sorted(set(segs1) | set(segs2)), dtype=np.int64)
+    fps = {} if no_dedup else _fp_paired(px1, px2, pair_rids)
+
+    counts: Dict[int, int] = {}
+    pair_set: set = set()
+    ndup = 0
+
+    def gen():
+        for rid in pair_rids.tolist():
+            fp = fps.get(rid)
+            s1 = segs1.get(rid, [])
+            if s1:
+                yield s1, fp
+            s2 = segs2.get(rid)
+            if s2:
+                s1set = set(s1)
+                s2f = [km for km in s2 if km not in s1set]
+                if s2f:
+                    yield s2f, fp
+
+    ndup = _dedup_fold(gen(), counts, pair_set, no_dedup, None)
+    total = sum(counts.values()) + ndup
+    if total:
+        log.debug(
+            "Number of sketched k-mers removed due to read duplication for "
+            "%s: %d. Percentage: %.2f%%", read_file1, ndup,
+            100.0 * ndup / total)
+    return _finish(counts, read_file1, c, k, True, sample_name,
+                   _mean_fold(px1.lengths[:n_pairs]))

@@ -1,0 +1,168 @@
+"""FASTA/FASTQ (+gzip) parsing into flat 2-bit-code arrays.
+
+Host I/O layer: the device pipeline wants reads as one contiguous 2-bit code
+array plus [start, end) offsets, so the parser is fully vectorized numpy
+(newline index → gather) rather than a per-record object stream. Format is
+sniffed from the first byte ('>' fasta / '@' fastq) like needletail does in
+the reference (sylph src/sketch.rs:488, 780-781); file *extensions* only
+drive read-vs-genome routing (src/sketch.rs:95-121), which callers handle.
+"""
+
+import gzip
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..kmer.hashing import BYTE_TO_SEQ_NP
+
+
+def is_fastq(path: str) -> bool:
+    """Extension check mirroring sylph src/sketch.rs:95-107."""
+    return any(path.endswith(s) for s in
+               (".fq", ".fnq", ".fastq", ".fq.gz", ".fnq.gz", ".fastq.gz"))
+
+
+def is_fasta(path: str) -> bool:
+    """Extension check mirroring sylph src/sketch.rs:109-121."""
+    return any(path.endswith(s) for s in
+               (".fa", ".fna", ".fasta", ".fa.gz", ".fna.gz", ".fasta.gz"))
+
+
+class FastxParseError(ValueError):
+    pass
+
+
+@dataclass
+class ParsedFastx:
+    """All records of one file, flattened.
+
+    codes: uint8 2-bit codes of every record's sequence, concatenated.
+    starts/ends: int64 per-record [start, end) into ``codes``.
+    names: record ids — the full header line after '>'/'@', matching
+           needletail's ``record.id()``. Empty list if skip_names.
+    """
+    codes: np.ndarray
+    starts: np.ndarray
+    ends: np.ndarray
+    names: List[str] = field(default_factory=list)
+
+    @property
+    def n_records(self) -> int:
+        return len(self.starts)
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return self.ends - self.starts
+
+    def record_codes(self, i: int) -> np.ndarray:
+        return self.codes[self.starts[i]:self.ends[i]]
+
+
+def _read_raw(path: str) -> bytes:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _line_index(data: np.ndarray):
+    """(starts, ends) of every line, excluding the newline and any '\\r'."""
+    nl = np.flatnonzero(data == 0x0A)
+    if data.size and (nl.size == 0 or nl[-1] != data.size - 1):
+        nl = np.append(nl, data.size)  # implicit final newline
+    ends = nl
+    starts = np.empty_like(ends)
+    if ends.size:
+        starts[0] = 0
+        starts[1:] = nl[:-1] + 1
+    # trim trailing '\r'
+    has_cr = (ends > starts) & (data[np.minimum(ends - 1, data.size - 1)] == 0x0D)
+    ends = ends - has_cr.astype(ends.dtype)
+    return starts, ends
+
+
+def _gather_segments(data: np.ndarray, seg_starts, seg_ends):
+    """Concatenate data[s:e] for each segment, vectorized."""
+    lens = (seg_ends - seg_starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, data.dtype), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    out_ends = np.cumsum(lens)
+    out_starts = out_ends - lens
+    idx = np.repeat(seg_starts - out_starts, lens) + np.arange(total)
+    return data[idx], out_starts, out_ends
+
+
+def parse_fastx(path: str, skip_names: bool = False) -> ParsedFastx:
+    """Parse a fasta/fastq file (optionally gzipped) into flat code arrays.
+
+    Raises FastxParseError on malformed input (callers mirror the
+    reference's warn-and-skip policy, e.g. src/sketch.rs:489-491).
+    """
+    raw = _read_raw(path)
+    data = np.frombuffer(raw, dtype=np.uint8)
+    # skip leading blank lines
+    first = 0
+    while first < data.size and data[first] in (0x0A, 0x0D, 0x20, 0x09):
+        first += 1
+    if first >= data.size:
+        raise FastxParseError(f"{path}: empty file")
+    lead = data[first]
+    if lead == ord(">"):
+        return _parse_fasta(path, data, skip_names)
+    if lead == ord("@"):
+        return _parse_fastq(path, data, skip_names)
+    raise FastxParseError(f"{path}: not a fasta/fastq file")
+
+
+def _names_from_headers(data, hdr_starts, hdr_ends) -> List[str]:
+    # needletail's record.id() is the FULL header line after '>'/'@'
+    # (spaces included) — sylph's first_contig_name keeps it verbatim.
+    return [bytes(data[s + 1:e]).decode("utf-8", "replace")
+            for s, e in zip(hdr_starts.tolist(), hdr_ends.tolist())]
+
+
+def _parse_fasta(path, data, skip_names) -> ParsedFastx:
+    ls, le = _line_index(data)
+    nonempty = le > ls
+    ls, le = ls[nonempty], le[nonempty]
+    if ls.size == 0:
+        raise FastxParseError(f"{path}: empty fasta")
+    is_hdr = data[ls] == ord(">")
+    if not is_hdr[0]:
+        raise FastxParseError(f"{path}: fasta must start with '>'")
+    rec_of_line = np.cumsum(is_hdr) - 1
+    seq_mask = ~is_hdr
+    seq_bytes, _, _ = _gather_segments(data, ls[seq_mask], le[seq_mask])
+    # per-record lengths: sum of its sequence-line lengths
+    n_rec = int(is_hdr.sum())
+    line_lens = (le - ls)[seq_mask]
+    rec_ids = rec_of_line[seq_mask]
+    rec_lens = np.zeros(n_rec, dtype=np.int64)
+    np.add.at(rec_lens, rec_ids, line_lens)
+    ends = np.cumsum(rec_lens)
+    starts = ends - rec_lens
+    names = [] if skip_names else _names_from_headers(
+        data, ls[is_hdr], le[is_hdr])
+    return ParsedFastx(BYTE_TO_SEQ_NP[seq_bytes], starts, ends, names)
+
+
+def _parse_fastq(path, data, skip_names) -> ParsedFastx:
+    ls, le = _line_index(data)
+    # drop trailing blank lines
+    while ls.size and le[-1] <= ls[-1]:
+        ls, le = ls[:-1], le[:-1]
+    if ls.size % 4 != 0:
+        raise FastxParseError(f"{path}: truncated fastq (lines % 4 != 0)")
+    hdr_s, hdr_e = ls[0::4], le[0::4]
+    seq_s, seq_e = ls[1::4], le[1::4]
+    plus_s = ls[2::4]
+    if not np.all(data[hdr_s] == ord("@")) or not np.all(
+            data[plus_s] == ord("+")):
+        raise FastxParseError(f"{path}: malformed fastq record structure")
+    seq_bytes, starts, ends = _gather_segments(data, seq_s, seq_e)
+    names = [] if skip_names else _names_from_headers(data, hdr_s, hdr_e)
+    return ParsedFastx(BYTE_TO_SEQ_NP[seq_bytes], starts, ends, names)

@@ -106,14 +106,27 @@ def rev_hash64_py(hashed: int) -> int:
 
 
 def mm_hash64_np(key: np.ndarray) -> np.ndarray:
-    """Vectorized (bugged) Wang hash over a uint64 array."""
-    key = key.astype(np.uint64, copy=True)
+    """Vectorized (bugged) Wang hash over a uint64 array (in-place friendly:
+    allocates two buffers regardless of input size)."""
     u = np.uint64
-    key = ~(key + (key << u(21)))
-    key ^= key >> u(24)
-    key = key + (key << u(3)) + (key << u(8))
-    key ^= key >> u(14)
-    key = key + (key << u(2)) + (key << u(4))
-    key ^= key >> u(28)
-    key = key + (key << u(31))
+    key = key.astype(np.uint64, copy=True)
+    t = key << u(21)
+    t += key
+    np.invert(t, out=key)           # key = ~(key + (key << 21))
+    np.right_shift(key, u(24), out=t)
+    key ^= t
+    np.left_shift(key, u(3), out=t)
+    t += key
+    key <<= u(8)
+    key += t                         # key = key*265 (= k + k<<3 + k<<8)
+    np.right_shift(key, u(14), out=t)
+    key ^= t
+    np.left_shift(key, u(2), out=t)
+    t += key
+    key <<= u(4)
+    key += t                         # key = key*21 (= k + k<<2 + k<<4)
+    np.right_shift(key, u(28), out=t)
+    key ^= t
+    np.left_shift(key, u(31), out=t)
+    key += t
     return key

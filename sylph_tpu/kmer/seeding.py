@@ -46,12 +46,8 @@ def _decompose_pow2(k: int):
     return parts
 
 
-def canonical_kmers_np(bases: np.ndarray, k: int) -> np.ndarray:
-    """Canonical k-mers for all start positions of a 2-bit base array.
-
-    bases: uint8/uint64 array of values in 0..3, length n.
-    Returns uint64 array of length n-k+1 (empty if n < k).
-    """
+def _canonical_kmers_block(bases: np.ndarray, k: int) -> np.ndarray:
+    """Canonical k-mers for all start positions of one 2-bit base block."""
     n = bases.shape[0]
     if n < k:
         return np.empty(0, np.uint64)
@@ -66,8 +62,14 @@ def canonical_kmers_np(bases: np.ndarray, k: int) -> np.ndarray:
         L = f.shape[0] - m
         if L <= 0:
             break
-        pf[2 * m] = (f[:L] << u(2 * m)) | f[m:]
-        pr[2 * m] = r[:L] | (r[m:] << u(2 * m))
+        t = f[:L].copy()
+        t <<= u(2 * m)
+        t |= f[m:]
+        pf[2 * m] = t
+        t = r[m:].copy()
+        t <<= u(2 * m)
+        t |= r[:L]
+        pr[2 * m] = t
         m *= 2
 
     parts = _decompose_pow2(k)
@@ -76,11 +78,43 @@ def canonical_kmers_np(bases: np.ndarray, k: int) -> np.ndarray:
     accr = pr[size]
     for p in parts[1:]:
         out_len = n - size - p + 1
-        accf = (accf[:out_len] << u(2 * p)) | pf[p][size:size + out_len]
-        accr = accr[:out_len] | (pr[p][size:size + out_len] << u(2 * size))
+        accf = accf[:out_len]
+        accf <<= u(2 * p)
+        accf |= pf[p][size:size + out_len]
+        t = pr[p][size:size + out_len].copy()
+        t <<= u(2 * size)
+        t |= accr[:out_len]
+        accr = t
         size += p
     # canonical = fwd if fwd < rc else rc (src/seeding.rs:134-139)
-    return np.where(accf < accr, accf, accr)
+    lt = accf < accr
+    return np.where(lt, accf, accr)
+
+
+_BLOCK = 1 << 20  # cache-friendly block length (bases)
+
+
+def canonical_kmers_np(bases: np.ndarray, k: int) -> np.ndarray:
+    """Canonical k-mers for all start positions of a 2-bit base array.
+
+    bases: uint8/uint64 array of values in 0..3, length n.
+    Returns uint64 array of length n-k+1 (empty if n < k).
+
+    Long arrays are processed in overlapping blocks with a (k-1)-base halo —
+    the same seam trick the reference's AVX2 lanes use (src/avx2_seeding.rs:
+    37-41, without its trailing-window drop) and that the TPU kernel uses at
+    tile boundaries.
+    """
+    n = bases.shape[0]
+    if n < k:
+        return np.empty(0, np.uint64)
+    if n <= _BLOCK + k - 1:
+        return _canonical_kmers_block(bases, k)
+    out = np.empty(n - k + 1, np.uint64)
+    for s in range(0, n - k + 1, _BLOCK):
+        e = min(s + _BLOCK, n - k + 1)
+        out[s:e] = _canonical_kmers_block(bases[s:e + k - 1], k)
+    return out
 
 
 def _as_base_array(seq) -> np.ndarray:
