@@ -1,0 +1,260 @@
+"""Statistics layer vs literal transcription oracles."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sylph_tpu.constants import CUTOFF_PVALUE, SAMPLE_SIZE_CUTOFF
+from sylph_tpu.core.types import AdjustKind
+from sylph_tpu.stats.contain_stats import (
+    StatParams, ani_from_lambda, bootstrap_interval, coverage_stats)
+from sylph_tpu.stats.gammainc import poisson_cdf
+from sylph_tpu.stats.inference import (
+    mean_u32, mle_zip, mme_lambda, ratio_lambda, var_u32)
+from sylph_tpu.stats.wyrand import WyRand, wyrand_indices
+
+RNG = np.random.default_rng(7)
+
+
+# ---------- poisson cdf ----------
+
+def poisson_cdf_exact(k, lam):
+    # direct sum, exact for small k
+    s = 0.0
+    term = math.exp(-lam)
+    for i in range(int(k) + 1):
+        s += term
+        term *= lam / (i + 1)
+    return s
+
+
+@pytest.mark.parametrize("lam", [0.5, 1.0, 2.0, 5.0, 29.0])
+def test_poisson_cdf(lam):
+    for k in range(0, 60):
+        assert poisson_cdf(k, lam) == pytest.approx(
+            poisson_cdf_exact(k, lam), rel=1e-12, abs=1e-300)
+
+
+def test_poisson_cdf_cutoff_region():
+    # The decision that matters: cdf < 0.9999999999 near the tail
+    lam = 1.0
+    vals = [poisson_cdf(k, lam) for k in range(1, 15)]
+    crossings = [v >= CUTOFF_PVALUE for v in vals]
+    exact = [poisson_cdf_exact(k, lam) >= CUTOFF_PVALUE for k in range(1, 15)]
+    assert crossings == exact
+
+
+# ---------- wyrand ----------
+
+def test_wyrand_scalar_known_sequence():
+    # pin the first outputs after seed(7) (regression anchor for CI columns)
+    rng = WyRand(7)
+    seq = [rng.gen_u64() for _ in range(4)]
+    # recompute independently
+    M = (1 << 64) - 1
+    A, B = 0xA0761D6478BD642F, 0xE7037ED1A0B428DB
+    s = 7
+    exp = []
+    for _ in range(4):
+        s = (s + A) & M
+        t = s * (s ^ B)
+        exp.append(((t & M) ^ (t >> 64)) & M)
+    assert seq == exp
+
+
+def test_wyrand_vectorized_matches_scalar():
+    n = 37
+    rng = WyRand(7)
+    exp = [rng.usize(n) for _ in range(500)]
+    got = wyrand_indices(7, 500, n)
+    assert got.tolist() == exp
+    # larger modulus
+    rng = WyRand(7)
+    exp = [rng.usize(12345) for _ in range(200)]
+    assert wyrand_indices(7, 200, 12345).tolist() == exp
+
+
+def test_wyrand_bounds():
+    idx = wyrand_indices(7, 10000, 13)
+    assert idx.min() >= 0 and idx.max() < 13
+    # roughly uniform
+    h = np.bincount(idx.astype(np.int64), minlength=13)
+    assert h.min() > 500
+
+
+# ---------- estimator oracles (literal transcriptions) ----------
+
+def ratio_lambda_oracle(full_covs, mcc):
+    num_zero = sum(1 for x in full_covs if x == 0)
+    count_map = {}
+    for x in full_covs:
+        if x != 0:
+            count_map[x] = count_map.get(x, 0) + 1
+    if len(count_map) == 1:
+        return None
+    if len(full_covs) - num_zero < SAMPLE_SIZE_CUTOFF:
+        return None
+    sort_vec = sorted(((v, k) for k, v in count_map.items()), reverse=True)
+    most_ind = sort_vec[0][1]
+    if most_ind + 1 not in count_map:
+        return None
+    count_p1 = float(count_map[most_ind + 1])
+    count = float(count_map[most_ind])
+    if count_p1 < mcc or count < mcc:
+        return None
+    return count_p1 / count * (most_ind + 1)
+
+
+def random_cov_vec(n, lam, zeros_frac):
+    v = RNG.poisson(lam, size=n).astype(np.uint32) + 1
+    z = RNG.random(n) < zeros_frac
+    v[z] = 0
+    return v
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_ratio_lambda_vs_oracle(trial):
+    n = int(RNG.integers(5, 400))
+    v = random_cov_vec(n, float(RNG.uniform(0.1, 3)), float(RNG.uniform(0, 0.9)))
+    got = ratio_lambda(v, 3.0)
+    exp = ratio_lambda_oracle(v.tolist(), 3.0)
+    if exp is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(exp, rel=0, abs=0)
+
+
+def test_mme_and_mle():
+    v = random_cov_vec(500, 1.2, 0.5)
+    m, var = mean_u32(v), var_u32(v)
+    exp_mme = var / m + m - 1.0
+    got = mme_lambda(v)
+    if exp_mme >= 0:
+        assert got == pytest.approx(exp_mme)
+    lam = mle_zip(v, 31.0)
+    assert lam is None or lam > 0
+    # too few nonzero -> None
+    tiny = np.array([0] * 100 + [1, 2] * 5, dtype=np.uint32)
+    assert mme_lambda(tiny) is None
+    assert mle_zip(tiny, 31.0) is None
+    assert ratio_lambda(tiny, 3.0) is None
+
+
+# ---------- coverage_stats vs full sequential oracle ----------
+
+def coverage_stats_oracle(covs, gn_kmers, k, mcc=3.0, min_ani=0.0):
+    """Literal re-derivation of sylph get_stats' numeric chain
+    (src/contain.rs:654-764)."""
+    covs = sorted(covs)
+    contain_count = len(covs)
+    naive_ani = (contain_count / gn_kmers) ** (1.0 / k)
+    median_cov = float(covs[len(covs) // 2])
+    max_cov = float("inf")
+    if median_cov < 30.0:
+        for i in range(len(covs) // 2, len(covs)):
+            if poisson_cdf(covs[i], median_cov) < CUTOFF_PVALUE:
+                max_cov = float(covs[i])
+            else:
+                break
+    full_covs = [0] * (gn_kmers - contain_count)
+    full_covs += [c for c in covs if c <= max_cov]
+    mean_cov = sum(full_covs) / len(full_covs)
+    geq1_mean_cov = sum(full_covs) / len(covs)
+    if median_cov > 2.0:
+        lam = ("HIGH", None)
+    else:
+        tl = ratio_lambda_oracle(full_covs, mcc)
+        lam = ("LOW", None) if tl is None else ("LAMBDA", tl)
+    if lam[0] == "LAMBDA":
+        final_est_cov = lam[1]
+    elif median_cov < 15.0:
+        final_est_cov = geq1_mean_cov
+    else:
+        final_est_cov = median_cov
+    opt_lambda = final_est_cov if lam[0] == "LAMBDA" else None
+    nonzero = sum(1 for x in full_covs if x != 0)
+    opt_ani = None
+    if opt_lambda is not None:
+        adj = nonzero / (1.0 - math.exp(-opt_lambda)) / len(full_covs)
+        a = adj ** (1.0 / k)
+        opt_ani = None if (a < 0 or math.isnan(a)) else a
+    final_est_ani = naive_ani if (opt_lambda is None or opt_ani is None) \
+        else opt_ani
+    if final_est_ani < min_ani:
+        return None
+    return dict(naive_ani=naive_ani, final_est_ani=final_est_ani,
+                final_est_cov=final_est_cov, mean_cov=geq1_mean_cov,
+                median_cov=median_cov, lam=lam,
+                full_covs=full_covs)
+
+
+@pytest.mark.parametrize("trial", range(30))
+def test_coverage_stats_vs_oracle(trial):
+    gn = int(RNG.integers(60, 2000))
+    contained = int(RNG.integers(1, gn))
+    lam_true = float(RNG.uniform(0.2, 40))
+    covs = (RNG.poisson(lam_true, size=contained) + 1).astype(np.uint32)
+    covs.sort()
+    p = StatParams(k=31, no_ci=True)
+    got = coverage_stats(covs, gn, p, min_ani=0.0)
+    exp = coverage_stats_oracle(covs.tolist(), gn, 31.0)
+    assert got is not None
+    assert got.naive_ani == pytest.approx(exp["naive_ani"], rel=1e-14)
+    assert got.final_est_ani == pytest.approx(exp["final_est_ani"], rel=1e-12)
+    assert got.final_est_cov == pytest.approx(exp["final_est_cov"], rel=1e-12)
+    assert got.mean_cov == pytest.approx(exp["mean_cov"], rel=1e-12)
+    assert got.median_cov == exp["median_cov"]
+    assert got.lam.kind.name == exp["lam"][0]
+    if exp["lam"][0] == "LAMBDA":
+        assert got.lam.value == pytest.approx(exp["lam"][1], rel=1e-14)
+
+
+def bootstrap_oracle(full_covs, k, mcc):
+    """Scalar transcription of bootstrap_interval (src/contain.rs:849-898)."""
+    rng = WyRand(7)
+    n = len(full_covs)
+    res_ani, res_lambda = [], []
+    for _ in range(100):
+        rand_vec = [full_covs[rng.usize(n)] for _ in range(n)]
+        lam = ratio_lambda_oracle(rand_vec, mcc)
+        nonzero = sum(1 for x in rand_vec if x != 0)
+        ani = None
+        if lam is not None:
+            adj = nonzero / (1.0 - math.exp(-lam)) / n
+            a = adj ** (1.0 / k)
+            ani = None if (a < 0 or math.isnan(a)) else a
+        if ani is not None and lam is not None:
+            if not math.isnan(ani) and not math.isnan(lam):
+                res_ani.append(ani)
+                res_lambda.append(lam)
+    res_ani.sort()
+    res_lambda.sort()
+    if len(res_ani) < 50:
+        return (None, None), (None, None)
+    suc = len(res_ani)
+    return ((res_ani[suc * 5 // 100 - 1], res_ani[suc * 95 // 100 - 1]),
+            (res_lambda[suc * 5 // 100 - 1], res_lambda[suc * 95 // 100 - 1]))
+
+
+def test_bootstrap_vs_oracle():
+    # typical lambda-path vector: many zeros + small multiplicities
+    full = np.array([0] * 800 + [1] * 120 + [2] * 60 + [3] * 15 + [4] * 5,
+                    dtype=np.uint32)
+    got_ani, got_lam = bootstrap_interval(full, 31.0, StatParams(k=31))
+    exp_ani, exp_lam = bootstrap_oracle(full.tolist(), 31.0, 3.0)
+    assert got_ani == pytest.approx(exp_ani)
+    assert got_lam == pytest.approx(exp_lam)
+
+
+def test_bootstrap_too_few_successes():
+    full = np.array([0] * 990 + [1] * 10, dtype=np.uint32)  # <25 nonzero
+    ci = bootstrap_interval(full, 31.0, StatParams(k=31))
+    assert ci == ((None, None), (None, None))
+
+
+def test_ani_from_lambda_edges():
+    assert ani_from_lambda(None, 31.0, 100, 10) is None
+    a = ani_from_lambda(1.0, 31.0, 100, 10)
+    exp = (10 / (1 - math.exp(-1.0)) / 100) ** (1 / 31.0)
+    assert a == pytest.approx(exp)
