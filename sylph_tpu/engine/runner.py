@@ -1,0 +1,351 @@
+"""query/profile orchestration.
+
+Behavioral spec: sylph ``contain`` (src/contain.rs:115-351) and its helpers
+``get_genome_sketches`` (:482-542), ``get_seq_sketch`` (:544-599),
+``get_stats`` (:601-814). Sample processing order is deterministic here
+(input order) where the reference's rayon scheduling makes inter-sample
+output order nondeterministic; per-sample row content is identical.
+"""
+
+import logging
+import math
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional, TextIO
+
+import numpy as np
+
+from ..constants import (DEFAULT_C, DEFAULT_K, DEFAULT_MIN_COUNT_CORRECT,
+                         DEFAULT_MIN_NUMBER_KMERS, DEFAULT_MIN_SPACING,
+                         DEFAULT_REDUNDANT_ANI, MIN_ANI_DEF, MIN_ANI_P_DEF,
+                         QUERY_FILE_SUFFIX_VALID, SAMPLE_FILE_SUFFIX_VALID)
+from ..core.sketch_genomes import sketch_genome, sketch_genome_individual
+from ..core.sketch_reads import sketch_pair_sequences, sketch_sequences
+from ..core.types import AniResult, GenomeSketch, SequencesSketch
+from ..io import sylformat
+from ..io.fastx import is_fasta, is_fastq
+from ..stats.contain_stats import StatParams, coverage_stats
+from .containment import WinnerTable, genome_covs
+from .output import print_ani_result, print_header
+from .profile import (assign_groups, derep_if_reassign_threshold,
+                      estimate_covered_bases, estimate_true_cov,
+                      get_kmer_identity, winner_table)
+
+log = logging.getLogger("sylph")
+
+
+@dataclass
+class ContainOptions:
+    """Mirrors ContainArgs (sylph src/cmdline.rs:85-164)."""
+    files: List[str] = field(default_factory=list)
+    file_list: Optional[str] = None
+    min_count_correct: float = DEFAULT_MIN_COUNT_CORRECT
+    min_number_kmers: float = DEFAULT_MIN_NUMBER_KMERS
+    minimum_ani: Optional[float] = None
+    threads: int = 3
+    sample_threads: Optional[int] = None
+    estimate_unknown: bool = False
+    seq_id: Optional[float] = None
+    redundant_ani: float = DEFAULT_REDUNDANT_ANI
+    reads: List[str] = field(default_factory=list)
+    first_pair: List[str] = field(default_factory=list)
+    second_pair: List[str] = field(default_factory=list)
+    c: int = DEFAULT_C
+    k: int = DEFAULT_K
+    individual: bool = False
+    min_spacing_kmer: int = DEFAULT_MIN_SPACING
+    out_file_name: Optional[str] = None
+    log_reassignments: bool = False
+    pseudotax: bool = False
+    estimator: str = "ratio"   # ratio|mme|nb|mle (hidden flags)
+    no_ci: bool = False
+    no_adj: bool = False
+    mean_coverage: bool = False
+
+
+def _stat_params(opts: ContainOptions, k: int) -> StatParams:
+    return StatParams(k=k, min_count_correct=opts.min_count_correct,
+                      estimator=opts.estimator, no_ci=opts.no_ci,
+                      no_adj=opts.no_adj, mean_coverage=opts.mean_coverage)
+
+
+def get_stats(opts: ContainOptions, genome: GenomeSketch, genome_index: int,
+              sample: SequencesSketch, winner: Optional[WinnerTable] = None,
+              self_group: int = -1,
+              log_reassign: bool = False) -> Optional[AniResult]:
+    """Engine half of sylph get_stats (src/contain.rs:601-814)."""
+    if genome.k != sample.k:
+        log.error("k parameter for reads %s != k parameter for genome %s",
+                  sample.k, genome.k)
+        raise SystemExit(1)
+    if genome.c < sample.c:
+        log.error("c parameter for reads %s > c parameter for genome %s",
+                  sample.c, genome.c)
+        raise SystemExit(1)
+    n_kmers = int(genome.genome_kmers.size)
+    if float(n_kmers) < opts.min_number_kmers:
+        return None
+    covs, kmers_lost = genome_covs(genome, sample, winner, self_group)
+    if covs.size == 0:
+        return None
+    min_ani = (opts.minimum_ani / 100.0 if opts.minimum_ani is not None
+               else (MIN_ANI_P_DEF if opts.pseudotax else MIN_ANI_DEF))
+    st = coverage_stats(covs, n_kmers, _stat_params(opts, genome.k), min_ani)
+    if st is None:
+        if winner is not None and log_reassign:
+            log.info(
+                "Genome/contig %s/%s dropped below ANI threshold after "
+                "reassigning %d k-mers (%d contained k-mers after reassign)",
+                genome.file_name, genome.first_contig_name, kmers_lost,
+                int(covs.size))
+        return None
+    seq_name = (sample.sample_name if sample.sample_name is not None
+                else sample.file_name)
+    return AniResult(
+        naive_ani=st.naive_ani,
+        final_est_ani=st.final_est_ani,
+        final_est_cov=st.final_est_cov,
+        seq_name=seq_name,
+        gn_name=genome.file_name,
+        contig_name=genome.first_contig_name,
+        mean_cov=st.mean_cov,
+        median_cov=st.median_cov,
+        containment_index=(int(covs.size), n_kmers),
+        lam=st.lam,
+        ani_ci=st.ani_ci,
+        lambda_ci=st.lambda_ci,
+        genome_sketch=genome,
+        genome_index=genome_index,
+        kmers_lost=kmers_lost if winner is not None else None,
+    )
+
+
+def _classify_files(opts: ContainOptions):
+    """src/contain.rs:149-223."""
+    all_files = list(opts.files)
+    if opts.file_list:
+        with open(opts.file_list) as f:
+            all_files.extend(line.rstrip("\n") for line in f)
+    genome_sketch_files, genome_files = [], []
+    read_sketch_files, read_files = [], []
+    for f in all_files:
+        if any(f.endswith(s) for s in QUERY_FILE_SUFFIX_VALID):
+            genome_sketch_files.append(f)
+        elif any(f.endswith(s) for s in SAMPLE_FILE_SUFFIX_VALID):
+            read_sketch_files.append(f)
+        elif is_fasta(f):
+            genome_files.append(f)
+        elif is_fastq(f):
+            read_files.append([f])
+        else:
+            log.warning("%s file extension is not a sketch or a fasta/fastq "
+                        "file.", f)
+    if len(opts.first_pair) != len(opts.second_pair):
+        log.error("Different number of paired sequences (-1, -2) for "
+                  "sketching. Exiting.")
+        raise SystemExit(1)
+    for a, b in zip(opts.first_pair, opts.second_pair):
+        read_files.append([a, b])
+    for r in opts.reads:
+        read_files.append([r])
+    return genome_sketch_files, genome_files, read_sketch_files, read_files
+
+
+def _get_genome_sketches(opts: ContainOptions, genome_sketch_files,
+                         genome_files) -> List[GenomeSketch]:
+    """src/contain.rs:482-542."""
+    max_genome_c = None   # reference's 'lowest_genome_c' actually tracks max
+    current_k = None
+    sketches: List[GenomeSketch] = []
+    for path in genome_sketch_files:
+        try:
+            vec = sylformat.read_syldb(path)
+        except (OSError, sylformat.SketchFormatError):
+            log.error("The sketch `%s` is not a valid sketch. Perhaps it is "
+                      "an older, incompatible version ", path)
+            raise SystemExit(1)
+        if not vec:
+            continue
+        c = vec[0].c
+        k = vec[0].k
+        if max_genome_c is None or max_genome_c < c:
+            max_genome_c = c
+        if current_k is None:
+            current_k = k
+        elif current_k != k:
+            log.error("Query sketches have inconsistent -k. Exiting.")
+            raise SystemExit(1)
+        sketches.extend(vec)
+    for path in genome_files:
+        if max_genome_c is not None and max_genome_c < opts.c:
+            log.error("Value of -c for contain is %s -- greater than the "
+                      "smallest value of -c for a genome sketch %s. "
+                      "Continuing without sketching.", opts.c, max_genome_c)
+        elif current_k is not None and current_k != opts.k:
+            log.error("-k %s is not equal to -k %s found in sketches. "
+                      "Continuing without sketching.", opts.k, current_k)
+        elif opts.individual:
+            sketches.extend(sketch_genome_individual(
+                opts.c, opts.k, path, opts.min_spacing_kmer, opts.pseudotax))
+        else:
+            g = sketch_genome(opts.c, opts.k, path, opts.min_spacing_kmer,
+                              opts.pseudotax)
+            if g is not None:
+                sketches.append(g)
+    return sketches
+
+
+def _get_seq_sketch(opts: ContainOptions, read_file: List[str],
+                    is_sketch: bool, genome_c: int,
+                    genome_k: int) -> Optional[SequencesSketch]:
+    """src/contain.rs:544-599."""
+    if is_sketch:
+        path = read_file[0]
+        try:
+            sk = sylformat.read_sylsp(path)
+        except (OSError, sylformat.SketchFormatError):
+            log.error("The sketch `%s` is not a valid sketch. Perhaps it is "
+                      "an older incompatible version ", path)
+            raise SystemExit(1)
+        if sk.c > genome_c:
+            log.error("%s value of -c is %s; this is greater than the "
+                      "smallest value of -c = %s for a genome sketch. "
+                      "Exiting.", path, sk.c, genome_c)
+            return None
+        if sk.c < genome_c:
+            log.info("%s value of -c for reads is %s; this is smaller than "
+                     "the -c for a genome sketch. Using the larger -c %s "
+                     "instead.", path, sk.c, genome_c)
+        return sk
+    if genome_c < opts.c:
+        log.error("%s error: value of -c for contain = %s -- greater than "
+                  "the smallest value of -c for a genome sketch = %s. "
+                  "Continuing without sketching.", read_file[0], opts.c,
+                  genome_c)
+        return None
+    if genome_k != opts.k:
+        log.error("%s -k %s is not equal to -k %s found in sketches. "
+                  "Continuing without sketching.", read_file[0], opts.k,
+                  genome_k)
+        return None
+    if len(read_file) == 1:
+        return sketch_sequences(read_file[0], opts.c, opts.k, None, False)
+    return sketch_pair_sequences(read_file[0], read_file[1], opts.c, opts.k,
+                                 None, False)
+
+
+def process_sample(opts: ContainOptions, sample: SequencesSketch,
+                   genome_sketches: List[GenomeSketch]) -> List[AniResult]:
+    """One sample vs all genomes (body of src/contain.rs:267-339)."""
+    first_read_file = sample.file_name
+    if opts.seq_id is not None:
+        kmer_id_opt = math.pow(opts.seq_id / 100.0, float(sample.k))
+    else:
+        kmer_id_opt = get_kmer_identity(sample, opts.estimate_unknown)
+        if kmer_id_opt is not None:
+            log.debug("%s has estimated identity %.3f.", first_read_file,
+                      math.pow(kmer_id_opt, 1.0 / sample.k) * 100.0)
+
+    results = []
+    for i, g in enumerate(genome_sketches):
+        r = get_stats(opts, g, i, sample, None, -1, opts.log_reassignments)
+        if r is not None:
+            results.append(r)
+    estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,
+                      sample.mean_read_length, sample.k)
+
+    if opts.pseudotax:
+        log.info("%s taxonomic profiling; reassigning k-mers for %d "
+                 "genomes...", first_read_file, len(results))
+        winner = winner_table(results, opts.log_reassignments)
+        groups = assign_groups(results)
+        results2 = []
+        for r, grp in zip(results, groups):
+            r2 = get_stats(opts, r.genome_sketch, r.genome_index, sample,
+                           winner, grp, opts.log_reassignments)
+            if r2 is not None:
+                results2.append(r2)
+        results = derep_if_reassign_threshold(results, results2,
+                                              opts.redundant_ani, sample.k)
+        estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,
+                          sample.mean_read_length, sample.k)
+        log.info("%s has %d genomes passing profiling threshold. ",
+                 first_read_file, len(results))
+        bases_explained = 1.0
+        if opts.estimate_unknown:
+            bases_explained = estimate_covered_bases(
+                results, sample, sample.mean_read_length, sample.k)
+            log.info("%s has %.2f%% of reads detected in database by "
+                     "profile", first_read_file, bases_explained * 100.0)
+        total_cov = sum(r.final_est_cov for r in results)
+        total_seq_cov = sum(r.final_est_cov * float(r.genome_sketch.gn_size)
+                            for r in results)
+        for r in results:
+            r.rel_abund = r.final_est_cov / total_cov * 100.0
+        for r in results:
+            r.seq_abund = (r.final_est_cov * float(r.genome_sketch.gn_size)
+                           / total_seq_cov * 100.0 * bases_explained)
+        results.sort(key=lambda r: -r.rel_abund)
+    else:
+        results.sort(key=lambda r: -r.final_est_ani)
+    return results
+
+
+def contain(opts: ContainOptions, pseudotax: bool,
+            out: Optional[TextIO] = None):
+    """Entry point for query (pseudotax=False) / profile (pseudotax=True)."""
+    if pseudotax:
+        opts.pseudotax = True
+    close_out = False
+    if out is None:
+        if opts.out_file_name:
+            out = open(opts.out_file_name, "w")
+            close_out = True
+        else:
+            out = sys.stdout
+
+    log.info("Obtaining sketches...")
+    (genome_sketch_files, genome_files, read_sketch_files,
+     read_files) = _classify_files(opts)
+
+    if not genome_sketch_files and not genome_files:
+        log.error("No genome files found; see sylph query/profile -h for "
+                  "help. Exiting")
+        raise SystemExit(1)
+    if not read_sketch_files and not read_files:
+        log.error("No read files found; see sylph query/profile -h for "
+                  "help. Exiting")
+        raise SystemExit(1)
+
+    genome_sketches = _get_genome_sketches(opts, genome_sketch_files,
+                                           genome_files)
+    log.info("Finished obtaining genome sketches.")
+    if not genome_sketches:
+        log.error("No genome sketches found; see sylph query/profile -h for "
+                  "help. Exiting")
+        raise SystemExit(1)
+    if (genome_sketches[0].pseudotax_tracked_nonused_kmers is None
+            and opts.pseudotax):
+        log.error("Attempting profiling, but *.syldb was sketched with the "
+                  "--disable-profiling option. Exiting")
+        raise SystemExit(1)
+
+    all_samples = read_files + [[f] for f in read_sketch_files]
+    n_raw = len(read_files)
+    print_header(opts.pseudotax, out, opts.estimate_unknown)
+    for j, rf in enumerate(all_samples):
+        is_sketch = j >= n_raw
+        sample = _get_seq_sketch(opts, rf, is_sketch, genome_sketches[0].c,
+                                 genome_sketches[0].k)
+        if sample is not None:
+            results = process_sample(opts, sample, genome_sketches)
+            for r in results:
+                print_ani_result(r, opts.pseudotax, out)
+            out.flush()
+        if len(rf) > 1:
+            log.info("Finished paired sample %s.", rf[0])
+        else:
+            log.info("Finished sample %s.", rf[0])
+    log.info("sylph finished.")
+    if close_out:
+        out.close()

@@ -1,0 +1,251 @@
+"""Port of the reference's integration test matrix
+(sylph tests/integration_test.rs) against our CLI, plus its concordance
+oracles (identical stdout whether inputs are raw fastq/fasta or pre-sketched).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TF = os.path.join(REPO, "test_files")
+
+
+def run(args, cwd=None):
+    return subprocess.run(
+        [sys.executable, "-m", "sylph_tpu"] + args,
+        capture_output=True, text=True, cwd=cwd or REPO)
+
+
+def tf(name):
+    return os.path.join(TF, name)
+
+
+@pytest.fixture()
+def d(tmp_path):
+    return str(tmp_path)
+
+
+def test_sketch_commands(d):
+    r = run(["sketch", tf("e.coli-EC590.fasta.gz"), tf("e.coli-K12.fasta.gz"),
+             tf("o157_reads.fastq.gz"), "-o", f"{d}/db", "-d", d])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/db.syldb")
+    assert os.path.exists(f"{d}/o157_reads.fastq.gz.sylsp")
+
+    r = run(["profile", f"{d}/o157_reads.fastq.gz.sylsp", f"{d}/db.syldb"])
+    assert r.returncode == 0, r.stderr
+
+    r = run(["profile", f"{d}/o157_reads.fastq.gz.sylsp",
+             tf("e.coli-EC590.fasta.gz")])
+    assert r.returncode == 0, r.stderr
+
+    r = run(["profile", tf("o157_reads.fastq.gz"),
+             tf("e.coli-EC590.fasta.gz"), "-i", "-m", "90"])
+    assert r.returncode == 0, r.stderr
+
+    r = run(["sketch", "-1", tf("t1.fq"), "-2", tf("t2.fq"), "-d", d])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/t1.fq.paired.sylsp")
+
+
+def test_profile_with_list_file(d):
+    with open(f"{d}/list.txt", "w") as f:
+        for n in ["e.coli-EC590.fasta.gz", "e.coli-K12.fasta.gz",
+                  "e.coli-o157.fasta.gz", "o157_reads.fastq.gz", "t1.fq",
+                  "t2.fq"]:
+            f.write(tf(n) + "\n")
+    r = run(["profile", "-l", f"{d}/list.txt"])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("\n") >= 1
+
+
+def test_sketch_pair_lists(d):
+    with open(f"{d}/p1.txt", "w") as f:
+        f.write(tf("t1.fq") + "\n")
+    with open(f"{d}/p2.txt", "w") as f:
+        f.write(tf("t2.fq") + "\n")
+    r = run(["sketch", "--l1", f"{d}/p1.txt", "--l2", f"{d}/p2.txt",
+             "-d", d])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/t1.fq.paired.sylsp")
+
+
+def test_sketch_g_r_flags(d):
+    r = run(["sketch", "-g", tf("t1.fq"), "-r", tf("t2.fq"), "-d", d,
+             "-o", f"{d}/testdb"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/t2.fq.sylsp")
+    assert os.path.exists(f"{d}/testdb.syldb")
+
+
+def test_profile_vs_query_line_counts(d):
+    r = run(["profile", tf("o157_reads.fastq.gz"),
+             tf("e.coli-EC590.fasta.gz")])
+    assert r.returncode == 0
+    assert r.stdout.count("\n") == 2  # header + 1 row
+
+    r = run(["query", tf("o157_reads.fastq.gz"), tf("e.coli-EC590.fasta.gz"),
+             tf("e.coli-o157.fasta.gz"), tf("e.coli-K12.fasta.gz")])
+    assert r.returncode == 0
+    assert r.stdout.count("\n") == 4  # header + 3 rows
+
+
+def test_sketch_routing_r_vs_g(d):
+    # -r: everything is reads
+    r = run(["sketch", "-r", tf("e.coli-EC590.fasta.gz"),
+             tf("o157_reads.fastq.gz"), "-o", f"{d}/db", "-d", d])
+    assert r.returncode == 0
+    assert os.path.exists(f"{d}/e.coli-EC590.fasta.gz.sylsp")
+    assert os.path.exists(f"{d}/o157_reads.fastq.gz.sylsp")
+    assert not os.path.exists(f"{d}/db.syldb")
+
+    # -g: everything is genomes
+    r = run(["sketch", "-g", tf("e.coli-EC590.fasta.gz"),
+             tf("o157_reads.fastq.gz"), "-o", f"{d}/db2", "-d", f"{d}/g"])
+    assert r.returncode == 0
+    assert not os.path.exists(f"{d}/g/e.coli-EC590.fasta.gz.sylsp")
+    assert not os.path.exists(f"{d}/g/o157_reads.fastq.gz.sylsp")
+    assert os.path.exists(f"{d}/db2.syldb")
+
+
+def test_sketch_gl_rl_lists(d):
+    with open(f"{d}/list.txt", "w") as f:
+        f.write(tf("e.coli-EC590.fasta.gz") + "\n")
+        f.write(tf("o157_reads.fastq.gz") + "\n")
+    r = run(["sketch", "--gl", f"{d}/list.txt", "-o", f"{d}/db"])
+    assert r.returncode == 0
+    assert os.path.exists(f"{d}/db.syldb")
+
+    r = run(["sketch", "--rl", f"{d}/list.txt", "-o", f"{d}/db3",
+             "-d", f"{d}/r"])
+    assert r.returncode == 0
+    assert not os.path.exists(f"{d}/db3.syldb")
+    assert os.path.exists(f"{d}/r/e.coli-EC590.fasta.gz.sylsp")
+    assert os.path.exists(f"{d}/r/o157_reads.fastq.gz.sylsp")
+
+
+def test_profile_disabling(d):
+    r = run(["sketch", "-g", tf("e.coli-EC590.fasta.gz"), "-o", f"{d}/db",
+             "-d", d, "--disable-profiling"])
+    assert r.returncode == 0, r.stderr
+    r = run(["profile", tf("o157_reads.fastq.gz"), f"{d}/db.syldb"])
+    assert r.returncode == 1
+    r = run(["query", tf("o157_reads.fastq.gz"), f"{d}/db.syldb"])
+    assert r.returncode == 0, r.stderr
+
+
+def test_sketch_fasta_fastq_concord(d):
+    """The strongest oracle: identical stdout whether inputs are raw or
+    pre-sketched (integration_test.rs:246-295)."""
+    r = run(["sketch", tf("e.coli-EC590.fasta.gz"), tf("o157_reads.fastq.gz"),
+             "-o", f"{d}/db", "-d", d])
+    assert r.returncode == 0, r.stderr
+    out1 = run(["profile", tf("o157_reads.fastq.gz"), f"{d}/db.syldb"])
+    out2 = run(["profile", tf("o157_reads.fastq.gz"),
+                tf("e.coli-EC590.fasta.gz")])
+    out3 = run(["profile", f"{d}/o157_reads.fastq.gz.sylsp",
+                f"{d}/db.syldb"])
+    assert out1.stdout != ""
+    # seq names differ between raw file and sketch (file path vs stored name)
+    # in OUR deterministic runner the stored file name is the raw path, so
+    # all three must be byte-identical like the reference asserts.
+    assert out1.stdout == out2.stdout
+    assert out1.stdout == out3.stdout
+
+
+def test_sample_names(d):
+    with open(f"{d}/single_sample.txt", "w") as f:
+        f.write("SAMPLE_TEST\n")
+    r = run(["sketch", "-1", tf("t1.fq"), "-2", tf("t2.fq"), "-d", d,
+             "--lS", f"{d}/single_sample.txt"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/SAMPLE_TEST.paired.sylsp")
+
+    with open(f"{d}/sample_list.txt", "w") as f:
+        f.write("S1\nS2\n")
+    r = run(["sketch", tf("t1.fq"), tf("o157_reads.fastq.gz"), "-d", d,
+             "--lS", f"{d}/sample_list.txt"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/S1.sylsp")
+    assert os.path.exists(f"{d}/S2.sylsp")
+
+    r = run(["profile", f"{d}/S2.sylsp", tf("e.coli-EC590.fasta.gz")])
+    assert r.returncode == 0
+    assert "S2" in r.stdout
+    assert "o157_reads" not in r.stdout
+
+    r = run(["sketch", "-1", tf("t1.fq"), "-2", tf("t2.fq"), "-d", d,
+             "-S", "SAMPLE_TEST_S"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/SAMPLE_TEST_S.paired.sylsp")
+
+    r = run(["sketch", "-1", tf("t1.fq"), tf("t1.fq"), "-2", tf("t2.fq"),
+             tf("t2.fq"), "-d", d, "-S", "SAMPLE_TEST_S", "SAMPLE_TEST_S1"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(f"{d}/SAMPLE_TEST_S1.paired.sylsp")
+
+
+def test_fpr(d):
+    r = run(["sketch", "-1", tf("t1.fq"), "-2", tf("t2.fq"), "-d", d, "0"])
+    assert r.returncode == 0, r.stderr
+    r = run(["sketch", "-1", tf("t1.fq"), "-2", tf("t2.fq"), "-d", d,
+             "--fpr", "0.001"])
+    assert r.returncode == 0, r.stderr
+    r = run(["sketch", "-1", tf("t1.fq"), "-2", tf("t2.fq"), "-d", d,
+             "--fpr", "2"])
+    assert r.returncode == 1
+
+
+def test_raw_inputs_profile_simple(d):
+    r = run(["profile", tf("e.coli-o157.fasta.gz"), "-1", tf("t1.fq"),
+             "-2", tf("t2.fq")])
+    assert r.returncode == 0, r.stderr
+    r = run(["profile", tf("e.coli-o157.fasta.gz"), "-1", tf("t1.fq")])
+    assert r.returncode == 1
+    r = run(["profile", tf("e.coli-o157.fasta.gz"), "-1", tf("k12_R1.fq"),
+             tf("t1.fq"), "-2", tf("k12_R2.fq"), tf("t1.fq")])
+    assert r.returncode == 0, r.stderr
+
+
+def test_raw_inputs_profile_with_sketch(d):
+    out1 = run(["profile", tf("e.coli-EC590.fasta.gz"), "-1",
+                tf("k12_R1.fq"), "-2", tf("k12_R2.fq")])
+    r = run(["sketch", "-1", tf("k12_R1.fq"), "-2", tf("k12_R2.fq"),
+             "-d", d])
+    assert r.returncode == 0, r.stderr
+    out2 = run(["profile", tf("e.coli-EC590.fasta.gz"),
+                f"{d}/k12_R1.fq.paired.sylsp"])
+    assert out1.stdout == out2.stdout
+
+
+def test_inspect(d):
+    r = run(["sketch", tf("e.coli-EC590.fasta.gz"), tf("e.coli-K12.fasta.gz"),
+             tf("o157_reads.fastq.gz"), "-o", f"{d}/db", "-d", d])
+    assert r.returncode == 0, r.stderr
+    r = run(["sketch", "-1", tf("k12_R1.fq"), "-2", tf("k12_R2.fq"),
+             "-d", d])
+    assert r.returncode == 0, r.stderr
+
+    r = run(["inspect", f"{d}/k12_R1.fq.paired.sylsp"])
+    assert r.returncode == 0, r.stderr
+    assert "k12_R1.fq" in r.stdout
+
+    r = run(["inspect", f"{d}/db.syldb"])
+    assert r.returncode == 0, r.stderr
+    assert "e.coli-EC590.fasta.gz" in r.stdout
+    assert "e.coli-K12.fasta.gz" in r.stdout
+
+
+def test_no_args_shows_help():
+    r = run([])
+    assert r.returncode == 2
+
+
+def test_query_profile_no_genomes():
+    r = run(["query", tf("o157_reads.fastq.gz")])
+    assert r.returncode == 1
+    r = run(["query", tf("e.coli-EC590.fasta.gz")])
+    assert r.returncode == 1
