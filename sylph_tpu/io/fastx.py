@@ -99,9 +99,20 @@ def _gather_segments(data: np.ndarray, seg_starts, seg_ends):
 def parse_fastx(path: str, skip_names: bool = False) -> ParsedFastx:
     """Parse a fasta/fastq file (optionally gzipped) into flat code arrays.
 
+    Uses the native C decoder (native/fastxio.c, the needletail+flate2
+    equivalent) when available, else the vectorized-numpy path below.
     Raises FastxParseError on malformed input (callers mirror the
     reference's warn-and-skip policy, e.g. src/sketch.rs:489-491).
     """
+    from .native import parse_fastx_native
+    parsed = parse_fastx_native(path, skip_names)
+    if parsed is not None:
+        return parsed
+    return parse_fastx_py(path, skip_names)
+
+
+def parse_fastx_py(path: str, skip_names: bool = False) -> ParsedFastx:
+    """Pure-numpy parser (fallback + oracle for the native decoder)."""
     raw = _read_raw(path)
     data = np.frombuffer(raw, dtype=np.uint8)
     # skip leading blank lines

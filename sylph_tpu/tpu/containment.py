@@ -1,0 +1,149 @@
+"""Device containment: gather-free sort-merge join of index vs sample.
+
+The reference probes each genome k-mer into a per-sample FxHashMap
+(sylph src/contain.rs:624-652). Random-access probes (binary search,
+hash tables) cost ~8ns/element on TPU — gathers don't vectorize — so the
+TPU-native formulation is a merge join built ONLY from the ops the hardware
+is fast at: one lexicographic sort, neighbor compares, segmented scans
+(associative_scan), and one segment-sum:
+
+  1. concatenate (index k-mers, gid payload) with (sample hash occurrences)
+  2. sort by 64-bit hash value (uint32 pairs, num_keys=2)
+  3. per equal-value run, count sample occurrences with a forward+reverse
+     segmented scan -> every index element learns its sample multiplicity
+  4. one segment-sum scatters (genome, multiplicity) into [G, H] histograms
+
+Every statistic downstream is a function of the histogram (the multiset of
+multiplicities), matching the host engine. Sentinel entries (u64::MAX) from
+fixed-capacity compaction sort to the end and match nothing.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u64
+
+SENTINEL = (np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF))
+_FLAG_BIT = np.uint32(1 << 31)
+
+
+def compact_rows(hhi: jnp.ndarray, hlo: jnp.ndarray, keep: jnp.ndarray,
+                 row: int, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-capacity compaction of surviving hashes, gather/scatter-free.
+
+    Reshapes the window stream into rows of `row` entries, masks dropped
+    windows to u64::MAX, row-sorts the (hi, lo) pairs (survivors < u64::MAX/c
+    sort to the front), and keeps the first `cap` columns. Static-shape
+    replacement for Vec::push: a row overflowing `cap` drops the excess
+    (callers size cap ~4x the FracMinHash expectation row/c).
+
+    Returns (hi, lo) of shape [ceil(n/row), cap], sentinel-padded.
+    """
+    flat_hi = hhi.reshape(-1)
+    flat_lo = hlo.reshape(-1)
+    flat_keep = keep.reshape(-1)
+    n = flat_hi.shape[0]
+    rows = -(-n // row)
+    pad = rows * row - n
+    if pad:
+        flat_hi = jnp.pad(flat_hi, (0, pad))
+        flat_lo = jnp.pad(flat_lo, (0, pad))
+        flat_keep = jnp.pad(flat_keep, (0, pad))
+    mhi = jnp.where(flat_keep, flat_hi, SENTINEL[0]).reshape(rows, row)
+    mlo = jnp.where(flat_keep, flat_lo, SENTINEL[1]).reshape(rows, row)
+    shi, slo = jax.lax.sort((mhi, mlo), dimension=1, num_keys=2)
+    return shi[:, :cap], slo[:, :cap]
+
+
+def _segmented_sum_scan(values: jnp.ndarray, reset: jnp.ndarray,
+                        reverse: bool) -> jnp.ndarray:
+    """Inclusive segmented sum scan: restarts at elements where reset=True
+    (scanning left->right; for reverse=True, reset marks segment ends)."""
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, av + bv), ar | br
+
+    vals, _ = jax.lax.associative_scan(
+        combine, (values, reset), reverse=reverse)
+    return vals
+
+
+def merge_join_hist(idx_hi, idx_lo, gids, smp_hi, smp_lo, *,
+                    n_genomes: int, n_buckets: int) -> jnp.ndarray:
+    """Per-genome multiplicity histograms [G, H] via one sort + scans.
+
+    idx_hi/idx_lo/gids: [M] genome index (padding rows: gid >= n_genomes).
+    smp_hi/smp_lo: [T] sample hash occurrence stream (sentinel padding ok;
+    duplicates encode multiplicity, the device analog of kmer_counts).
+
+    hist[g, j] = #genome-g sketch k-mers whose sample multiplicity is j
+    (j clamped to H-1; j=0 = not contained). Matches the reference probe
+    loop's covs multiset (src/contain.rs:632-652) exactly.
+    """
+    M = idx_hi.shape[0]
+    G, H = n_genomes, n_buckets
+    vhi = jnp.concatenate([idx_hi, smp_hi.reshape(-1)])
+    vlo = jnp.concatenate([idx_lo, smp_lo.reshape(-1)])
+    # payload: bit31 = is_sample, low bits = genome id (index rows only)
+    pay = jnp.concatenate([
+        gids.astype(jnp.uint32),
+        jnp.full(smp_hi.size, _FLAG_BIT, jnp.uint32)])
+    shi, slo, spay = jax.lax.sort((vhi, vlo, pay), num_keys=2)
+
+    is_smp = (spay & _FLAG_BIT) != 0
+    sgid = (spay & ~_FLAG_BIT).astype(jnp.int32)
+
+    prev_ne = jnp.concatenate([
+        jnp.ones(1, bool),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    next_ne = jnp.concatenate([prev_ne[1:], jnp.ones(1, bool)])
+
+    occ = is_smp.astype(jnp.int32)
+    fwd = _segmented_sum_scan(occ, prev_ne, reverse=False)
+    rev = _segmented_sum_scan(occ, next_ne, reverse=True)
+    count = fwd + rev - occ          # sample multiplicity of this value
+
+    bucket = jnp.minimum(count, H - 1)
+    valid = (~is_smp) & (sgid < G)
+    seg = jnp.where(valid, sgid * H + bucket, G * H)
+    flat = jax.ops.segment_sum(
+        jnp.ones_like(seg, jnp.int32), seg, num_segments=G * H + 1)
+    return flat[:G * H].reshape(G, H)
+
+
+def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray):
+    """Lexicographic sort of (hi, lo) u64 pairs (1-D)."""
+    return jax.lax.sort((hi, lo), num_keys=2)
+
+
+def probe_counts(table_hi, table_lo, qhi, qlo) -> jnp.ndarray:
+    """Reference probe: batched binary search into a sorted sample table.
+
+    Multiplicity = upper_bound - lower_bound. O(log T) gathers per query —
+    kept as the small-scale/CPU oracle; the production path is
+    merge_join_hist (gathers are ~8ns/element on TPU).
+    """
+    def search(upper):
+        T = int(table_hi.shape[0])
+        pos = jnp.zeros(qhi.shape, jnp.int32)
+        nbits = max(1, (T + 1).bit_length())
+        for t in reversed(range(nbits)):
+            step = 1 << t
+            mid = pos + step
+            ok = mid <= T
+            gather = jnp.minimum(mid - 1, T - 1)
+            vhi = jnp.take(table_hi, gather)
+            vlo = jnp.take(table_lo, gather)
+            if upper:
+                go = u64.le((vhi, vlo), (qhi, qlo))
+            else:
+                go = u64.lt((vhi, vlo), (qhi, qlo))
+            pos = jnp.where(ok & go, mid, pos)
+        return pos
+
+    return (search(True) - search(False)).astype(jnp.int32)

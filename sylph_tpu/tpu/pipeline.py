@@ -1,0 +1,204 @@
+"""End-to-end device profiling step, single-chip and sharded.
+
+The flagship compute path: 2-bit packed read batches -> FracMinHash seeding
+-> fixed-capacity compaction (row-sort) -> sort-merge containment join of
+the genome index -> per-genome coverage histograms -> batched ANI/lambda
+statistics. Built exclusively from TPU-fast primitives (dense elementwise,
+sorts, segmented scans); no per-element gathers in the hot path.
+
+Single-chip it is one jitted function; multi-chip it runs under shard_map
+over a ('dp', 'ip') mesh:
+
+  dp (data parallel):   read batches sharded over devices for seeding +
+                        compaction; the compacted sample hashes (~1/c of
+                        bases — tiny) are all_gathered over 'dp' (ICI).
+  ip (index parallel):  the genome k-mer index sharded over the FULL device
+                        grid ('dp' x 'ip') in HBM — the analog of tensor
+                        parallelism for the database dimension; every device
+                        merge-joins the full sample against its index shard
+                        and per-genome histograms merge with one psum.
+
+This replaces the reference's rayon threads + one shared hashmap
+(sylph src/contain.rs:266-307): collectives ride ICI, the index never
+leaves HBM, and every phase is a static-shape XLA program.
+"""
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import u64
+from .containment import SENTINEL, compact_rows, merge_join_hist
+from .seeding import seed_hashes
+from .stats import GenomeStats, stats_from_histograms
+
+DEFAULT_BUCKETS = 256  # multiplicities clamp here; stats need median < 30
+_ROW = 512             # compaction row width
+
+
+def compaction_cap(c: int, row: int = _ROW) -> int:
+    """Per-row survivor capacity: ~4x the FracMinHash expectation."""
+    return min(row, 4 * row // c + 8)
+
+
+class HostIndex(NamedTuple):
+    """Host-side flattened genome index, ready to shard onto devices."""
+    hi: np.ndarray          # [M] uint32
+    lo: np.ndarray          # [M] uint32
+    genome_ids: np.ndarray  # [M] int32; padding rows get id n_genomes
+    n_kmers: np.ndarray     # [G] int32
+    n_genomes: int
+
+
+def build_host_index(kmer_arrays: List[np.ndarray],
+                     pad_multiple: int = 8) -> HostIndex:
+    """Flatten per-genome u64 sketch k-mer arrays into one probe list.
+
+    No ordering is required (the merge join sorts); genomes stay contiguous.
+    Padded to a multiple of `pad_multiple` so the M axis can shard evenly;
+    pad rows carry genome_id == G and fall out of the histograms.
+    """
+    G = len(kmer_arrays)
+    sizes = np.array([a.size for a in kmer_arrays], dtype=np.int32)
+    total = int(sizes.sum())
+    M = max(pad_multiple, -(-total // pad_multiple) * pad_multiple)
+    all_kmers = (np.concatenate(kmer_arrays).astype(np.uint64)
+                 if total else np.empty(0, np.uint64))
+    hi, lo = u64.from_u64_np(all_kmers)
+    out_hi = np.zeros(M, np.uint32)
+    out_lo = np.zeros(M, np.uint32)
+    gids = np.full(M, G, np.int32)
+    out_hi[:total] = hi
+    out_lo[:total] = lo
+    gids[:total] = np.repeat(np.arange(G, dtype=np.int32), sizes)
+    return HostIndex(out_hi, out_lo, gids, sizes, G)
+
+
+def pack_reads(seqs: List[bytes], length: int,
+               pad_multiple: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/stack raw DNA byte strings into a [N, L] 2-bit code batch."""
+    from ..kmer.hashing import BYTE_TO_SEQ_NP
+    n = len(seqs)
+    N = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
+    bases = np.zeros((N, length), np.uint32)
+    lengths = np.zeros(N, np.int32)
+    for i, s in enumerate(seqs):
+        arr = np.frombuffer(bytes(s[:length]), dtype=np.uint8)
+        bases[i, :arr.size] = BYTE_TO_SEQ_NP[arr]
+        lengths[i] = arr.size
+    return bases, lengths
+
+
+@functools.partial(jax.jit, static_argnames=("c", "k"))
+def sketch_batch(bases, lengths, *, c: int, k: int):
+    """Streaming phase: one read batch -> compacted surviving hash pairs.
+
+    Returns ((hi, lo) [R, cap] sentinel-padded, n_survivors i32). Batches
+    accumulate on device; finish_profile() consumes them all at once — each
+    genome k-mer joins once per sample, not once per batch, matching the
+    reference's whole-sample kmer_counts map (sylph src/sketch.rs:930-939).
+    """
+    hhi, hlo, keep = seed_hashes(bases, lengths, c=c, k=k)
+    n = jnp.sum(keep.astype(jnp.int32))
+    chi, clo = compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
+    return chi, clo, n
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "n_genomes", "n_buckets", "min_ani"))
+def finish_profile(all_hi, all_lo, idx_hi, idx_lo, gids, n_kmers, *,
+                   k: int, n_genomes: int, n_buckets: int = DEFAULT_BUCKETS,
+                   min_ani: float = 0.95):
+    """Containment phase: stacked sample hash chunks -> (hist, stats)."""
+    hist = merge_join_hist(idx_hi, idx_lo, gids,
+                           all_hi.reshape(-1), all_lo.reshape(-1),
+                           n_genomes=n_genomes, n_buckets=n_buckets)
+    st = stats_from_histograms(hist, n_kmers, k=k, min_ani=min_ani)
+    return hist, st
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "c", "k", "n_genomes", "n_buckets", "min_ani"))
+def profile_step(bases, lengths, idx_hi, idx_lo, gids, n_kmers, *,
+                 c: int, k: int, n_genomes: int,
+                 n_buckets: int = DEFAULT_BUCKETS,
+                 min_ani: float = 0.95) -> Tuple[jnp.ndarray, GenomeStats]:
+    """Single-chip one-shot profile forward: read batch -> (hist, stats)."""
+    hhi, hlo, keep = seed_hashes(bases, lengths, c=c, k=k)
+    chi, clo = compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
+    hist = merge_join_hist(idx_hi, idx_lo, gids,
+                           chi.reshape(-1), clo.reshape(-1),
+                           n_genomes=n_genomes, n_buckets=n_buckets)
+    st = stats_from_histograms(hist, n_kmers, k=k, min_ani=min_ani)
+    return hist, st
+
+
+def make_mesh(n_devices: int = None, dp: int = None,
+              devices=None) -> Mesh:
+    """A ('dp', 'ip') mesh over the first n_devices jax devices.
+
+    Falls back to the CPU backend (honoring
+    --xla_force_host_platform_device_count) when the default platform has
+    fewer devices than requested — the single-real-chip dev box case.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if devices is None and len(devs) < n_devices:
+        devs = jax.devices("cpu")
+    if len(devs) < n_devices:
+        raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+    devs = devs[:n_devices]
+    if dp is None:
+        dp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    ip = n_devices // dp
+    if dp * ip != n_devices:
+        raise ValueError(f"cannot factor {n_devices} devices into "
+                         f"dp={dp} x ip={ip}")
+    return Mesh(np.asarray(devs).reshape(dp, ip), ("dp", "ip"))
+
+
+def make_sharded_profile_step(mesh: Mesh, *, c: int, k: int, n_genomes: int,
+                              n_buckets: int = DEFAULT_BUCKETS,
+                              min_ani: float = 0.95):
+    """Build the jitted multi-chip profile step over `mesh`.
+
+    Returns (fn, shardings): fn(bases, lengths, idx_hi, idx_lo, gids,
+    n_kmers) -> (hist [G, H] replicated, GenomeStats replicated). Reads
+    shard over 'dp'; the index shards over the full ('dp','ip') grid;
+    compacted sample hashes all_gather over 'dp' and histograms psum over
+    the grid — both collectives ride ICI.
+    """
+    def step(bases, lengths, idx_hi, idx_lo, gids, n_kmers):
+        hhi, hlo, keep = seed_hashes(bases, lengths, c=c, k=k)
+        chi, clo = compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
+        flat_hi = chi.reshape(-1)
+        flat_lo = clo.reshape(-1)
+        smp_hi = jax.lax.all_gather(flat_hi, "dp", tiled=True)
+        smp_lo = jax.lax.all_gather(flat_lo, "dp", tiled=True)
+        hist_local = merge_join_hist(idx_hi, idx_lo, gids, smp_hi, smp_lo,
+                                     n_genomes=n_genomes,
+                                     n_buckets=n_buckets)
+        hist = jax.lax.psum(hist_local, ("dp", "ip"))
+        st = stats_from_histograms(hist, n_kmers, k=k, min_ani=min_ani)
+        return hist, st
+
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P(("dp", "ip")), P(("dp", "ip")),
+                  P(("dp", "ip")), P()),
+        out_specs=(P(), GenomeStats(*([P()] * len(GenomeStats._fields)))),
+        check_vma=False)
+    fn = jax.jit(sharded)
+
+    shardings = {
+        "bases": NamedSharding(mesh, P("dp", None)),
+        "lengths": NamedSharding(mesh, P("dp")),
+        "idx": NamedSharding(mesh, P(("dp", "ip"))),
+        "replicated": NamedSharding(mesh, P()),
+    }
+    return fn, shardings
