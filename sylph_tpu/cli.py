@@ -110,6 +110,10 @@ def _add_contain(sub, name, helptext):
     p.add_argument("--no-adjust", dest="no_adj", action="store_true")
     p.add_argument("--mean-coverage", dest="mean_coverage",
                    action="store_true")
+    p.add_argument("--tpu", action="store_true",
+                   help="run the containment join on the attached JAX "
+                   "device (TPU); output is bit-identical to the host "
+                   "engine")
     return p
 
 
@@ -158,7 +162,7 @@ def _contain_options(a) -> ContainOptions:
         out_file_name=a.out_file_name,
         log_reassignments=a.log_reassignments, pseudotax=a.pseudotax,
         estimator=estimator, no_ci=a.no_ci, no_adj=a.no_adj,
-        mean_coverage=a.mean_coverage)
+        mean_coverage=a.mean_coverage, tpu=a.tpu)
 
 
 def main(argv=None) -> int:

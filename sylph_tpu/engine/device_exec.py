@@ -1,0 +1,124 @@
+"""Device (TPU) execution engine for query/profile containment.
+
+Replaces the per-genome probe loop (host numpy searchsorted, see
+engine/containment.py) with ONE device merge join of the whole genome index
+against the sample's deduplicated (kmer, count) table, computed once per
+sample. Every downstream consumer — pass-1 stats, the winner-table pass-2
+re-count, dereplication — reads exact per-k-mer counts from the cached [M]
+vector, so TSV output is bit-identical to the host path (statistics stay in
+host f64).
+
+This is the TPU-native replacement for sylph's rayon-parallel
+``get_stats``/hashmap probing (src/contain.rs:284-307, 632-652): the index
+lives in device HBM across samples; each sample costs one sort-merge join.
+"""
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.types import GenomeSketch, SequencesSketch
+
+log = logging.getLogger("sylph")
+
+
+def device_available() -> bool:
+    try:
+        import jax
+        return len(jax.devices()) > 0
+    except Exception:
+        return False
+
+
+class DeviceContainment:
+    """Holds the flattened genome index on device; serves per-sample counts.
+
+    Chunked along the index axis so arbitrarily large databases stream
+    through fixed-shape device programs (one compile per chunk shape).
+    """
+
+    CHUNK = 1 << 22  # index k-mers per device call
+
+    def __init__(self, genome_sketches: List[GenomeSketch]):
+        import jax
+
+        from ..tpu.pipeline import build_host_index
+
+        self._jax = jax
+        total = int(sum(g.genome_kmers.size for g in genome_sketches))
+        # pad to the next power of two (>=1024) so compile shapes are
+        # bounded: one program per distinct (chunk, sample) shape pair
+        m = 1024
+        while m < total:
+            m *= 2
+        m = min(m, -(-total // self.CHUNK) * self.CHUNK) if total else m
+        self.index = build_host_index(
+            [g.genome_kmers for g in genome_sketches], pad_multiple=m)
+        self.offsets = np.concatenate(
+            [[0], np.cumsum(self.index.n_kmers.astype(np.int64))])
+        m = self.index.hi.size
+        self._chunks = [
+            tuple(jax.device_put((self.index.hi[s:s + self.CHUNK],
+                                  self.index.lo[s:s + self.CHUNK])))
+            for s in range(0, m, self.CHUNK)]
+        self._cache_key = None
+        self._cache_counts: Optional[np.ndarray] = None
+        log.debug("Device index: %d genomes, %d k-mers, %d chunk(s)",
+                  len(genome_sketches), m, len(self._chunks))
+
+    def _counts(self, sample: SequencesSketch) -> np.ndarray:
+        key = id(sample)
+        if self._cache_key == key:
+            return self._cache_counts
+        import jax
+
+        from ..tpu import u64
+        from ..tpu.containment import merge_join_counts
+
+        skmers, scounts = sample.sorted_view()
+        # pad the sample table to the next power of two to bound compile
+        # shapes (one program per (chunk, sample-bucket) pair)
+        t = max(1024, 1 << int(np.ceil(np.log2(max(skmers.size, 1)))))
+        shi = np.full(t, 0xFFFFFFFF, np.uint32)
+        slo = np.full(t, 0xFFFFFFFF, np.uint32)
+        wts = np.zeros(t, np.int32)
+        hi, lo = u64.from_u64_np(skmers)
+        shi[:skmers.size] = hi
+        slo[:skmers.size] = lo
+        wts[:skmers.size] = scounts
+        smp_dev = jax.device_put((shi, slo, wts))
+
+        fn = jax.jit(merge_join_counts)
+        outs = []
+        for chi, clo in self._chunks:
+            outs.append(fn(chi, clo, smp_dev[0], smp_dev[1], smp_dev[2]))
+        counts = np.concatenate([np.asarray(o) for o in outs])
+        self._cache_key = key
+        self._cache_counts = counts
+        return counts
+
+    def genome_covs(self, genome_index: int, sample: SequencesSketch,
+                    winner=None, self_group: int = -1):
+        """Drop-in for engine.containment.genome_covs using device counts."""
+        counts = self._counts(sample)
+        s, e = self.offsets[genome_index], self.offsets[genome_index + 1]
+        cts = counts[s:e]
+        hit = cts > 0
+        kmers_lost = 0
+        if winner is not None:
+            g = self.index
+            # owner lookup on the (small) winner table stays host-side
+            kmers = u64_recombine(g.hi[s:e], g.lo[s:e])
+            owners = winner.owner_groups(kmers)
+            owned = owners == self_group
+            kmers_lost = int(np.count_nonzero(hit & ~owned))
+            hit = hit & owned
+        covs = cts[hit].astype(np.uint32)
+        covs.sort()
+        return covs, kmers_lost
+
+
+def u64_recombine(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    from ..tpu.u64 import to_u64_np
+    return to_u64_np(hi, lo)

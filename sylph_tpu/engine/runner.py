@@ -61,6 +61,7 @@ class ContainOptions:
     no_ci: bool = False
     no_adj: bool = False
     mean_coverage: bool = False
+    tpu: bool = False          # route containment through the device engine
 
 
 def _stat_params(opts: ContainOptions, k: int) -> StatParams:
@@ -72,7 +73,8 @@ def _stat_params(opts: ContainOptions, k: int) -> StatParams:
 def get_stats(opts: ContainOptions, genome: GenomeSketch, genome_index: int,
               sample: SequencesSketch, winner: Optional[WinnerTable] = None,
               self_group: int = -1,
-              log_reassign: bool = False) -> Optional[AniResult]:
+              log_reassign: bool = False,
+              device_engine=None) -> Optional[AniResult]:
     """Engine half of sylph get_stats (src/contain.rs:601-814)."""
     if genome.k != sample.k:
         log.error("k parameter for reads %s != k parameter for genome %s",
@@ -85,7 +87,11 @@ def get_stats(opts: ContainOptions, genome: GenomeSketch, genome_index: int,
     n_kmers = int(genome.genome_kmers.size)
     if float(n_kmers) < opts.min_number_kmers:
         return None
-    covs, kmers_lost = genome_covs(genome, sample, winner, self_group)
+    if device_engine is not None:
+        covs, kmers_lost = device_engine.genome_covs(
+            genome_index, sample, winner, self_group)
+    else:
+        covs, kmers_lost = genome_covs(genome, sample, winner, self_group)
     if covs.size == 0:
         return None
     min_ani = (opts.minimum_ani / 100.0 if opts.minimum_ani is not None
@@ -235,7 +241,8 @@ def _get_seq_sketch(opts: ContainOptions, read_file: List[str],
 
 
 def process_sample(opts: ContainOptions, sample: SequencesSketch,
-                   genome_sketches: List[GenomeSketch]) -> List[AniResult]:
+                   genome_sketches: List[GenomeSketch],
+                   device_engine=None) -> List[AniResult]:
     """One sample vs all genomes (body of src/contain.rs:267-339)."""
     first_read_file = sample.file_name
     if opts.seq_id is not None:
@@ -248,7 +255,8 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
 
     results = []
     for i, g in enumerate(genome_sketches):
-        r = get_stats(opts, g, i, sample, None, -1, opts.log_reassignments)
+        r = get_stats(opts, g, i, sample, None, -1, opts.log_reassignments,
+                      device_engine)
         if r is not None:
             results.append(r)
     estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,
@@ -262,7 +270,8 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
         results2 = []
         for r, grp in zip(results, groups):
             r2 = get_stats(opts, r.genome_sketch, r.genome_index, sample,
-                           winner, grp, opts.log_reassignments)
+                           winner, grp, opts.log_reassignments,
+                           device_engine)
             if r2 is not None:
                 results2.append(r2)
         results = derep_if_reassign_threshold(results, results2,
@@ -330,6 +339,17 @@ def contain(opts: ContainOptions, pseudotax: bool,
                   "--disable-profiling option. Exiting")
         raise SystemExit(1)
 
+    device_engine = None
+    if opts.tpu:
+        from .device_exec import DeviceContainment, device_available
+        if device_available():
+            device_engine = DeviceContainment(genome_sketches)
+            log.info("Containment runs on %d device(s).",
+                     1)
+        else:
+            log.warning("--tpu requested but no JAX device available; "
+                        "falling back to the host engine.")
+
     all_samples = read_files + [[f] for f in read_sketch_files]
     n_raw = len(read_files)
     print_header(opts.pseudotax, out, opts.estimate_unknown)
@@ -338,7 +358,8 @@ def contain(opts: ContainOptions, pseudotax: bool,
         sample = _get_seq_sketch(opts, rf, is_sketch, genome_sketches[0].c,
                                  genome_sketches[0].k)
         if sample is not None:
-            results = process_sample(opts, sample, genome_sketches)
+            results = process_sample(opts, sample, genome_sketches,
+                                     device_engine)
             for r in results:
                 print_ani_result(r, opts.pseudotax, out)
             out.flush()

@@ -116,6 +116,47 @@ def merge_join_hist(idx_hi, idx_lo, gids, smp_hi, smp_lo, *,
     return flat[:G * H].reshape(G, H)
 
 
+def merge_join_counts(idx_hi, idx_lo, smp_hi, smp_lo,
+                      smp_weights=None) -> jnp.ndarray:
+    """Exact sample multiplicity for each index k-mer, in index order.
+
+    Same merge join as merge_join_hist but the payload carries the original
+    index position, and the result is scattered back to [M] — the device
+    replacement for the reference's per-genome hashmap probe when callers
+    need per-k-mer counts (bit-parity CLI path). smp_weights (i32, optional)
+    lets the sample side be a deduplicated (kmer, count) table instead of an
+    occurrence stream.
+    """
+    M = idx_hi.shape[0]
+    smp_hi = smp_hi.reshape(-1)
+    smp_lo = smp_lo.reshape(-1)
+    if smp_weights is None:
+        smp_weights = jnp.ones(smp_hi.shape, jnp.int32)
+    vhi = jnp.concatenate([idx_hi, smp_hi])
+    vlo = jnp.concatenate([idx_lo, smp_lo])
+    pay = jnp.concatenate([
+        jnp.arange(M, dtype=jnp.uint32),
+        jnp.full(smp_hi.size, _FLAG_BIT, jnp.uint32)])
+    wts = jnp.concatenate([jnp.zeros(M, jnp.int32),
+                           smp_weights.astype(jnp.int32)])
+    shi, slo, spay, socc = jax.lax.sort((vhi, vlo, pay, wts), num_keys=2)
+
+    is_smp = (spay & _FLAG_BIT) != 0
+    spos = (spay & ~_FLAG_BIT).astype(jnp.int32)
+
+    prev_ne = jnp.concatenate([
+        jnp.ones(1, bool),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    next_ne = jnp.concatenate([prev_ne[1:], jnp.ones(1, bool)])
+    fwd = _segmented_sum_scan(socc, prev_ne, reverse=False)
+    rev = _segmented_sum_scan(socc, next_ne, reverse=True)
+    count = fwd + rev - socc
+
+    target = jnp.where(is_smp, M, spos)
+    out = jnp.zeros((M + 1,), jnp.int32).at[target].set(count, mode="drop")
+    return out[:M]
+
+
 def sort_pairs(hi: jnp.ndarray, lo: jnp.ndarray):
     """Lexicographic sort of (hi, lo) u64 pairs (1-D)."""
     return jax.lax.sort((hi, lo), num_keys=2)

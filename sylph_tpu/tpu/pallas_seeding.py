@@ -1,0 +1,186 @@
+"""Pallas TPU kernel: fused FracMinHash seeding.
+
+The XLA seeding path (seeding.py) materializes the log-doubling m-mer
+pyramid in HBM (~10 round trips over the batch). This kernel fuses the
+whole chain — 2-bit window composition, forward/revcomp canonicalization,
+the bugged Wang hash on uint32 pairs, and the FracMinHash threshold — in
+VMEM: one HBM read of the base codes, one write of (hash_hi, hash_lo,
+keep). It is the TPU analog of the reference's AVX2 lane kernel
+(sylph src/avx2_seeding.rs), with the same (k-1)-overlap trick at tile
+seams that the AVX2 code uses between lanes (src/avx2_seeding.rs:37-41) —
+but with no trailing-window drop.
+
+Layout: the caller supplies reads as rows of a [N, L] 2-bit code matrix;
+the kernel tiles rows in blocks of `BLOCK_ROWS` and computes all L-k+1
+windows per row. Neighbor access along the window axis uses pltpu.roll
+(lane rotation); positions past L-k are masked by the caller's length mask,
+and the roll wrap-around garbage lands only there.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .seeding import _pow2_parts
+
+BLOCK_ROWS = 256
+
+
+def _roll_l(x, m):
+    """x[..., j] <- x[..., j+m] (left shift along lanes, wraps)."""
+    return pltpu.roll(x, -m % x.shape[-1], axis=1)
+
+
+def _build_mers_tile(bases, want):
+    """u32 m-mer values for every lane position of a [R, L] tile.
+
+    fwd_m[., j] = sum_{i<m} b[j+i] << 2(m-1-i);
+    rc_m[., j]  = sum_{i<m} (3-b[j+i]) << 2i.
+    Positions within k-1 of the row end hold wrapped garbage (masked out by
+    the caller). All shapes stay [R, L] — roll instead of slice keeps the
+    tile static for the VPU.
+    """
+    pf = {1: bases}
+    pr = {1: np.uint32(3) - bases}
+    need = set()
+    for m in want:
+        need.update(_pow2_parts(m))
+    top = max(need) if need else 1
+    p = 1
+    while p * 2 <= top:
+        f, r = pf[p], pr[p]
+        fs = _roll_l(f, p)
+        rs = _roll_l(r, p)
+        pf[2 * p] = (f << np.uint32(2 * p)) | fs
+        pr[2 * p] = r | (rs << np.uint32(2 * p))
+        p *= 2
+    out = {}
+    for m in sorted(set(want)):
+        parts = _pow2_parts(m)
+        size = parts[0]
+        accf, accr = pf[size], pr[size]
+        for q in parts[1:]:
+            accf = (accf << np.uint32(2 * q)) | _roll_l(pf[q], size)
+            accr = accr | (_roll_l(pr[q], size) << np.uint32(2 * size))
+            size += q
+        out[m] = (accf, accr)
+    return out
+
+
+def _mm_hash64_tile(hi, lo):
+    """Bugged Wang mix on uint32 pairs, tile-local (u64.mm_hash64 inlined
+    with plain jnp ops — identical semantics, pallas-safe)."""
+    def add(ahi, alo, bhi, blo):
+        s = alo + blo
+        return ahi + bhi + (s < alo).astype(jnp.uint32), s
+
+    def shl(ahi, alo, s):
+        if s == 0:
+            return ahi, alo
+        if s < 32:
+            return ((ahi << np.uint32(s)) | (alo >> np.uint32(32 - s)),
+                    alo << np.uint32(s))
+        if s == 32:
+            return alo, jnp.zeros_like(alo)
+        return alo << np.uint32(s - 32), jnp.zeros_like(alo)
+
+    def shr(ahi, alo, s):
+        if s < 32:
+            return (ahi >> np.uint32(s),
+                    (alo >> np.uint32(s)) | (ahi << np.uint32(32 - s)))
+        if s == 32:
+            return jnp.zeros_like(ahi), ahi
+        return jnp.zeros_like(ahi), ahi >> np.uint32(s - 32)
+
+    thi, tlo = shl(hi, lo, 21)
+    hi, lo = add(hi, lo, thi, tlo)
+    hi, lo = ~hi, ~lo                                   # ~(k + (k<<21))
+    thi, tlo = shr(hi, lo, 24)
+    hi, lo = hi ^ thi, lo ^ tlo
+    ahi, alo = shl(hi, lo, 3)
+    bhi, blo = shl(hi, lo, 8)
+    hi, lo = add(hi, lo, ahi, alo)
+    hi, lo = add(hi, lo, bhi, blo)                      # * 265
+    thi, tlo = shr(hi, lo, 14)
+    hi, lo = hi ^ thi, lo ^ tlo
+    ahi, alo = shl(hi, lo, 2)
+    bhi, blo = shl(hi, lo, 4)
+    hi, lo = add(hi, lo, ahi, alo)
+    hi, lo = add(hi, lo, bhi, blo)                      # * 21
+    thi, tlo = shr(hi, lo, 28)
+    hi, lo = hi ^ thi, lo ^ tlo
+    thi, tlo = shl(hi, lo, 31)
+    hi, lo = add(hi, lo, thi, tlo)
+    return hi, lo
+
+
+def _seed_kernel(bases_ref, hi_ref, lo_ref, keep_ref, *, k, thr_hi, thr_lo):
+    bases = bases_ref[...]
+    if k <= 16:
+        mers = _build_mers_tile(bases, [k])
+        f, r = mers[k]
+        fhi = jnp.zeros_like(f)
+        flo = f
+        rhi = jnp.zeros_like(f)
+        rlo = r
+    else:
+        hi_len = k - 16
+        mers = _build_mers_tile(bases, [16, hi_len])
+        f16, r16 = mers[16]
+        fh, rh = mers[hi_len]
+        fhi = fh
+        flo = _roll_l(f16, hi_len)
+        rhi = _roll_l(rh, 16)
+        rlo = r16
+    is_fwd = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
+    chi = jnp.where(is_fwd, fhi, rhi)
+    clo = jnp.where(is_fwd, flo, rlo)
+    hhi, hlo = _mm_hash64_tile(chi, clo)
+    keep = (hhi < thr_hi) | ((hhi == thr_hi) & (hlo < thr_lo))
+    hi_ref[...] = hhi
+    lo_ref[...] = hlo
+    keep_ref[...] = keep
+
+
+@functools.partial(jax.jit, static_argnames=("c", "k", "interpret"))
+def seed_hashes_pallas(bases, lengths, *, c: int, k: int,
+                       interpret: bool = False):
+    """Drop-in replacement for seeding.seed_hashes via one fused kernel.
+
+    bases: [N, L] uint32 2-bit codes, L a multiple of 128.
+    Returns (hash_hi, hash_lo, keep), each [N, L] — note the window axis is
+    NOT trimmed to L-k+1 (lane layout stays 128-aligned); windows beyond
+    L-k are masked in `keep` exactly like pad windows.
+    """
+    N, L = bases.shape
+    if L % 128 != 0:
+        raise ValueError(f"L must be a multiple of 128, got {L}")
+    rows = BLOCK_ROWS if N >= BLOCK_ROWS else N
+    if N % rows != 0:
+        raise ValueError(f"N ({N}) must be a multiple of {rows}")
+    thr = ((1 << 64) - 1) // c
+    kern = functools.partial(_seed_kernel, k=k,
+                             thr_hi=np.uint32(thr >> 32),
+                             thr_lo=np.uint32(thr & 0xFFFFFFFF))
+    grid = (N // rows,)
+    spec = pl.BlockSpec((rows, L), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    hhi, hlo, keep = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec],
+        out_specs=(spec, spec,
+                   pl.BlockSpec((rows, L), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((N, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((N, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((N, L), jnp.bool_)),
+        interpret=interpret,
+    )(bases)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
+    keep &= pos + k <= lengths[:, None]
+    return hhi, hlo, keep

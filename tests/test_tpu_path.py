@@ -94,6 +94,23 @@ class TestDeviceSeeding:
                 want[int(h)] += 1
         assert got == want
 
+    @pytest.mark.parametrize("c,k", [(20, 31), (5, 21), (7, 16)])
+    def test_pallas_kernel_matches_xla(self, c, k):
+        from sylph_tpu.tpu.pallas_seeding import seed_hashes_pallas
+        rng = np.random.default_rng(11)
+        N, L = 128, 256
+        bases = rng.integers(0, 4, size=(N, L)).astype(np.uint32)
+        lengths = rng.integers(k, L + 1, size=N).astype(np.int32)
+        hhi, hlo, keep = map(np.asarray,
+                             seed_hashes(bases, lengths, c=c, k=k))
+        phi, plo, pkeep = map(np.asarray, seed_hashes_pallas(
+            bases, lengths, c=c, k=k, interpret=True))
+        W = L - k + 1
+        assert (pkeep[:, :W] == keep).all()
+        assert not pkeep[:, W:].any()
+        assert (phi[:, :W][keep] == hhi[keep]).all()
+        assert (plo[:, :W][keep] == hlo[keep]).all()
+
     def test_padding_rows_excluded(self):
         # pack_reads pads the batch with zero-length rows; no hashes leak
         rng = np.random.default_rng(5)
