@@ -30,12 +30,12 @@ import numpy as np
 BASELINE_GBPS = 0.33
 
 C, K = 200, 31
-READ_LEN = 150
-BATCH_READS = 65536              # ~9.8 Mbp per batch
+READ_LEN = 256                   # Pallas lane-aligned
+BATCH_READS = 65536              # ~16.8 Mbp per batch
 N_GENOMES = 1024
 KMERS_PER_GENOME = 4096          # ~4.2M index k-mers (~0.8 Gbp of genomes)
 N_BUCKETS = 256
-N_BATCHES = 32                   # ~315 Mbp streamed per timed run
+N_BATCHES = 32                   # ~537 Mbp streamed per timed run
 
 
 def main():

@@ -59,18 +59,21 @@ def compact_rows(hhi: jnp.ndarray, hlo: jnp.ndarray, keep: jnp.ndarray,
     return shi[:, :cap], slo[:, :cap]
 
 
-def _segmented_sum_scan(values: jnp.ndarray, reset: jnp.ndarray,
-                        reverse: bool) -> jnp.ndarray:
-    """Inclusive segmented sum scan: restarts at elements where reset=True
-    (scanning left->right; for reverse=True, reset marks segment ends)."""
-    def combine(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, av + bv), ar | br
+def _run_totals(occ: jnp.ndarray, prev_ne: jnp.ndarray,
+                next_ne: jnp.ndarray) -> jnp.ndarray:
+    """Sum of `occ` within each equal-value run, broadcast to every element.
 
-    vals, _ = jax.lax.associative_scan(
-        combine, (values, reset), reverse=reverse)
-    return vals
+    Built from native prefix ops only (cumsum + cummax + reverse cummin):
+    with z = cumsum(occ), the run total at i is z[run_end] - z[run_start-1];
+    the boundary values propagate via monotone cummax/cummin — cheaper to
+    compile and run than a custom segmented associative_scan.
+    """
+    z = jnp.cumsum(occ.astype(jnp.int32))   # total occurrences < 2^31
+    zprev = z - occ
+    big = jnp.int32(2**31 - 1)
+    start_z = jax.lax.cummax(jnp.where(prev_ne, zprev, -1))
+    end_z = jax.lax.cummin(jnp.where(next_ne, z, big), reverse=True)
+    return end_z - start_z
 
 
 def merge_join_hist(idx_hi, idx_lo, gids, smp_hi, smp_lo, *,
@@ -103,10 +106,7 @@ def merge_join_hist(idx_hi, idx_lo, gids, smp_hi, smp_lo, *,
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     next_ne = jnp.concatenate([prev_ne[1:], jnp.ones(1, bool)])
 
-    occ = is_smp.astype(jnp.int32)
-    fwd = _segmented_sum_scan(occ, prev_ne, reverse=False)
-    rev = _segmented_sum_scan(occ, next_ne, reverse=True)
-    count = fwd + rev - occ          # sample multiplicity of this value
+    count = _run_totals(is_smp.astype(jnp.int32), prev_ne, next_ne)
 
     bucket = jnp.minimum(count, H - 1)
     valid = (~is_smp) & (sgid < G)
@@ -148,9 +148,7 @@ def merge_join_counts(idx_hi, idx_lo, smp_hi, smp_lo,
         jnp.ones(1, bool),
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     next_ne = jnp.concatenate([prev_ne[1:], jnp.ones(1, bool)])
-    fwd = _segmented_sum_scan(socc, prev_ne, reverse=False)
-    rev = _segmented_sum_scan(socc, next_ne, reverse=True)
-    count = fwd + rev - socc
+    count = _run_totals(socc, prev_ne, next_ne)
 
     target = jnp.where(is_smp, M, spos)
     out = jnp.zeros((M + 1,), jnp.int32).at[target].set(count, mode="drop")

@@ -146,6 +146,108 @@ def _seed_kernel(bases_ref, hi_ref, lo_ref, keep_ref, *, k, thr_hi, thr_lo):
     keep_ref[...] = keep
 
 
+CAP_LANES = 128  # compacted output width (lane-aligned)
+
+
+def _seed_compact_kernel(bases_ref, len_ref, hi_ref, lo_ref, *,
+                         k, thr_hi, thr_lo, cap):
+    """Fused seeding + per-read compaction.
+
+    After computing (hash_hi, hash_lo, keep) exactly like _seed_kernel, the
+    survivors of each read row are extracted left-to-right by `cap` rounds
+    of leftmost-survivor selection (min-reduce over lanes + one-hot pick) —
+    ~6 VPU passes per round, all in VMEM. Unused output slots hold u64::MAX
+    sentinels. Capacity overflow (> cap survivors in one read, ~4x the
+    FracMinHash expectation) drops the rightmost extras, like compact_rows.
+
+    Packed (wire-format) inputs are unpacked by the caller in XLA — one
+    cheap HBM pass — before entering this kernel.
+    """
+    bases = bases_ref[...]
+    R, L = bases.shape
+    if k <= 16:
+        mers = _build_mers_tile(bases, [k])
+        f, r = mers[k]
+        fhi = jnp.zeros_like(f)
+        flo = f
+        rhi = jnp.zeros_like(f)
+        rlo = r
+    else:
+        hi_len = k - 16
+        mers = _build_mers_tile(bases, [16, hi_len])
+        f16, r16 = mers[16]
+        fh, rh = mers[hi_len]
+        fhi = fh
+        flo = _roll_l(f16, hi_len)
+        rhi = _roll_l(rh, 16)
+        rlo = r16
+    is_fwd = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
+    chi = jnp.where(is_fwd, fhi, rhi)
+    clo = jnp.where(is_fwd, flo, rlo)
+    hhi, hlo = _mm_hash64_tile(chi, clo)
+    keep = (hhi < thr_hi) | ((hhi == thr_hi) & (hlo < thr_lo))
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    keep &= lanes + k <= len_ref[...]          # window inside the read
+
+    big = jnp.int32(L + 1)
+    sent = jnp.uint32(0xFFFFFFFF)
+    neg = jnp.int32(-(2**31))
+    # Mosaic has no unsigned reductions: select through an int32 view (the
+    # one-hot picks exactly one lane, so signedness never reorders anything)
+    hhi_i = hhi.astype(jnp.int32)
+    hlo_i = hlo.astype(jnp.int32)
+    hi_ref[...] = jnp.full((R, CAP_LANES), sent, jnp.uint32)
+    lo_ref[...] = jnp.full((R, CAP_LANES), sent, jnp.uint32)
+    remaining = keep
+    for j in range(cap):
+        cand = jnp.where(remaining, lanes, big)
+        m = jnp.min(cand, axis=1, keepdims=True)          # leftmost survivor
+        onehot = (cand == m) & remaining
+        vh = jnp.max(jnp.where(onehot, hhi_i, neg), axis=1)
+        vl = jnp.max(jnp.where(onehot, hlo_i, neg), axis=1)
+        has = m[:, 0] < big
+        hi_ref[:, j] = jnp.where(has, vh.astype(jnp.uint32), sent)
+        lo_ref[:, j] = jnp.where(has, vl.astype(jnp.uint32), sent)
+        remaining = remaining & ~onehot
+
+
+@functools.partial(jax.jit, static_argnames=("c", "k", "interpret"))
+def seed_compact_pallas(bases, lengths, *, c: int, k: int,
+                        interpret: bool = False):
+    """Fused Pallas sketch step: [N, L] 2-bit codes -> compacted (hi, lo)
+    [N, CAP_LANES] survivor hashes (sentinel-padded, position order).
+    Requires L % 128 == 0 and per-read capacity 4L/c+8 <= 128.
+    """
+    N, L = bases.shape
+    if L % 128 != 0:
+        raise ValueError(f"L must be a multiple of 128, got {L}")
+    cap = min(CAP_LANES, 4 * L // c + 8)
+    rows = min(BLOCK_ROWS, N)
+    if N % rows != 0:
+        raise ValueError(f"N ({N}) must be a multiple of {rows}")
+    thr = ((1 << 64) - 1) // c
+    kern = functools.partial(_seed_compact_kernel, k=k,
+                             thr_hi=np.uint32(thr >> 32),
+                             thr_lo=np.uint32(thr & 0xFFFFFFFF), cap=cap)
+    grid = (N // rows,)
+    in_spec = pl.BlockSpec((rows, L), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rows, CAP_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    hi, lo = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[in_spec, len_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((N, CAP_LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((N, CAP_LANES), jnp.uint32)),
+        interpret=interpret,
+    )(bases, lengths.reshape(N, 1).astype(jnp.int32))
+    return hi, lo
+
+
 @functools.partial(jax.jit, static_argnames=("c", "k", "interpret"))
 def seed_hashes_pallas(bases, lengths, *, c: int, k: int,
                        interpret: bool = False):

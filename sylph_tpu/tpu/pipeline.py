@@ -45,6 +45,37 @@ def compaction_cap(c: int, row: int = _ROW) -> int:
     return min(row, 4 * row // c + 8)
 
 
+def _seed(bases, lengths, *, c: int, k: int):
+    """Seeding dispatch: fused Pallas kernel on TPU when the layout allows
+    (L % 128 == 0), XLA log-doubling otherwise/on CPU. Both emit the same
+    (hash_hi, hash_lo, keep) modulo trailing always-masked columns."""
+    N, L = bases.shape
+    if jax.default_backend() != "cpu" and L % 128 == 0:
+        from .pallas_seeding import BLOCK_ROWS, seed_hashes_pallas
+        if N % BLOCK_ROWS == 0 or N < BLOCK_ROWS:
+            return seed_hashes_pallas(bases, lengths, c=c, k=k)
+    return seed_hashes(bases, lengths, c=c, k=k)
+
+
+def _sketch_compact(bases, lengths, *, c: int, k: int):
+    """Read batch -> compacted survivor (hi, lo), sentinel-padded.
+
+    Prefers the fully-fused Pallas kernel (seeding + in-VMEM per-read
+    compaction, one HBM round trip); falls back to seeding + row-sort
+    compaction when the layout/capacity doesn't fit (CPU, L % 128 != 0,
+    c < ~8, or c == 1 whose hashes can collide with the sentinel)."""
+    N, L = bases.shape
+    if (jax.default_backend() != "cpu" and L % 128 == 0 and c >= 2
+            and 4 * L // c + 8 <= 128):
+        from .pallas_seeding import BLOCK_ROWS, seed_compact_pallas
+        if N % BLOCK_ROWS == 0 or N < BLOCK_ROWS:
+            chi, clo = seed_compact_pallas(bases, lengths, c=c, k=k)
+            cap = min(chi.shape[1], 4 * L // c + 8)
+            return chi[:, :cap], clo[:, :cap]
+    hhi, hlo, keep = _seed(bases, lengths, c=c, k=k)
+    return compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
+
+
 class HostIndex(NamedTuple):
     """Host-side flattened genome index, ready to shard onto devices."""
     hi: np.ndarray          # [M] uint32
@@ -93,6 +124,37 @@ def pack_reads(seqs: List[bytes], length: int,
     return bases, lengths
 
 
+def pack_bases_u32(codes: np.ndarray) -> np.ndarray:
+    """[N, L] 2-bit codes -> [N, L/16] uint32 words (16 bases, LSB-first).
+
+    The framework's wire format for read batches: 0.25 B/base over
+    PCIe/DCN; the fused Pallas kernel unpacks in VMEM.
+    """
+    N, L = codes.shape
+    if L % 16 != 0:
+        raise ValueError(f"L must be a multiple of 16, got {L}")
+    w = codes.astype(np.uint32).reshape(N, L // 16, 16)
+    out = np.zeros((N, L // 16), np.uint32)
+    for j in range(16):
+        out |= w[:, :, j] << np.uint32(2 * j)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("c", "k"))
+def sketch_batch_packed(packed, lengths, *, c: int, k: int):
+    """sketch_batch over the 2-bit packed wire format ([N, L/16] uint32).
+
+    The packed words cross PCIe/DCN at 0.25 B/base; one XLA unpack pass in
+    HBM feeds the fused kernel."""
+    N, W = packed.shape
+    rep = jnp.repeat(packed, 16, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (N, W * 16), 1)
+    bases = (rep >> ((lane & np.uint32(15)) << np.uint32(1))) & np.uint32(3)
+    chi, clo = _sketch_compact(bases, lengths, c=c, k=k)
+    n = jnp.sum((chi != SENTINEL[0]).astype(jnp.int32))
+    return chi, clo, n
+
+
 @functools.partial(jax.jit, static_argnames=("c", "k"))
 def sketch_batch(bases, lengths, *, c: int, k: int):
     """Streaming phase: one read batch -> compacted surviving hash pairs.
@@ -102,9 +164,8 @@ def sketch_batch(bases, lengths, *, c: int, k: int):
     genome k-mer joins once per sample, not once per batch, matching the
     reference's whole-sample kmer_counts map (sylph src/sketch.rs:930-939).
     """
-    hhi, hlo, keep = seed_hashes(bases, lengths, c=c, k=k)
-    n = jnp.sum(keep.astype(jnp.int32))
-    chi, clo = compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
+    chi, clo = _sketch_compact(bases, lengths, c=c, k=k)
+    n = jnp.sum((chi != SENTINEL[0]).astype(jnp.int32))
     return chi, clo, n
 
 
@@ -128,12 +189,36 @@ def profile_step(bases, lengths, idx_hi, idx_lo, gids, n_kmers, *,
                  n_buckets: int = DEFAULT_BUCKETS,
                  min_ani: float = 0.95) -> Tuple[jnp.ndarray, GenomeStats]:
     """Single-chip one-shot profile forward: read batch -> (hist, stats)."""
-    hhi, hlo, keep = seed_hashes(bases, lengths, c=c, k=k)
-    chi, clo = compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
+    chi, clo = _sketch_compact(bases, lengths, c=c, k=k)
     hist = merge_join_hist(idx_hi, idx_lo, gids,
                            chi.reshape(-1), clo.reshape(-1),
                            n_genomes=n_genomes, n_buckets=n_buckets)
     st = stats_from_histograms(hist, n_kmers, k=k, min_ani=min_ani)
+    return hist, st
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "n_genomes", "n_buckets", "min_ani"))
+def finish_profile_batched(smp_hi, smp_lo, idx_hi, idx_lo, gids, n_kmers, *,
+                           k: int, n_genomes: int,
+                           n_buckets: int = DEFAULT_BUCKETS,
+                           min_ani: float = 0.95):
+    """Multi-sample containment: [S, T] sample hash tables -> per-sample
+    (hist [S, G, H], stats with [S, G] leaves).
+
+    vmaps the merge join over the sample axis with the index broadcast —
+    BASELINE.json's 'multi-sample batched data-parallel' configuration on
+    one chip (combine with shard_map for a mesh).
+    """
+    join = jax.vmap(
+        lambda shi, slo: merge_join_hist(
+            idx_hi, idx_lo, gids, shi, slo,
+            n_genomes=n_genomes, n_buckets=n_buckets))
+    hist = join(smp_hi.reshape(smp_hi.shape[0], -1),
+                smp_lo.reshape(smp_lo.shape[0], -1))
+    st = jax.vmap(
+        lambda h: stats_from_histograms(h, n_kmers, k=k, min_ani=min_ani)
+    )(hist)
     return hist, st
 
 
@@ -174,8 +259,7 @@ def make_sharded_profile_step(mesh: Mesh, *, c: int, k: int, n_genomes: int,
     the grid — both collectives ride ICI.
     """
     def step(bases, lengths, idx_hi, idx_lo, gids, n_kmers):
-        hhi, hlo, keep = seed_hashes(bases, lengths, c=c, k=k)
-        chi, clo = compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
+        chi, clo = _sketch_compact(bases, lengths, c=c, k=k)
         flat_hi = chi.reshape(-1)
         flat_lo = clo.reshape(-1)
         smp_hi = jax.lax.all_gather(flat_hi, "dp", tiled=True)

@@ -1,0 +1,64 @@
+"""Worker for the multi-process (simulated multi-host) scaling test.
+
+Each process owns 4 virtual CPU devices; jax.distributed joins them into an
+8-device cluster (2 'hosts' over gRPC — the DCN stand-in). The sharded
+profile step then runs over a global ('dp', 'ip') mesh, exactly as it would
+across real TPU hosts. Usage:
+    python multiproc_worker.py <coordinator> <num_procs> <proc_id> <out>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=4")
+
+
+def main():
+    coord, n_procs, pid, out_path = sys.argv[1:5]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=int(n_procs),
+                               process_id=int(pid))
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sylph_tpu.tpu.pipeline import (build_host_index, make_mesh,
+                                        make_sharded_profile_step)
+
+    assert len(jax.devices()) == 4 * int(n_procs)
+    mesh = make_mesh(len(jax.devices()), dp=int(n_procs))
+
+    rng = np.random.default_rng(0)
+    c, k, G = 20, 31, 4
+    N, L = 32, 64
+    bases = rng.integers(0, 4, size=(N, L)).astype(np.uint32)
+    lengths = np.full(N, L, np.int32)
+    thr = ((1 << 64) - 1) // c
+    genomes = [rng.integers(0, thr, size=100, dtype=np.uint64)
+               for _ in range(G)]
+    idx = build_host_index(genomes, pad_multiple=len(jax.devices()) * 8)
+
+    fn, _ = make_sharded_profile_step(mesh, c=c, k=k, n_genomes=G,
+                                      n_buckets=32, min_ani=0.0)
+
+    def put(arr, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda i: arr[i])
+
+    args = (put(bases, P("dp", None)), put(lengths, P("dp")),
+            put(idx.hi, P(("dp", "ip"))), put(idx.lo, P(("dp", "ip"))),
+            put(idx.genome_ids, P(("dp", "ip"))), put(idx.n_kmers, P()))
+    hist, st = fn(*args)
+    # hist is replicated (out_spec P()): every process holds a full copy
+    local = np.asarray(hist.addressable_shards[0].data)
+    if int(pid) == 0:
+        np.save(out_path, local)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

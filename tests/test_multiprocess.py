@@ -1,0 +1,57 @@
+"""Simulated multi-host scaling: 2 jax.distributed processes x 4 CPU devices.
+
+The TPU-equivalent of testing multi-node without a cluster (SURVEY.md §4):
+collectives cross a real process boundary (gRPC), validating that the
+sharded profile step is correct when 'dp' spans hosts.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(600)
+def test_two_process_profile(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out = str(tmp_path / "hist.npy")
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(i), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    hist = np.load(out)
+
+    # single-process oracle on the same deterministic data
+    from sylph_tpu.tpu.pipeline import build_host_index
+    from sylph_tpu.tpu.pipeline import profile_step
+    rng = np.random.default_rng(0)
+    c, k, G = 20, 31, 4
+    N, L = 32, 64
+    bases = rng.integers(0, 4, size=(N, L)).astype(np.uint32)
+    lengths = np.full(N, L, np.int32)
+    thr = ((1 << 64) - 1) // c
+    genomes = [rng.integers(0, thr, size=100, dtype=np.uint64)
+               for _ in range(G)]
+    idx = build_host_index(genomes, pad_multiple=64)
+    want, _ = profile_step(bases, lengths, idx.hi, idx.lo, idx.genome_ids,
+                           idx.n_kmers, c=c, k=k, n_genomes=G,
+                           n_buckets=32, min_ani=0.0)
+    assert (hist == np.asarray(want)).all()

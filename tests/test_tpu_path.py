@@ -267,6 +267,30 @@ class TestPipeline:
                       idx.n_kmers)
         assert (np.asarray(hist) == want).all()
 
+    def test_multi_sample_batched(self):
+        from sylph_tpu.tpu.pipeline import finish_profile_batched
+        rng = np.random.default_rng(12)
+        S = 4
+        histories = []
+        smp_hi = []
+        smp_lo = []
+        bases, lengths, idx, _ = self._setup(rng)
+        for s in range(S):
+            b, ln, _, _ = self._setup(np.random.default_rng(100 + s))
+            chi, clo, _ = sketch_batch(b, ln, c=20, k=31)
+            h1, _ = finish_profile(chi, clo, idx.hi, idx.lo, idx.genome_ids,
+                                   idx.n_kmers, k=31, n_genomes=3,
+                                   n_buckets=64, min_ani=0.5)
+            histories.append(np.asarray(h1))
+            smp_hi.append(np.asarray(chi).reshape(-1))
+            smp_lo.append(np.asarray(clo).reshape(-1))
+        hist, st = finish_profile_batched(
+            np.stack(smp_hi), np.stack(smp_lo), idx.hi, idx.lo,
+            idx.genome_ids, idx.n_kmers, k=31, n_genomes=3, n_buckets=64,
+            min_ani=0.5)
+        assert (np.asarray(hist) == np.stack(histories)).all()
+        assert st.naive_ani.shape == (S, 3)
+
     def test_graft_entry(self):
         import importlib.util
         spec = importlib.util.spec_from_file_location(
