@@ -1,0 +1,242 @@
+/* Native sketch-construction core: the host-side hot loops.
+ *
+ * 1. sk_dedup_fold — the reference's per-k-mer counting + PCR-duplicate
+ *    removal fold (sylph src/sketch.rs:690-731 dup_removal_lsh_full[_exact],
+ *    applied at :828-876 and :930-939): an open-addressing u64->u32 count
+ *    map (FxHashMap equivalent) plus an exact (kmer, fingerprint) pair set.
+ *    Exact same decision sequence as the Python fold in
+ *    sylph_tpu/core/sketch_reads.py; results returned in first-insertion
+ *    order.
+ * 2. sk_spacing_scan — the greedy genome spacing filter
+ *    (sylph src/sketch.rs:602-614).
+ *
+ * Plain C ABI for ctypes; buffers are malloc'd here, freed by sk_free.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ---------- open-addressing tables ---------- */
+
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33;
+    x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33;
+    return x;
+}
+
+typedef struct {            /* u64 key -> u32 value; key 0 reserved via flag */
+    uint64_t *keys;
+    uint32_t *vals;
+    uint8_t *used;
+    uint64_t cap, n;        /* cap is power of two */
+} Map64;
+
+static int map_init(Map64 *m, uint64_t cap) {
+    m->cap = cap;
+    m->n = 0;
+    m->keys = (uint64_t *)malloc(cap * sizeof(uint64_t));
+    m->vals = (uint32_t *)malloc(cap * sizeof(uint32_t));
+    m->used = (uint8_t *)calloc(cap, 1);
+    return m->keys && m->vals && m->used;
+}
+
+static int map_grow(Map64 *m);
+
+static inline int64_t map_slot(Map64 *m, uint64_t key) {
+    uint64_t mask = m->cap - 1;
+    uint64_t i = mix64(key) & mask;
+    while (m->used[i] && m->keys[i] != key) i = (i + 1) & mask;
+    return (int64_t)i;
+}
+
+static int map_grow(Map64 *m) {
+    Map64 nm;
+    if (!map_init(&nm, m->cap * 2)) return 0;
+    for (uint64_t i = 0; i < m->cap; i++) {
+        if (m->used[i]) {
+            int64_t s = map_slot(&nm, m->keys[i]);
+            nm.used[s] = 1;
+            nm.keys[s] = m->keys[i];
+            nm.vals[s] = m->vals[i];
+        }
+    }
+    nm.n = m->n;
+    free(m->keys); free(m->vals); free(m->used);
+    *m = nm;
+    return 1;
+}
+
+typedef struct {            /* 128-bit key set: (k1, k2) */
+    uint64_t *k1, *k2;
+    uint8_t *used;
+    uint64_t cap, n;
+} Set128;
+
+static int set_init(Set128 *s, uint64_t cap) {
+    s->cap = cap;
+    s->n = 0;
+    s->k1 = (uint64_t *)malloc(cap * sizeof(uint64_t));
+    s->k2 = (uint64_t *)malloc(cap * sizeof(uint64_t));
+    s->used = (uint8_t *)calloc(cap, 1);
+    return s->k1 && s->k2 && s->used;
+}
+
+static inline int64_t set_slot(Set128 *s, uint64_t a, uint64_t b) {
+    uint64_t mask = s->cap - 1;
+    uint64_t i = (mix64(a) ^ mix64(b * 0x9e3779b97f4a7c15ULL)) & mask;
+    while (s->used[i] && (s->k1[i] != a || s->k2[i] != b))
+        i = (i + 1) & mask;
+    return (int64_t)i;
+}
+
+static int set_grow(Set128 *s) {
+    Set128 ns;
+    if (!set_init(&ns, s->cap * 2)) return 0;
+    for (uint64_t i = 0; i < s->cap; i++) {
+        if (s->used[i]) {
+            int64_t j = set_slot(&ns, s->k1[i], s->k2[i]);
+            ns.used[j] = 1;
+            ns.k1[j] = s->k1[i];
+            ns.k2[j] = s->k2[i];
+        }
+    }
+    ns.n = s->n;
+    free(s->k1); free(s->k2); free(s->used);
+    *s = ns;
+    return 1;
+}
+
+/* returns 1 if (a,b) was already present, else inserts and returns 0 */
+static int set_check_insert(Set128 *s, uint64_t a, uint64_t b, int *oom) {
+    int64_t i = set_slot(s, a, b);
+    if (s->used[i]) return 1;
+    s->used[i] = 1;
+    s->k1[i] = a;
+    s->k2[i] = b;
+    s->n++;
+    if (s->n * 10 > s->cap * 7 && !set_grow(s)) *oom = 1;
+    return 0;
+}
+
+/* ---------- 1. dedup fold ---------- */
+
+/* Segments are runs of k-mers sharing one dedup decision context (one read,
+ * or one mate of a pair). Per segment:
+ *   fp_valid[s]: fingerprint present (read length gates)
+ *   fp[4*s..4*s+4): the two (u32,u32) fingerprint pairs packed as
+ *                   fp0 = (f << 32 | r), fp1 = (g << 32 | t) — each pair is
+ *                   one 64-bit unit; dedup keys are (kmer, fp_pair)
+ *   filter_prev[s]: skip k-mers present in the previous segment (paired R2
+ *                   vs same-pair R1, sylph src/sketch.rs:851-853)
+ * threshold: dedup consulted only while count < threshold (single-end
+ * MAX_DEDUP_COUNT=4; pass UINT32_MAX for paired).
+ */
+int64_t sk_dedup_fold(const uint64_t *kmers, int64_t n_kmers,
+                      const int64_t *seg_starts, int64_t n_segs,
+                      const uint64_t *fp, const uint8_t *fp_valid,
+                      const uint8_t *filter_prev,
+                      int no_dedup, uint32_t threshold,
+                      uint64_t **out_kmers, uint32_t **out_counts,
+                      int64_t *out_n) {
+    Map64 counts;
+    Set128 pairs;
+    if (!map_init(&counts, 1 << 16) || !set_init(&pairs, 1 << 16)) return -1;
+    uint64_t *order = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)(n_kmers > 16 ? n_kmers : 16));
+    int64_t n_order = 0;
+    if (!order) return -1;
+    int64_t ndup = 0;
+    int oom = 0;
+
+    for (int64_t s = 0; s < n_segs; s++) {
+        int64_t lo = seg_starts[s];
+        int64_t hi = (s + 1 < n_segs) ? seg_starts[s + 1] : n_kmers;
+        int64_t plo = 0, phi = 0;
+        if (filter_prev && filter_prev[s] && s > 0) {
+            plo = seg_starts[s - 1];
+            phi = lo;
+        }
+        for (int64_t i = lo; i < hi; i++) {
+            uint64_t km = kmers[i];
+            if (phi > plo) {            /* skip if present in previous seg */
+                int found = 0;
+                for (int64_t j = plo; j < phi; j++)
+                    if (kmers[j] == km) { found = 1; break; }
+                if (found) continue;
+            }
+            int64_t slot = map_slot(&counts, km);
+            uint32_t c = counts.used[slot] ? counts.vals[slot] : 0;
+            if (!no_dedup && c < threshold && fp_valid && fp_valid[s]) {
+                int ret = 0;
+                int in0 = set_check_insert(&pairs, km, fp[4 * s + 0] << 32
+                                           | (uint32_t)fp[4 * s + 1], &oom);
+                if (in0 && c > 0) ret = 1;
+                int in1 = set_check_insert(&pairs, km, fp[4 * s + 2] << 32
+                                           | (uint32_t)fp[4 * s + 3], &oom);
+                if (in1 && c > 0) ret = 1;
+                if (ret) { ndup++; continue; }
+            }
+            if (!counts.used[slot]) {
+                counts.used[slot] = 1;
+                counts.keys[slot] = km;
+                counts.vals[slot] = 1;
+                counts.n++;
+                order[n_order++] = km;
+                if (counts.n * 10 > counts.cap * 7) {
+                    if (!map_grow(&counts)) { oom = 1; break; }
+                }
+            } else {
+                counts.vals[slot] = c + 1;
+            }
+        }
+        if (oom) break;
+    }
+    if (oom) {
+        free(order);
+        free(counts.keys); free(counts.vals); free(counts.used);
+        free(pairs.k1); free(pairs.k2); free(pairs.used);
+        return -1;
+    }
+    uint64_t *ok = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)(n_order > 0 ? n_order : 1));
+    uint32_t *oc = (uint32_t *)malloc(sizeof(uint32_t) * (size_t)(n_order > 0 ? n_order : 1));
+    if (!ok || !oc) { free(ok); free(oc); free(order); return -1; }
+    for (int64_t i = 0; i < n_order; i++) {
+        ok[i] = order[i];
+        oc[i] = counts.vals[map_slot(&counts, order[i])];
+    }
+    free(order);
+    free(counts.keys); free(counts.vals); free(counts.used);
+    free(pairs.k1); free(pairs.k2); free(pairs.used);
+    *out_kmers = ok;
+    *out_counts = oc;
+    *out_n = n_order;
+    return ndup;
+}
+
+/* ---------- 2. genome spacing scan ---------- */
+
+/* kept/tracked must be zero-initialized by the caller (numpy zeros).
+ * Mirrors sylph src/sketch.rs:602-614 (whole-genome) / :510-531
+ * (per_contig=1: no reset on contig change). */
+void sk_spacing_scan(const int64_t *contigs, const int64_t *positions,
+                     int64_t n, int64_t min_spacing, int per_contig,
+                     int pseudotax, uint8_t *kept, uint8_t *tracked) {
+    int64_t last_pos = 0, last_contig = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t pos = positions[i];
+        if (last_pos == 0
+            || (!per_contig && last_contig != contigs[i])
+            || pos - last_pos > min_spacing) {
+            kept[i] = 1;
+            last_contig = contigs[i];
+            last_pos = pos;
+        } else if (pseudotax) {
+            tracked[i] = 1;
+        }
+    }
+}
+
+void sk_free(void *p) { free(p); }

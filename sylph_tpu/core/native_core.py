@@ -1,0 +1,136 @@
+"""ctypes bridge to native/sketchcore.c (dedup fold + spacing scan).
+
+Compiled on demand like the FASTX decoder; every entry point degrades to
+the pure-Python implementation when no toolchain is available
+(SYLPH_TPU_NO_NATIVE=1 forces that).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "sketchcore.c")
+_SO = os.path.join(os.path.dirname(_SRC), "libsketchcore.so")
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_U32P = ctypes.POINTER(ctypes.c_uint32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if os.environ.get("SYLPH_TPU_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if not (os.path.exists(_SO) and (not os.path.exists(_SRC)
+                or os.path.getmtime(_SO) >= os.path.getmtime(_SRC))):
+            if not os.path.exists(_SRC):
+                return None
+            built = False
+            for cc in ("cc", "gcc", "clang"):
+                try:
+                    subprocess.run([cc, "-O3", "-shared", "-fPIC", "-o",
+                                    _SO, _SRC], check=True,
+                                   capture_output=True, timeout=120)
+                    built = True
+                    break
+                except (OSError, subprocess.SubprocessError):
+                    continue
+            if not built:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.sk_dedup_fold.argtypes = [
+            _U64P, ctypes.c_int64, _I64P, ctypes.c_int64, _U64P, _U8P,
+            _U8P, ctypes.c_int, ctypes.c_uint32,
+            ctypes.POINTER(_U64P), ctypes.POINTER(_U32P), _I64P]
+        lib.sk_dedup_fold.restype = ctypes.c_int64
+        lib.sk_spacing_scan.argtypes = [
+            _I64P, _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, _U8P, _U8P]
+        lib.sk_spacing_scan.restype = None
+        lib.sk_free.argtypes = [ctypes.c_void_p]
+        lib.sk_free.restype = None
+        _LIB = lib
+        return _LIB
+
+
+def _p(arr, typ):
+    return arr.ctypes.data_as(typ)
+
+
+def dedup_fold_native(kmers: np.ndarray, seg_starts: np.ndarray,
+                      fps: np.ndarray, fp_valid: np.ndarray,
+                      filter_prev: Optional[np.ndarray],
+                      no_dedup: bool, threshold: Optional[int]):
+    """(kmers_in_order, counts, ndup) or None if the lib is unavailable.
+
+    kmers: concatenated survivor hashes (u64); seg_starts: int64 start
+    offset of each segment; fps: [n_segs, 4] u64 (f, r, g, t); fp_valid,
+    filter_prev: u8 flags per segment.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, np.uint64)
+    seg_starts = np.ascontiguousarray(seg_starts, np.int64)
+    fps = np.ascontiguousarray(fps, np.uint64)
+    fp_valid = np.ascontiguousarray(fp_valid, np.uint8)
+    fprev = (np.ascontiguousarray(filter_prev, np.uint8)
+             if filter_prev is not None else None)
+    out_k = _U64P()
+    out_c = _U32P()
+    out_n = ctypes.c_int64()
+    thr = threshold if threshold is not None else (1 << 32) - 1
+    ndup = lib.sk_dedup_fold(
+        _p(kmers, _U64P), len(kmers), _p(seg_starts, _I64P),
+        len(seg_starts), _p(fps, _U64P), _p(fp_valid, _U8P),
+        _p(fprev, _U8P) if fprev is not None else None,
+        1 if no_dedup else 0, np.uint32(thr),
+        ctypes.byref(out_k), ctypes.byref(out_c), ctypes.byref(out_n))
+    if ndup < 0:
+        raise MemoryError("sk_dedup_fold allocation failure")
+    n = out_n.value
+    try:
+        ks = np.ctypeslib.as_array(out_k, shape=(n,)).copy() if n \
+            else np.empty(0, np.uint64)
+        cs = np.ctypeslib.as_array(out_c, shape=(n,)).copy() if n \
+            else np.empty(0, np.uint32)
+    finally:
+        lib.sk_free(out_k)
+        lib.sk_free(out_c)
+    return ks, cs, int(ndup)
+
+
+def spacing_scan_native(contigs: np.ndarray, positions: np.ndarray,
+                        min_spacing: int, per_contig: bool,
+                        pseudotax: bool):
+    """(kept u8, tracked u8) masks, or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    contigs = np.ascontiguousarray(contigs, np.int64)
+    positions = np.ascontiguousarray(positions, np.int64)
+    n = len(positions)
+    kept = np.zeros(n, np.uint8)
+    tracked = np.zeros(n, np.uint8)
+    lib.sk_spacing_scan(_p(contigs, _I64P), _p(positions, _I64P), n,
+                        min_spacing, 1 if per_contig else 0,
+                        1 if pseudotax else 0, _p(kept, _U8P),
+                        _p(tracked, _U8P))
+    return kept.astype(bool), tracked.astype(bool)

@@ -41,6 +41,12 @@ def _spacing_filter(contigs: np.ndarray, positions: np.ndarray,
     p = positions[keep_mask]
     cg = contigs[keep_mask]
 
+    from .native_core import spacing_scan_native
+    native = spacing_scan_native(cg, p, min_spacing, per_contig, pseudotax)
+    if native is not None:
+        kept, tracked = native
+        return h[kept], (h[tracked] if pseudotax else None)
+
     kept = np.zeros(h.shape[0], dtype=bool)
     tracked = np.zeros(h.shape[0], dtype=bool)
     last_pos = 0

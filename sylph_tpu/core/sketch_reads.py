@@ -149,6 +149,33 @@ def _finish(counts: Dict[int, int], file_name, c, k, paired, sample_name,
                            paired=paired, mean_read_length=mean_read_length)
 
 
+def _fold_native(seg_kmer_lists, seg_fps, filter_prev, no_dedup, threshold):
+    """Run the fold through native sk_dedup_fold; None if unavailable.
+
+    seg_kmer_lists: list of k-mer lists; seg_fps: per-segment fingerprint
+    ((f,r),(g,t)) or None; filter_prev: per-segment bool or None.
+    """
+    from .native_core import dedup_fold_native
+    n_segs = len(seg_kmer_lists)
+    kmers = (np.concatenate([np.asarray(s, np.uint64)
+                             for s in seg_kmer_lists])
+             if n_segs else np.empty(0, np.uint64))
+    lens = np.array([len(s) for s in seg_kmer_lists], np.int64)
+    seg_starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n_segs \
+        else np.empty(0, np.int64)
+    fps = np.zeros((max(n_segs, 1), 4), np.uint64)
+    fp_valid = np.zeros(max(n_segs, 1), np.uint8)
+    for i, fp in enumerate(seg_fps):
+        if fp is not None:
+            (f, r), (g, t) = fp
+            fps[i] = (f, r, g, t)
+            fp_valid[i] = 1
+    fprev = (np.asarray(filter_prev, np.uint8)
+             if filter_prev is not None else None)
+    return dedup_fold_native(kmers, seg_starts, fps, fp_valid, fprev,
+                             no_dedup, threshold)
+
+
 def sketch_sequences(read_file: str, c: int, k: int,
                      sample_name: Optional[str] = None,
                      no_dedup: bool = False) -> Optional[SequencesSketch]:
@@ -163,16 +190,30 @@ def sketch_sequences(read_file: str, c: int, k: int,
     segs = _segments_by_read(rids, hashes)
     fps = {} if no_dedup else _fp_single(
         px, np.fromiter(segs.keys(), dtype=np.int64, count=len(segs)))
-    counts: Dict[int, int] = {}
-    pair_set: set = set()
-    ndup = _dedup_fold(((kms, fps.get(rid)) for rid, kms in segs.items()),
-                       counts, pair_set, no_dedup, MAX_DEDUP_COUNT)
-    total = sum(counts.values()) + ndup
+
+    native = _fold_native([kms for kms in segs.values()],
+                          [fps.get(rid) for rid in segs],
+                          None, no_dedup, MAX_DEDUP_COUNT)
+    if native is not None:
+        ks, cs, ndup = native
+        counts = None
+        total = int(cs.sum()) + ndup
+    else:
+        counts: Dict[int, int] = {}
+        pair_set: set = set()
+        ndup = _dedup_fold(
+            ((kms, fps.get(rid)) for rid, kms in segs.items()),
+            counts, pair_set, no_dedup, MAX_DEDUP_COUNT)
+        total = sum(counts.values()) + ndup
     if total:
         log.debug("Dedup removed %d sketched k-mers for %s (%.2f%%)",
                   ndup, read_file, 100.0 * ndup / total)
-    return _finish(counts, read_file, c, k, False, sample_name,
-                   _mean_fold(px.lengths))
+    mean_len = _mean_fold(px.lengths)
+    if counts is None:
+        return SequencesSketch(kmers=ks, counts=cs, c=c, k=k,
+                               file_name=read_file, sample_name=sample_name,
+                               paired=False, mean_read_length=mean_len)
+    return _finish(counts, read_file, c, k, False, sample_name, mean_len)
 
 
 def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
@@ -203,29 +244,48 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
     pair_rids = np.fromiter(sorted(set(segs1) | set(segs2)), dtype=np.int64)
     fps = {} if no_dedup else _fp_paired(px1, px2, pair_rids)
 
-    counts: Dict[int, int] = {}
-    pair_set: set = set()
-    ndup = 0
+    seg_lists, seg_fps, fprev = [], [], []
+    for rid in pair_rids.tolist():
+        fp = fps.get(rid)
+        seg_lists.append(segs1.get(rid, []))
+        seg_fps.append(fp)
+        fprev.append(False)
+        seg_lists.append(segs2.get(rid, []))
+        seg_fps.append(fp)
+        fprev.append(True)          # R2 skips k-mers in same-pair R1
 
-    def gen():
-        for rid in pair_rids.tolist():
-            fp = fps.get(rid)
-            s1 = segs1.get(rid, [])
-            if s1:
-                yield s1, fp
-            s2 = segs2.get(rid)
-            if s2:
-                s1set = set(s1)
-                s2f = [km for km in s2 if km not in s1set]
-                if s2f:
-                    yield s2f, fp
+    native = _fold_native(seg_lists, seg_fps, fprev, no_dedup, None)
+    if native is not None:
+        ks, cs, ndup = native
+        counts = None
+        total = int(cs.sum()) + ndup
+    else:
+        counts: Dict[int, int] = {}
+        pair_set: set = set()
 
-    ndup = _dedup_fold(gen(), counts, pair_set, no_dedup, None)
-    total = sum(counts.values()) + ndup
+        def gen():
+            for rid in pair_rids.tolist():
+                fp = fps.get(rid)
+                s1 = segs1.get(rid, [])
+                if s1:
+                    yield s1, fp
+                s2 = segs2.get(rid)
+                if s2:
+                    s1set = set(s1)
+                    s2f = [km for km in s2 if km not in s1set]
+                    if s2f:
+                        yield s2f, fp
+
+        ndup = _dedup_fold(gen(), counts, pair_set, no_dedup, None)
+        total = sum(counts.values()) + ndup
     if total:
         log.debug(
             "Number of sketched k-mers removed due to read duplication for "
             "%s: %d. Percentage: %.2f%%", read_file1, ndup,
             100.0 * ndup / total)
-    return _finish(counts, read_file1, c, k, True, sample_name,
-                   _mean_fold(px1.lengths[:n_pairs]))
+    mean_len = _mean_fold(px1.lengths[:n_pairs])
+    if counts is None:
+        return SequencesSketch(kmers=ks, counts=cs, c=c, k=k,
+                               file_name=read_file1, sample_name=sample_name,
+                               paired=True, mean_read_length=mean_len)
+    return _finish(counts, read_file1, c, k, True, sample_name, mean_len)
