@@ -62,6 +62,9 @@ def _add_sketch(sub):
                    default=[])
     p.add_argument("-2", "--second-pairs", dest="second_pair", nargs="+",
                    default=[])
+    p.add_argument("--tpu", action="store_true",
+                   help="run k-mer extraction on the attached JAX device; "
+                   "sketches are bit-identical to the host path")
     return p
 
 
@@ -114,6 +117,9 @@ def _add_contain(sub, name, helptext):
                    help="run the containment join on the attached JAX "
                    "device (TPU); output is bit-identical to the host "
                    "engine")
+    p.add_argument("--profile-trace", dest="profile_trace", default=None,
+                   metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
     return p
 
 
@@ -162,7 +168,8 @@ def _contain_options(a) -> ContainOptions:
         out_file_name=a.out_file_name,
         log_reassignments=a.log_reassignments, pseudotax=a.pseudotax,
         estimator=estimator, no_ci=a.no_ci, no_adj=a.no_adj,
-        mean_coverage=a.mean_coverage, tpu=a.tpu)
+        mean_coverage=a.mean_coverage, tpu=a.tpu,
+        profile_trace=a.profile_trace)
 
 
 def main(argv=None) -> int:
@@ -191,7 +198,8 @@ def main(argv=None) -> int:
                 threads=args.threads, max_ram=args.max_ram,
                 no_dedup=args.no_dedup, no_pseudotax=args.no_pseudotax,
                 min_spacing_kmer=args.min_spacing_kmer, fpr=args.fpr,
-                first_pair=args.first_pair, second_pair=args.second_pair))
+                first_pair=args.first_pair, second_pair=args.second_pair,
+                tpu=args.tpu))
         elif args.mode in ("profile", "query"):
             _setup_logging(args.trace, args.debug)
             contain(_contain_options(args), pseudotax=(args.mode == "profile"))

@@ -110,6 +110,19 @@ def _segments_by_read(rids: np.ndarray, hashes: np.ndarray):
     return {int(r): s.tolist() for r, s in zip(seg_rids.tolist(), segs)}
 
 
+def _extract_segs(px: ParsedFastx, c: int, k: int, device: bool):
+    """{read_id: [survivor hash, ...]} — device seeding when requested."""
+    if device:
+        from ..engine.device_sketch import (device_available,
+                                            read_survivor_hashes)
+        if device_available():
+            return read_survivor_hashes(px, c, k)
+        log.warning("--tpu requested but no JAX device available; using "
+                    "the host seeding path.")
+    rids, hashes = fmh_seeds_concat_np(px.codes, px.starts, px.ends, c, k)
+    return _segments_by_read(rids, hashes)
+
+
 def _dedup_fold(segments_iter, counts: Dict[int, int], pair_set: set,
                 no_dedup: bool, threshold: Optional[int]) -> int:
     """The exact dedup fold (src/sketch.rs:690-731). segments_iter yields
@@ -178,7 +191,8 @@ def _fold_native(seg_kmer_lists, seg_fps, filter_prev, no_dedup, threshold):
 
 def sketch_sequences(read_file: str, c: int, k: int,
                      sample_name: Optional[str] = None,
-                     no_dedup: bool = False) -> Optional[SequencesSketch]:
+                     no_dedup: bool = False,
+                     device: bool = False) -> Optional[SequencesSketch]:
     """Single-end read sketch (sylph src/sketch.rs:897-959)."""
     try:
         px = parse_fastx(read_file, skip_names=True)
@@ -186,8 +200,7 @@ def sketch_sequences(read_file: str, c: int, k: int,
         log.warning("%s is not a valid fasta/fastq file; skipping.",
                     read_file)
         return None
-    rids, hashes = fmh_seeds_concat_np(px.codes, px.starts, px.ends, c, k)
-    segs = _segments_by_read(rids, hashes)
+    segs = _extract_segs(px, c, k, device)
     fps = {} if no_dedup else _fp_single(
         px, np.fromiter(segs.keys(), dtype=np.int64, count=len(segs)))
 
@@ -219,7 +232,8 @@ def sketch_sequences(read_file: str, c: int, k: int,
 def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
                           sample_name: Optional[str] = None,
                           no_dedup: bool = False,
-                          fpr: float = 0.0) -> Optional[SequencesSketch]:
+                          fpr: float = 0.0,
+                          device: bool = False) -> Optional[SequencesSketch]:
     """Paired-end read sketch (sylph src/sketch.rs:771-895).
 
     ``fpr`` is accepted for CLI compatibility; dedup is always exact here
@@ -233,14 +247,10 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
         raise SystemExit(1)
 
     n_pairs = min(px1.n_records, px2.n_records)
-    r1_ids, r1_hashes = fmh_seeds_concat_np(px1.codes, px1.starts, px1.ends,
-                                            c, k)
-    r2_ids, r2_hashes = fmh_seeds_concat_np(px2.codes, px2.starts, px2.ends,
-                                            c, k)
-    keep1 = r1_ids < n_pairs
-    keep2 = r2_ids < n_pairs
-    segs1 = _segments_by_read(r1_ids[keep1], r1_hashes[keep1])
-    segs2 = _segments_by_read(r2_ids[keep2], r2_hashes[keep2])
+    segs1 = {r: s for r, s in _extract_segs(px1, c, k, device).items()
+             if r < n_pairs}
+    segs2 = {r: s for r, s in _extract_segs(px2, c, k, device).items()
+             if r < n_pairs}
     pair_rids = np.fromiter(sorted(set(segs1) | set(segs2)), dtype=np.int64)
     fps = {} if no_dedup else _fp_paired(px1, px2, pair_rids)
 

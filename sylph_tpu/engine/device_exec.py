@@ -89,11 +89,16 @@ class DeviceContainment:
         wts[:skmers.size] = scounts
         smp_dev = jax.device_put((shi, slo, wts))
 
+        from ..utils.timing import stage_timer
         fn = jax.jit(merge_join_counts)
-        outs = []
-        for chi, clo in self._chunks:
-            outs.append(fn(chi, clo, smp_dev[0], smp_dev[1], smp_dev[2]))
-        counts = np.concatenate([np.asarray(o) for o in outs])
+        with stage_timer(
+                f"device containment join ({self.index.hi.size} k-mers x "
+                f"{skmers.size} sample k-mers)"):
+            outs = []
+            for chi, clo in self._chunks:
+                outs.append(fn(chi, clo, smp_dev[0], smp_dev[1],
+                               smp_dev[2]))
+            counts = np.concatenate([np.asarray(o) for o in outs])
         self._cache_key = key
         self._cache_counts = counts
         return counts

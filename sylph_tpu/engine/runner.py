@@ -62,6 +62,7 @@ class ContainOptions:
     no_adj: bool = False
     mean_coverage: bool = False
     tpu: bool = False          # route containment through the device engine
+    profile_trace: Optional[str] = None  # jax.profiler trace output dir
 
 
 def _stat_params(opts: ContainOptions, k: int) -> StatParams:
@@ -235,9 +236,10 @@ def _get_seq_sketch(opts: ContainOptions, read_file: List[str],
                   genome_k)
         return None
     if len(read_file) == 1:
-        return sketch_sequences(read_file[0], opts.c, opts.k, None, False)
+        return sketch_sequences(read_file[0], opts.c, opts.k, None, False,
+                                device=opts.tpu)
     return sketch_pair_sequences(read_file[0], read_file[1], opts.c, opts.k,
-                                 None, False)
+                                 None, False, device=opts.tpu)
 
 
 def process_sample(opts: ContainOptions, sample: SequencesSketch,
@@ -353,20 +355,26 @@ def contain(opts: ContainOptions, pseudotax: bool,
     all_samples = read_files + [[f] for f in read_sketch_files]
     n_raw = len(read_files)
     print_header(opts.pseudotax, out, opts.estimate_unknown)
-    for j, rf in enumerate(all_samples):
-        is_sketch = j >= n_raw
-        sample = _get_seq_sketch(opts, rf, is_sketch, genome_sketches[0].c,
-                                 genome_sketches[0].k)
-        if sample is not None:
-            results = process_sample(opts, sample, genome_sketches,
-                                     device_engine)
-            for r in results:
-                print_ani_result(r, opts.pseudotax, out)
-            out.flush()
-        if len(rf) > 1:
-            log.info("Finished paired sample %s.", rf[0])
-        else:
-            log.info("Finished sample %s.", rf[0])
+    from ..utils.timing import maybe_profile, stage_timer
+    with maybe_profile(opts.profile_trace):
+        for j, rf in enumerate(all_samples):
+            is_sketch = j >= n_raw
+            with stage_timer(f"load/sketch sample {rf[0]}"):
+                sample = _get_seq_sketch(opts, rf, is_sketch,
+                                         genome_sketches[0].c,
+                                         genome_sketches[0].k)
+            if sample is not None:
+                with stage_timer(f"process sample {rf[0]}",
+                                 items=len(genome_sketches)):
+                    results = process_sample(opts, sample, genome_sketches,
+                                             device_engine)
+                for r in results:
+                    print_ani_result(r, opts.pseudotax, out)
+                out.flush()
+            if len(rf) > 1:
+                log.info("Finished paired sample %s.", rf[0])
+            else:
+                log.info("Finished sample %s.", rf[0])
     log.info("sylph finished.")
     if close_out:
         out.close()

@@ -48,6 +48,7 @@ class SketchOptions:
     fpr: float = DEFAULT_FPR
     first_pair: List[str] = field(default_factory=list)
     second_pair: List[str] = field(default_factory=list)
+    tpu: bool = False          # device-accelerated read seeding
 
 
 def _parse_line_file(path: str, vec: List[str]):
@@ -142,7 +143,7 @@ def sketch(o: SketchOptions):
         for i, (f1, f2) in enumerate(zip(first_pairs, second_pairs)):
             name = sample_names[i] if sample_names is not None else None
             sk = sketch_pair_sequences(f1, f2, o.c, o.k, name, o.no_dedup,
-                                       o.fpr)
+                                       o.fpr, device=o.tpu)
             if sk is None:
                 continue
             os.makedirs(o.sample_output_dir, exist_ok=True)
@@ -159,7 +160,8 @@ def sketch(o: SketchOptions):
         os.makedirs(o.sample_output_dir, exist_ok=True)
         name = (sample_names[i + len(first_pairs)]
                 if sample_names is not None else None)
-        sk = sketch_sequences(rf, o.c, o.k, name, o.no_dedup)
+        sk = sketch_sequences(rf, o.c, o.k, name, o.no_dedup,
+                              device=o.tpu)
         if sk is None:
             continue
         sketch_name = name if name is not None else sk.file_name

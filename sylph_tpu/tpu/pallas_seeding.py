@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .seeding import _pow2_parts
+
 
 BLOCK_ROWS = 256
 
@@ -35,39 +35,37 @@ def _roll_l(x, m):
     return pltpu.roll(x, -m % x.shape[-1], axis=1)
 
 
-def _build_mers_tile(bases, want):
-    """u32 m-mer values for every lane position of a [R, L] tile.
+def _mers16_tile(bases):
+    """(fwd16, rc16) for every lane position of a [R, L] tile.
 
-    fwd_m[., j] = sum_{i<m} b[j+i] << 2(m-1-i);
-    rc_m[., j]  = sum_{i<m} (3-b[j+i]) << 2i.
-    Positions within k-1 of the row end hold wrapped garbage (masked out by
-    the caller). All shapes stay [R, L] — roll instead of slice keeps the
-    tile static for the VPU.
+    fwd16[., j] = sum_{i<16} b[j+i] << 2(15-i);
+    rc16[., j]  = sum_{i<16} (3-b[j+i]) << 2i.
+    Built with 4 doubling levels = 8 lane-rolls (rolls are the expensive
+    op on the VPU; every shorter m-mer is then derived roll-free:
+    fwd_m = fwd16 >> 2(16-m) keeps the top m bases, rc_m = rc16 & (4^m-1)
+    keeps the low m bases). Positions within 15 of the row end wrap
+    (masked by the caller).
     """
-    pf = {1: bases}
-    pr = {1: np.uint32(3) - bases}
-    need = set()
-    for m in want:
-        need.update(_pow2_parts(m))
-    top = max(need) if need else 1
-    p = 1
-    while p * 2 <= top:
-        f, r = pf[p], pr[p]
+    f = bases
+    r = np.uint32(3) - bases
+    for p in (1, 2, 4, 8):
         fs = _roll_l(f, p)
         rs = _roll_l(r, p)
-        pf[2 * p] = (f << np.uint32(2 * p)) | fs
-        pr[2 * p] = r | (rs << np.uint32(2 * p))
-        p *= 2
+        f = (f << np.uint32(2 * p)) | fs
+        r = r | (rs << np.uint32(2 * p))
+    return f, r
+
+
+def _build_mers_tile(bases, want):
+    """u32 m-mer dict {m: (fwd_m, rc_m)} for m <= 16, via _mers16_tile."""
+    f16, r16 = _mers16_tile(bases)
     out = {}
     for m in sorted(set(want)):
-        parts = _pow2_parts(m)
-        size = parts[0]
-        accf, accr = pf[size], pr[size]
-        for q in parts[1:]:
-            accf = (accf << np.uint32(2 * q)) | _roll_l(pf[q], size)
-            accr = accr | (_roll_l(pr[q], size) << np.uint32(2 * size))
-            size += q
-        out[m] = (accf, accr)
+        if m == 16:
+            out[m] = (f16, r16)
+        else:
+            out[m] = (f16 >> np.uint32(2 * (16 - m)),
+                      r16 & np.uint32((1 << (2 * m)) - 1))
     return out
 
 

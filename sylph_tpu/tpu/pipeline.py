@@ -66,6 +66,9 @@ def _sketch_compact(bases, lengths, *, c: int, k: int):
     lane-reduction extraction rounds cost more than one batched row sort),
     so the split pipeline is the production path."""
     hhi, hlo, keep = _seed(bases, lengths, c=c, k=k)
+    W = bases.shape[1] - k + 1          # drop structurally-dead columns
+    if hhi.shape[1] > W:
+        hhi, hlo, keep = hhi[:, :W], hlo[:, :W], keep[:, :W]
     return compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))
 
 
