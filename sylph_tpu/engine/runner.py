@@ -355,19 +355,45 @@ def contain(opts: ContainOptions, pseudotax: bool,
     all_samples = read_files + [[f] for f in read_sketch_files]
     n_raw = len(read_files)
     print_header(opts.pseudotax, out, opts.estimate_unknown)
+    # sample-level parallelism mirrors the reference's chunked par_iter
+    # (src/contain.rs:239-256, 266-267): profile uses threads/3+1 workers,
+    # query min(#samples, threads). The device engine serializes samples
+    # (one containment join at a time keeps the index resident / cache hot).
+    if device_engine is not None:
+        step = 1
+    elif opts.sample_threads is not None:
+        step = max(1, opts.sample_threads)
+    elif opts.pseudotax:
+        step = opts.threads // 3 + 1
+    else:
+        step = max(1, min(len(all_samples), opts.threads))
+
+    def handle(item):
+        j, rf = item
+        is_sketch = j >= n_raw
+        with stage_timer(f"load/sketch sample {rf[0]}"):
+            sample = _get_seq_sketch(opts, rf, is_sketch,
+                                     genome_sketches[0].c,
+                                     genome_sketches[0].k)
+        if sample is None:
+            return rf, None
+        with stage_timer(f"process sample {rf[0]}",
+                         items=len(genome_sketches)):
+            results = process_sample(opts, sample, genome_sketches,
+                                     device_engine)
+        return rf, results
+
     from ..utils.timing import maybe_profile, stage_timer
     with maybe_profile(opts.profile_trace):
-        for j, rf in enumerate(all_samples):
-            is_sketch = j >= n_raw
-            with stage_timer(f"load/sketch sample {rf[0]}"):
-                sample = _get_seq_sketch(opts, rf, is_sketch,
-                                         genome_sketches[0].c,
-                                         genome_sketches[0].k)
-            if sample is not None:
-                with stage_timer(f"process sample {rf[0]}",
-                                 items=len(genome_sketches)):
-                    results = process_sample(opts, sample, genome_sketches,
-                                             device_engine)
+        items = list(enumerate(all_samples))
+        if step == 1 or len(items) <= 1:
+            outputs = map(handle, items)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=step)
+            outputs = ex.map(handle, items)
+        for rf, results in outputs:
+            if results is not None:
                 for r in results:
                     print_ani_result(r, opts.pseudotax, out)
                 out.flush()
@@ -375,6 +401,8 @@ def contain(opts: ContainOptions, pseudotax: bool,
                 log.info("Finished paired sample %s.", rf[0])
             else:
                 log.info("Finished sample %s.", rf[0])
+        if step > 1 and len(items) > 1:
+            ex.shutdown()
     log.info("sylph finished.")
     if close_out:
         out.close()

@@ -138,12 +138,31 @@ def sketch(o: SketchOptions):
         log.warning("-o is set but no genomes are present. -o only applies "
                     "to genomes; see -d for reads")
 
+    # Host parallelism over files mirrors the reference's three rayon
+    # par_iter fan-outs (src/sketch.rs:313, 371, 428). The parse/dedup hot
+    # paths are native C (GIL-released), so threads genuinely overlap.
+    pool_workers = max(1, o.threads)
+
+    def _pmap(fn, items):
+        if pool_workers == 1 or len(items) <= 1:
+            return [fn(x) for x in items]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=pool_workers) as ex:
+            return list(ex.map(fn, items))
+
     if first_pairs and second_pairs:
         log.info("Sketching paired sequences...")
-        for i, (f1, f2) in enumerate(zip(first_pairs, second_pairs)):
+
+        def do_pair(item):
+            i, (f1, f2) = item
             name = sample_names[i] if sample_names is not None else None
-            sk = sketch_pair_sequences(f1, f2, o.c, o.k, name, o.no_dedup,
-                                       o.fpr, device=o.tpu)
+            return name, sketch_pair_sequences(f1, f2, o.c, o.k, name,
+                                               o.no_dedup, o.fpr,
+                                               device=o.tpu)
+
+        for name, sk in _pmap(do_pair,
+                              list(enumerate(zip(first_pairs,
+                                                 second_pairs)))):
             if sk is None:
                 continue
             os.makedirs(o.sample_output_dir, exist_ok=True)
@@ -156,20 +175,24 @@ def sketch(o: SketchOptions):
 
     if read_inputs:
         log.info("Sketching non-paired sequences...")
-    for i, rf in enumerate(read_inputs):
-        os.makedirs(o.sample_output_dir, exist_ok=True)
-        name = (sample_names[i + len(first_pairs)]
-                if sample_names is not None else None)
-        sk = sketch_sequences(rf, o.c, o.k, name, o.no_dedup,
-                              device=o.tpu)
-        if sk is None:
-            continue
-        sketch_name = name if name is not None else sk.file_name
-        out = os.path.join(o.sample_output_dir,
-                           os.path.basename(sketch_name)
-                           + SAMPLE_FILE_SUFFIX)
-        sylformat.write_sylsp(out, sk)
-        log.info("Sketching %s complete.", out)
+
+        def do_single(item):
+            i, rf = item
+            name = (sample_names[i + len(first_pairs)]
+                    if sample_names is not None else None)
+            return name, sketch_sequences(rf, o.c, o.k, name, o.no_dedup,
+                                          device=o.tpu)
+
+        for name, sk in _pmap(do_single, list(enumerate(read_inputs))):
+            if sk is None:
+                continue
+            os.makedirs(o.sample_output_dir, exist_ok=True)
+            sketch_name = name if name is not None else sk.file_name
+            out = os.path.join(o.sample_output_dir,
+                               os.path.basename(sketch_name)
+                               + SAMPLE_FILE_SUFFIX)
+            sylformat.write_sylsp(out, sk)
+            log.info("Sketching %s complete.", out)
 
     if genome_inputs:
         log.info("Sketching genomes...")
@@ -177,18 +200,22 @@ def sketch(o: SketchOptions):
         parent = os.path.dirname(out_path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        all_sketches = []
-        for i, gf in enumerate(genome_inputs):
+
+        def do_genome(gf):
             if o.individual:
-                all_sketches.extend(sketch_genome_individual(
-                    o.c, o.k, gf, o.min_spacing_kmer, not o.no_pseudotax))
-            else:
-                g = sketch_genome(o.c, o.k, gf, o.min_spacing_kmer,
-                                  not o.no_pseudotax)
-                if g is not None:
-                    all_sketches.append(g)
-            if (i + 1) % 100 == 0:
-                log.info("%d genomes processed.", i + 1)
+                return sketch_genome_individual(
+                    o.c, o.k, gf, o.min_spacing_kmer, not o.no_pseudotax)
+            g = sketch_genome(o.c, o.k, gf, o.min_spacing_kmer,
+                              not o.no_pseudotax)
+            return [g] if g is not None else []
+
+        all_sketches = []
+        done = 0
+        for batch in _pmap(do_genome, genome_inputs):
+            all_sketches.extend(batch)
+            done += 1
+            if done % 100 == 0:
+                log.info("%d genomes processed.", done)
         if not all_sketches:
             log.warning("No valid genomes to sketch; %s is not output",
                         out_path)
