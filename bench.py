@@ -69,6 +69,12 @@ def main():
             chunks_lo.append(clo.reshape(-1))
         all_hi = jnp.concatenate(chunks_hi)
         all_lo = jnp.concatenate(chunks_lo)
+        # the per-read packed stream is ~9% dense; condense 8x with the
+        # butterfly repack kernel so the containment sort pays only for
+        # live hashes (caps are ~3x the expected row occupancy)
+        from sylph_tpu.tpu.pallas_seeding import repack_pallas
+        all_hi, all_lo = repack_pallas(all_hi, all_lo, row=1024, cap=256)
+        all_hi, all_lo = repack_pallas(all_hi, all_lo, row=1024, cap=512)
         hist, st = finish_profile(
             all_hi, all_lo, *idx_dev, k=K, n_genomes=N_GENOMES,
             n_buckets=N_BUCKETS, min_ani=0.5)

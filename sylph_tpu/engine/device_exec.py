@@ -58,14 +58,21 @@ class DeviceContainment:
         self.offsets = np.concatenate(
             [[0], np.cumsum(self.index.n_kmers.astype(np.int64))])
         m = self.index.hi.size
+        # index chunks round-robin across all local devices: each chunk's
+        # join runs on its resident device, so multi-chip hosts process
+        # chunks in parallel (async dispatch) with no collectives needed —
+        # per-chunk counts concatenate on host.
+        self._devices = jax.devices()
         self._chunks = [
             tuple(jax.device_put((self.index.hi[s:s + self.CHUNK],
-                                  self.index.lo[s:s + self.CHUNK])))
-            for s in range(0, m, self.CHUNK)]
+                                  self.index.lo[s:s + self.CHUNK]),
+                                 self._devices[i % len(self._devices)]))
+            for i, s in enumerate(range(0, m, self.CHUNK))]
         self._cache_key = None
         self._cache_counts: Optional[np.ndarray] = None
-        log.debug("Device index: %d genomes, %d k-mers, %d chunk(s)",
-                  len(genome_sketches), m, len(self._chunks))
+        log.debug("Device index: %d genomes, %d k-mers, %d chunk(s) over "
+                  "%d device(s)", len(genome_sketches), m,
+                  len(self._chunks), len(self._devices))
 
     def _counts(self, sample: SequencesSketch) -> np.ndarray:
         key = id(sample)
@@ -87,7 +94,11 @@ class DeviceContainment:
         shi[:skmers.size] = hi
         slo[:skmers.size] = lo
         wts[:skmers.size] = scounts
-        smp_dev = jax.device_put((shi, slo, wts))
+        # replicate the (tiny) sample table onto every device hosting chunks
+        n_dev = min(len(self._devices), len(self._chunks))
+        smp_by_dev = {
+            d: jax.device_put((shi, slo, wts), d)
+            for d in self._devices[:max(1, n_dev)]}
 
         from ..utils.timing import stage_timer
         fn = jax.jit(merge_join_counts)
@@ -95,9 +106,9 @@ class DeviceContainment:
                 f"device containment join ({self.index.hi.size} k-mers x "
                 f"{skmers.size} sample k-mers)"):
             outs = []
-            for chi, clo in self._chunks:
-                outs.append(fn(chi, clo, smp_dev[0], smp_dev[1],
-                               smp_dev[2]))
+            for i, (chi, clo) in enumerate(self._chunks):
+                smp = smp_by_dev[self._devices[i % len(self._devices)]]
+                outs.append(fn(chi, clo, smp[0], smp[1], smp[2]))
             counts = np.concatenate([np.asarray(o) for o in outs])
         self._cache_key = key
         self._cache_counts = counts

@@ -209,6 +209,176 @@ def _seed_compact_kernel(bases_ref, len_ref, hi_ref, lo_ref, *,
         remaining = remaining & ~onehot
 
 
+def _prefix_sum_lanes(x):
+    """Inclusive prefix sum along lanes via log2(L) shift-adds."""
+    L = x.shape[-1]
+    p = 1
+    while p < L:
+        sh = pltpu.roll(x, p, axis=1)          # sh[l] = x[l - p] (wraps)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = x + jnp.where(lane >= p, sh, 0)
+        p *= 2
+    return x
+
+
+def _butterfly_route(vhi, vlo, keep, lanes):
+    """Stable in-tile stream compaction via butterfly routing.
+
+    Survivor at lane l must move LEFT by d = l - (rank(l)-1), which is
+    non-decreasing in l — a monotone route, so bit-by-bit displacement
+    (LSB first) is congestion-free (classic butterfly-network result).
+    Each bit step is 4 lane-rolls + selects; no reductions, no sort.
+    Returns (vhi, vlo, act) with survivors packed to the left of each row.
+    """
+    L = vhi.shape[-1]
+    rank = _prefix_sum_lanes(keep.astype(jnp.int32))
+    drem = jnp.where(keep, lanes - (rank - 1), 0)
+    act = keep
+    b = 1
+    while b < L:
+        move = act & ((drem & b) != 0)
+        # Mosaic can't rotate i1 vectors: roll an i32 view of the mask
+        inc = (_roll_l(move.astype(jnp.int32), b) != 0) & (lanes < L - b)
+        vhi = jnp.where(inc, _roll_l(vhi, b), vhi)
+        vlo = jnp.where(inc, _roll_l(vlo, b), vlo)
+        drem = jnp.where(inc, _roll_l(drem, b) - b, drem)
+        act = (act & ~move) | inc
+        b *= 2
+    return vhi, vlo, act
+
+
+def _butterfly_pack_kernel(bases_ref, len_ref, hi_ref, lo_ref, *,
+                           k, thr_hi, thr_lo):
+    """Fused seeding + per-read butterfly compaction."""
+    bases = bases_ref[...]
+    R, L = bases.shape
+    hi_len = k - 16
+    f16, r16 = _mers16_tile(bases)
+    fh = f16 >> np.uint32(2 * (16 - hi_len))
+    rh = r16 & np.uint32((1 << (2 * hi_len)) - 1)
+    fhi = fh
+    flo = _roll_l(f16, hi_len)
+    rhi = _roll_l(rh, 16)
+    rlo = r16
+    is_fwd = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
+    chi = jnp.where(is_fwd, fhi, rhi)
+    clo = jnp.where(is_fwd, flo, rlo)
+    vhi, vlo = _mm_hash64_tile(chi, clo)
+    keep = (vhi < thr_hi) | ((vhi == thr_hi) & (vlo < thr_lo))
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    keep &= lanes + k <= len_ref[...]
+
+    vhi, vlo, act = _butterfly_route(vhi, vlo, keep, lanes)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi_ref[...] = jnp.where(act[:, :CAP_LANES], vhi[:, :CAP_LANES], sent)
+    lo_ref[...] = jnp.where(act[:, :CAP_LANES], vlo[:, :CAP_LANES], sent)
+
+
+def _repack_kernel(hi_in, lo_in, hi_ref, lo_ref, *, cap):
+    """Condense a sentinel-padded hash stream: rows of the input tile are
+    butterfly-packed and the first `cap` lanes written out."""
+    vhi = hi_in[...]
+    vlo = lo_in[...]
+    R, L = vhi.shape
+    keep = vhi != jnp.uint32(0xFFFFFFFF)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    vhi, vlo, act = _butterfly_route(vhi, vlo, keep, lanes)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi_ref[...] = jnp.where(act[:, :cap], vhi[:, :cap], sent)
+    lo_ref[...] = jnp.where(act[:, :cap], vlo[:, :cap], sent)
+
+
+@functools.partial(jax.jit, static_argnames=("row", "cap", "interpret"))
+def repack_pallas(hi, lo, *, row: int, cap: int, interpret: bool = False):
+    """Condense a flat sentinel-padded (hi, lo) stream by row/cap.
+
+    Reshapes to rows of `row` lanes, packs each row's live entries left,
+    keeps `cap` lanes — callers size cap well above the expected row
+    occupancy (overflow drops entries, so chain conservatively). Survivor
+    ORDER within a row is preserved; sentinel hi values (0xFFFFFFFF) mark
+    dead lanes, so real hashes must stay below (c >= 2).
+    """
+    if cap % 128 != 0 or row % 128 != 0 or cap > row:
+        raise ValueError(f"row/cap must be 128-multiples with cap <= row "
+                         f"(got row={row} cap={cap})")
+    flat_hi = hi.reshape(-1)
+    flat_lo = lo.reshape(-1)
+    n = flat_hi.shape[0]
+    rows = -(-n // row)
+    pad = rows * row - n
+    if pad:
+        flat_hi = jnp.pad(flat_hi, (0, pad),
+                          constant_values=np.uint32(0xFFFFFFFF))
+        flat_lo = jnp.pad(flat_lo, (0, pad),
+                          constant_values=np.uint32(0xFFFFFFFF))
+    mhi = flat_hi.reshape(rows, row)
+    mlo = flat_lo.reshape(rows, row)
+    tr = min(256, rows)
+    if rows % tr != 0:
+        # pad rows so the grid tiles evenly
+        extra = (-(-rows // tr) * tr) - rows
+        mhi = jnp.pad(mhi, ((0, extra), (0, 0)),
+                      constant_values=np.uint32(0xFFFFFFFF))
+        mlo = jnp.pad(mlo, ((0, extra), (0, 0)),
+                      constant_values=np.uint32(0xFFFFFFFF))
+        rows += extra
+    kern = functools.partial(_repack_kernel, cap=cap)
+    spec_in = pl.BlockSpec((tr, row), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((tr, cap), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_hi, out_lo = pl.pallas_call(
+        kern,
+        grid=(rows // tr,),
+        in_specs=[spec_in, spec_in],
+        out_specs=(spec_out, spec_out),
+        out_shape=(jax.ShapeDtypeStruct((rows, cap), jnp.uint32),
+                   jax.ShapeDtypeStruct((rows, cap), jnp.uint32)),
+        interpret=interpret,
+    )(mhi, mlo)
+    return out_hi, out_lo
+
+
+@functools.partial(jax.jit, static_argnames=("c", "k", "interpret"))
+def seed_pack_pallas(bases, lengths, *, c: int, k: int,
+                     interpret: bool = False):
+    """Fused seed + butterfly compaction: [N, L] codes -> (hi, lo)
+    [N, CAP_LANES] survivors in position order (sentinel padded).
+
+    Per-ROW capacity is CAP_LANES over L windows; survivors beyond it are
+    dropped (callers need 4L/c + 8 <= CAP_LANES). Requires 16 < k <= 31,
+    L % 128 == 0, c >= 2 (sentinel disjointness).
+    """
+    N, L = bases.shape
+    if L % 128 != 0:
+        raise ValueError(f"L must be a multiple of 128, got {L}")
+    if not 16 < k <= 31:
+        raise ValueError(f"butterfly kernel needs 16 < k <= 31, got {k}")
+    rows = min(BLOCK_ROWS, N)
+    if N % rows != 0:
+        raise ValueError(f"N ({N}) must be a multiple of {rows}")
+    thr = ((1 << 64) - 1) // c
+    kern = functools.partial(_butterfly_pack_kernel, k=k,
+                             thr_hi=np.uint32(thr >> 32),
+                             thr_lo=np.uint32(thr & 0xFFFFFFFF))
+    grid = (N // rows,)
+    in_spec = pl.BlockSpec((rows, L), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rows, CAP_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[in_spec, len_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((N, CAP_LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((N, CAP_LANES), jnp.uint32)),
+        interpret=interpret,
+    )(bases, lengths.reshape(N, 1).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("c", "k", "interpret"))
 def seed_compact_pallas(bases, lengths, *, c: int, k: int,
                         interpret: bool = False):

@@ -60,13 +60,23 @@ def _seed(bases, lengths, *, c: int, k: int):
 def _sketch_compact(bases, lengths, *, c: int, k: int):
     """Read batch -> compacted survivor (hi, lo), sentinel-padded.
 
-    Pallas seeding kernel (on TPU) + XLA row-sort compaction. The fully
-    fused seed_compact_pallas variant exists but measured slightly SLOWER
-    on v5e (19.9 ms vs 17.3 ms per 16.8 Mbp batch: the per-slot
-    lane-reduction extraction rounds cost more than one batched row sort),
-    so the split pipeline is the production path."""
+    Production path on TPU: the fused butterfly kernel (seeding + monotone
+    bit-routing compaction, one VMEM pass — 5.9 ms vs 14.3 ms per 16.8 Mbp
+    batch for Pallas-seed + XLA row-sort on v5e; an earlier fused variant
+    with per-slot lane reductions measured 19.9 ms). Falls back to
+    seed + row-sort when the layout doesn't fit (CPU, k <= 16,
+    L % 128 != 0, c too dense for the 128-lane capacity, or c == 1 whose
+    hashes collide with the sentinel)."""
+    N, L = bases.shape
+    cap = min(128, 4 * L // c + 8)
+    if (jax.default_backend() != "cpu" and L % 128 == 0 and 16 < k <= 31
+            and c >= 2 and 4 * L // c + 8 <= 128):
+        from .pallas_seeding import BLOCK_ROWS, seed_pack_pallas
+        if N % BLOCK_ROWS == 0 or N < BLOCK_ROWS:
+            chi, clo = seed_pack_pallas(bases, lengths, c=c, k=k)
+            return chi[:, :cap], clo[:, :cap]
     hhi, hlo, keep = _seed(bases, lengths, c=c, k=k)
-    W = bases.shape[1] - k + 1          # drop structurally-dead columns
+    W = L - k + 1                       # drop structurally-dead columns
     if hhi.shape[1] > W:
         hhi, hlo, keep = hhi[:, :W], hlo[:, :W], keep[:, :W]
     return compact_rows(hhi, hlo, keep, _ROW, compaction_cap(c))

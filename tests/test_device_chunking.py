@@ -1,0 +1,32 @@
+"""DeviceContainment chunked/multi-device index vs exact numpy counts."""
+
+import numpy as np
+
+from sylph_tpu.core.types import GenomeSketch, SequencesSketch
+from sylph_tpu.engine.device_exec import DeviceContainment
+
+
+def test_multi_chunk_multi_device_counts(monkeypatch):
+    monkeypatch.setattr(DeviceContainment, "CHUNK", 1024)
+    rng = np.random.default_rng(0)
+    pool = rng.integers(0, 1 << 48, size=3000, dtype=np.uint64)
+    genomes = []
+    for g in range(12):
+        ks = rng.choice(pool, size=700, replace=False).astype(np.uint64)
+        genomes.append(GenomeSketch(
+            genome_kmers=ks, pseudotax_tracked_nonused_kmers=None,
+            file_name=f"g{g}", first_contig_name=f"c{g}", c=100, k=31,
+            gn_size=100000, min_spacing=30))
+    skm = rng.choice(pool, size=1500, replace=False).astype(np.uint64)
+    scnt = rng.integers(1, 5, size=1500).astype(np.uint32)
+    sample = SequencesSketch(kmers=skm, counts=scnt, c=100, k=31,
+                             file_name="s", sample_name=None, paired=False,
+                             mean_read_length=150.0)
+    eng = DeviceContainment(genomes)
+    assert len(eng._chunks) > 1     # the chunked path is actually exercised
+    m = dict(zip(skm.tolist(), scnt.tolist()))
+    for gi, g in enumerate(genomes):
+        covs, lost = eng.genome_covs(gi, sample)
+        want = sorted(m[int(km)] for km in g.genome_kmers if int(km) in m)
+        assert covs.tolist() == want
+        assert lost == 0

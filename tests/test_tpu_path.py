@@ -94,6 +94,40 @@ class TestDeviceSeeding:
                 want[int(h)] += 1
         assert got == want
 
+    @pytest.mark.parametrize("c,k", [(200, 31), (20, 31), (5, 21)])
+    def test_butterfly_pack_matches_xla(self, c, k):
+        from sylph_tpu.tpu.pallas_seeding import seed_pack_pallas
+        rng = np.random.default_rng(13)
+        N, L = 128, 256
+        bases = rng.integers(0, 4, size=(N, L)).astype(np.uint32)
+        lengths = rng.integers(k, L + 1, size=N).astype(np.int32)
+        hhi, hlo, keep = map(np.asarray,
+                             seed_hashes(bases, lengths, c=c, k=k))
+        chi, clo = map(np.asarray, seed_pack_pallas(
+            bases, lengths, c=c, k=k, interpret=True))
+        for i in range(N):
+            live = chi[i] != np.uint32(0xFFFFFFFF)
+            assert np.array_equal(chi[i][live], hhi[i][keep[i]][:128])
+            assert np.array_equal(clo[i][live], hlo[i][keep[i]][:128])
+
+    def test_repack_condenses_stream(self):
+        from sylph_tpu.tpu.pallas_seeding import repack_pallas
+        rng = np.random.default_rng(14)
+        sent = np.uint32(0xFFFFFFFF)
+        n = 50000
+        hi = rng.integers(0, 1 << 20, size=n).astype(np.uint32)
+        lo = rng.integers(0, 1 << 31, size=n).astype(np.uint32)
+        dead = rng.random(n) > 0.09
+        hi[dead] = sent
+        lo[dead] = sent
+        chi, clo = map(np.asarray, repack_pallas(
+            hi, lo, row=1024, cap=256, interpret=True))
+        want = [(int(a), int(b)) for a, b in zip(hi, lo) if a != sent]
+        got = [(int(a), int(b)) for a, b in zip(chi.ravel(), clo.ravel())
+               if a != sent]
+        assert got == want
+        assert chi.size == -(-n // 1024) * 256
+
     @pytest.mark.parametrize("c,k", [(20, 31), (5, 21), (7, 16)])
     def test_pallas_kernel_matches_xla(self, c, k):
         from sylph_tpu.tpu.pallas_seeding import seed_hashes_pallas
