@@ -46,8 +46,8 @@ def main():
 
     import jax.numpy as jnp
 
-    from sylph_tpu.tpu.pipeline import (build_host_index, finish_profile,
-                                        sketch_batch)
+    from sylph_tpu.tpu.pipeline import (build_host_index, condense_stream,
+                                        finish_profile, sketch_batch)
 
     rng = np.random.default_rng(0)
     bases_per_batch = BATCH_READS * READ_LEN
@@ -69,12 +69,11 @@ def main():
             chunks_lo.append(clo.reshape(-1))
         all_hi = jnp.concatenate(chunks_hi)
         all_lo = jnp.concatenate(chunks_lo)
-        # the per-read packed stream is ~9% dense; condense 8x with the
-        # butterfly repack kernel so the containment sort pays only for
-        # live hashes (caps are ~3x the expected row occupancy)
-        from sylph_tpu.tpu.pallas_seeding import repack_pallas
-        all_hi, all_lo = repack_pallas(all_hi, all_lo, row=1024, cap=256)
-        all_hi, all_lo = repack_pallas(all_hi, all_lo, row=1024, cap=512)
+        # the per-read packed stream is ~9% dense; butterfly-repack it so
+        # the containment sort pays only for live hashes
+        live = (READ_LEN - K + 1) / C / (all_hi.size / (N_BATCHES
+                                                        * BATCH_READS))
+        all_hi, all_lo = condense_stream(all_hi, all_lo, live)
         hist, st = finish_profile(
             all_hi, all_lo, *idx_dev, k=K, n_genomes=N_GENOMES,
             n_buckets=N_BUCKETS, min_ani=0.5)

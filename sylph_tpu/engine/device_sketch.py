@@ -10,7 +10,7 @@ Reads longer than the largest bucket fall back to the numpy path; results
 merge by read id, preserving file order.
 """
 
-import functools
+
 import logging
 from typing import Dict, List
 
@@ -58,7 +58,7 @@ def read_survivor_hashes(px: ParsedFastx, c: int, k: int) -> Dict[int, list]:
     import jax
 
     from ..tpu.containment import SENTINEL
-    from ..tpu.pipeline import _seed, compaction_cap
+    from ..tpu.pipeline import _seed
     from ..tpu.u64 import to_u64_np
 
     lengths = px.lengths

@@ -13,7 +13,6 @@ import sys
 from dataclasses import dataclass, field
 from typing import List, Optional, TextIO
 
-import numpy as np
 
 from ..constants import (DEFAULT_C, DEFAULT_K, DEFAULT_MIN_COUNT_CORRECT,
                          DEFAULT_MIN_NUMBER_KMERS, DEFAULT_MIN_SPACING,

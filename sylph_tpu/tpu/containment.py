@@ -18,7 +18,7 @@ multiplicities), matching the host engine. Sentinel entries (u64::MAX) from
 fixed-capacity compaction sort to the end and match nothing.
 """
 
-import functools
+
 from typing import Tuple
 
 import jax

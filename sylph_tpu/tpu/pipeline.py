@@ -228,6 +228,32 @@ def finish_profile_batched(smp_hi, smp_lo, idx_hi, idx_lo, gids, n_kmers, *,
     return hist, st
 
 
+def condense_stream(hi, lo, live_fraction: float,
+                    target_density: float = 0.35, interpret: bool = False):
+    """Repack a sparse sentinel-padded hash stream until reasonably dense.
+
+    live_fraction: caller's estimate of the stream's live share (e.g.
+    survivors / slots). Each round packs rows of 1024 lanes into a capacity
+    of expectation + 6 sigma + 16 (rounded up to 128 lanes) — overflow
+    probability per row is ~1e-9, so the chain is effectively lossless.
+    No-op on CPU or when already dense. Order is preserved.
+    """
+    if jax.default_backend() == "cpu" and not interpret:
+        return hi, lo
+    from .pallas_seeding import repack_pallas
+    density = live_fraction
+    row = 1024
+    while density < target_density and hi.size > 4 * row:
+        exp = row * density
+        cap = 128 * int(np.ceil((exp + 6.0 * np.sqrt(exp) + 16) / 128))
+        if cap >= row:
+            break
+        hi, lo = repack_pallas(hi, lo, row=row, cap=cap,
+                               interpret=interpret)
+        density = density * row / cap
+    return hi, lo
+
+
 def make_mesh(n_devices: int = None, dp: int = None,
               devices=None) -> Mesh:
     """A ('dp', 'ip') mesh over the first n_devices jax devices.
