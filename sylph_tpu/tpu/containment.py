@@ -29,6 +29,7 @@ from . import u64
 
 SENTINEL = (np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF))
 _FLAG_BIT = np.uint32(1 << 31)
+_FORCE_SORT_BINCOUNT = False   # tests flip this to exercise the sort path
 
 
 def compact_rows(hhi: jnp.ndarray, hlo: jnp.ndarray, keep: jnp.ndarray,
@@ -111,9 +112,38 @@ def merge_join_hist(idx_hi, idx_lo, gids, smp_hi, smp_lo, *,
     bucket = jnp.minimum(count, H - 1)
     valid = (~is_smp) & (sgid < G)
     seg = jnp.where(valid, sgid * H + bucket, G * H)
-    flat = jax.ops.segment_sum(
-        jnp.ones_like(seg, jnp.int32), seg, num_segments=G * H + 1)
+    flat = _bincount(seg, G * H + 1)
     return flat[:G * H].reshape(G, H)
+
+
+def _bincount(seg: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Histogram of int32 bin ids, scatter-minimized for TPU.
+
+    Scatters cost ~8ns/element, so instead of one segment_sum over the
+    whole stream: sort the ids, turn each equal run into ONE (bin, total)
+    pair at its run boundary, sort the boundary pairs to the front
+    (lossless — at most n_bins+1 boundaries exist), and scatter only that
+    prefix. Two sorts + scans beat one full-stream scatter ~2x at TPU
+    cost ratios. CPU (and small inputs) keep the plain segment_sum.
+    """
+    n = seg.size
+    use_sort = _FORCE_SORT_BINCOUNT or (
+        jax.default_backend() != "cpu" and n >= (1 << 20)
+        and n_bins + 1 < n)
+    if not use_sort:
+        return jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32), seg, num_segments=n_bins)
+    s = jax.lax.sort(seg.astype(jnp.int32))
+    prev_ne = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    next_ne = jnp.concatenate([prev_ne[1:], jnp.ones(1, bool)])
+    tot = _run_totals(jnp.ones((n,), jnp.int32), prev_ne, next_ne)
+    bkey = jnp.where(prev_ne, s, jnp.int32(2**31 - 1))
+    skey, stot = jax.lax.sort((bkey, tot), num_keys=1)
+    m = n_bins + 1
+    tgt = jnp.where(skey[:m] == jnp.int32(2**31 - 1), n_bins, skey[:m])
+    out = jnp.zeros((n_bins + 1,), jnp.int32)
+    out = out.at[tgt].set(stot[:m], mode="drop")
+    return out[:n_bins]
 
 
 def merge_join_counts(idx_hi, idx_lo, smp_hi, smp_lo,

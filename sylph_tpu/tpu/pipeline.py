@@ -292,6 +292,11 @@ def make_sharded_profile_step(mesh: Mesh, *, c: int, k: int, n_genomes: int,
     """
     def step(bases, lengths, idx_hi, idx_lo, gids, n_kmers):
         chi, clo = _sketch_compact(bases, lengths, c=c, k=k)
+        # condense the sparse per-read stream locally before it crosses
+        # ICI: ~8x less all_gather traffic at c=200
+        L = bases.shape[1]
+        live = (L - k + 1) / c / max(chi.shape[1], 1)
+        chi, clo = condense_stream(chi, clo, live)
         flat_hi = chi.reshape(-1)
         flat_lo = clo.reshape(-1)
         smp_hi = jax.lax.all_gather(flat_hi, "dp", tiled=True)

@@ -110,6 +110,24 @@ class TestDeviceSeeding:
             assert np.array_equal(chi[i][live], hhi[i][keep[i]][:128])
             assert np.array_equal(clo[i][live], hlo[i][keep[i]][:128])
 
+    def test_sort_based_bincount(self, monkeypatch):
+        from sylph_tpu.tpu import containment
+        monkeypatch.setattr(containment, "_FORCE_SORT_BINCOUNT", True)
+        rng = np.random.default_rng(15)
+        for _ in range(4):
+            n_bins = int(rng.integers(4, 3000))
+            n = int(rng.integers(10, 100000))
+            # adversarial: many singleton runs + one huge run
+            seg = np.concatenate([
+                rng.integers(0, n_bins, size=n // 2),
+                np.full(n - n // 2, int(rng.integers(0, n_bins)))
+            ]).astype(np.int32)
+            got = np.asarray(jax.jit(
+                containment._bincount, static_argnums=1)(
+                    jnp.asarray(seg), n_bins))
+            want = np.bincount(seg, minlength=n_bins)[:n_bins]
+            assert (got == want).all()
+
     def test_repack_condenses_stream(self):
         from sylph_tpu.tpu.pallas_seeding import repack_pallas
         rng = np.random.default_rng(14)
