@@ -38,6 +38,50 @@ N_BUCKETS = 256
 N_BATCHES = 32                   # ~537 Mbp streamed per timed run
 
 
+def _bench_sketch_only(jax, jnp, sketch_batch, bases, lengths):
+    """BASELINE.json config 3: sketch-only FracMinHash extraction rate."""
+    import time as _t
+    n_batches = 64
+    for _ in range(4):
+        chi, clo, n = sketch_batch(bases, lengths, c=C, k=K)
+    _ = float(np.asarray(n))
+    t0 = _t.perf_counter()
+    outs = []
+    for _ in range(n_batches):
+        chi, clo, n = sketch_batch(bases, lengths, c=C, k=K)
+        outs.append(chi)
+    _ = float(np.asarray(outs[-1][:1, :1].astype(jnp.int32).sum()))
+    dt = _t.perf_counter() - t0
+    return n_batches * bases.shape[0] * READ_LEN / dt / 1e9
+
+
+def _bench_multisample(jax, jnp, args, idx_dev):
+    """BASELINE.json config 4: S samples batched through one vmapped join."""
+    import time as _t
+
+    from sylph_tpu.tpu.pipeline import finish_profile_batched, sketch_batch
+    bases, lengths = args
+    S = 8
+    smp_hi, smp_lo = [], []
+    for s in range(S):
+        chi, clo, _n = sketch_batch(bases, lengths, c=C, k=K)
+        smp_hi.append(chi.reshape(-1))
+        smp_lo.append(clo.reshape(-1))
+    sh = jnp.stack(smp_hi)
+    sl = jnp.stack(smp_lo)
+    hist, st = finish_profile_batched(sh, sl, *idx_dev, k=K,
+                                      n_genomes=N_GENOMES,
+                                      n_buckets=N_BUCKETS, min_ani=0.5)
+    _ = float(np.asarray(hist.sum()))
+    t0 = _t.perf_counter()
+    hist, st = finish_profile_batched(sh, sl, *idx_dev, k=K,
+                                      n_genomes=N_GENOMES,
+                                      n_buckets=N_BUCKETS, min_ani=0.5)
+    _ = float(np.asarray(hist.sum()))
+    dt = _t.perf_counter() - t0
+    return S / dt        # samples/s through the containment stage
+
+
 def main():
     import jax
 
@@ -79,6 +123,22 @@ def main():
             n_buckets=N_BUCKETS, min_ani=0.5)
         # scalar D2H fetch forces completion of the whole chain
         return float(np.asarray(hist.sum()))
+
+    import sys
+    config = (sys.argv[sys.argv.index("--config") + 1]
+              if "--config" in sys.argv else "profile")
+    if config == "sketch":
+        gbps = _bench_sketch_only(jax, jnp, sketch_batch, bases, lengths)
+        print(json.dumps({"metric": "sketch_throughput",
+                          "value": round(gbps, 4), "unit": "Gbp/s",
+                          "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))
+        return
+    if config == "multisample":
+        sps = _bench_multisample(jax, jnp, (bases, lengths), idx_dev)
+        print(json.dumps({"metric": "multisample_containment",
+                          "value": round(sps, 3), "unit": "samples/s",
+                          "vs_baseline": None}))
+        return
 
     run_once(N_BATCHES)           # compile + warm up (cache-persistent)
     t0 = time.perf_counter()
