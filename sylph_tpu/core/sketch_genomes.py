@@ -64,15 +64,15 @@ def _spacing_filter(contigs: np.ndarray, positions: np.ndarray,
     return h[kept], (h[tracked] if pseudotax else None)
 
 
-def sketch_genome(c: int, k: int, ref_file: str, min_spacing: int,
-                  pseudotax: bool) -> Optional[GenomeSketch]:
-    """Whole-file genome sketch (sylph src/sketch.rs:550-622)."""
-    try:
-        px = parse_fastx(ref_file)
-    except (FastxParseError, OSError):
-        log.warning("%s is not a valid fasta/fastq file; skipping.", ref_file)
-        return None
-
+def _extract_positions(px, c: int, k: int, device: bool):
+    """(contigs, end_positions, hashes) over all records, device or host."""
+    if device:
+        from ..engine.device_sketch import (device_available,
+                                            genome_survivor_positions)
+        if device_available():
+            return genome_survivor_positions(px, c, k)
+        log.warning("--tpu requested but no JAX device available; using "
+                    "the host seeding path.")
     all_h, all_p, all_c = [], [], []
     for i in range(px.n_records):
         h, p = fmh_seeds_positions_np(px.record_codes(i), c, k)
@@ -82,6 +82,20 @@ def sketch_genome(c: int, k: int, ref_file: str, min_spacing: int,
     hashes = np.concatenate(all_h) if all_h else np.empty(0, np.uint64)
     positions = np.concatenate(all_p) if all_p else np.empty(0, np.int64)
     contigs = np.concatenate(all_c) if all_c else np.empty(0, np.int64)
+    return contigs, positions, hashes
+
+
+def sketch_genome(c: int, k: int, ref_file: str, min_spacing: int,
+                  pseudotax: bool,
+                  device: bool = False) -> Optional[GenomeSketch]:
+    """Whole-file genome sketch (sylph src/sketch.rs:550-622)."""
+    try:
+        px = parse_fastx(ref_file)
+    except (FastxParseError, OSError):
+        log.warning("%s is not a valid fasta/fastq file; skipping.", ref_file)
+        return None
+
+    contigs, positions, hashes = _extract_positions(px, c, k, device)
 
     kmers, tracked = _spacing_filter(contigs, positions, hashes, min_spacing,
                                      pseudotax, per_contig=False)
@@ -97,7 +111,8 @@ def sketch_genome(c: int, k: int, ref_file: str, min_spacing: int,
 
 
 def sketch_genome_individual(c: int, k: int, ref_file: str, min_spacing: int,
-                             pseudotax: bool) -> List[GenomeSketch]:
+                             pseudotax: bool,
+                             device: bool = False) -> List[GenomeSketch]:
     """One sketch per record (sylph src/sketch.rs:481-548).
 
     Note the individual-mode spacing scan does not reset on contig change
@@ -107,9 +122,11 @@ def sketch_genome_individual(c: int, k: int, ref_file: str, min_spacing: int,
     except (FastxParseError, OSError):
         log.warning("%s is not a valid fasta/fastq file; skipping.", ref_file)
         return []
+    all_cg, all_pos, all_h = _extract_positions(px, c, k, device)
     out = []
     for i in range(px.n_records):
-        h, p = fmh_seeds_positions_np(px.record_codes(i), c, k)
+        m = all_cg == i
+        h, p = all_h[m], all_pos[m]
         contigs = np.zeros(h.shape[0], dtype=np.int64)
         kmers, tracked = _spacing_filter(contigs, p, h, min_spacing,
                                          pseudotax, per_contig=True)

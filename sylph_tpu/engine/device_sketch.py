@@ -25,10 +25,12 @@ _BUCKETS = (128, 256, 512)     # padded lengths (Pallas wants L % 128 == 0)
 _MAX_BATCH = 1 << 16           # reads per device call
 
 
-def _compact_by_position(hhi, hlo, keep, cap):
+def _compact_by_position(hhi, hlo, keep, cap, want_lanes=False):
     """Per-row compaction that PRESERVES position order (compact_rows sorts
     by hash value — fine for the containment join, wrong for the
-    order-dependent dedup fold). Key = window lane for survivors."""
+    order-dependent dedup fold). Key = window lane for survivors; with
+    want_lanes=True the surviving lane indices come back too (genome
+    sketching needs positions for the spacing filter)."""
     import jax
     import jax.numpy as jnp
     R, W = hhi.shape
@@ -37,8 +39,11 @@ def _compact_by_position(hhi, hlo, keep, cap):
     sk, shi, slo = jax.lax.sort((key, hhi, hlo), dimension=1, num_keys=1)
     live = sk[:, :cap] != jnp.uint32(0xFFFFFFFF)
     sent = jnp.uint32(0xFFFFFFFF)
-    return (jnp.where(live, shi[:, :cap], sent),
-            jnp.where(live, slo[:, :cap], sent))
+    out = (jnp.where(live, shi[:, :cap], sent),
+           jnp.where(live, slo[:, :cap], sent))
+    if want_lanes:
+        return out + (jnp.where(live, sk[:, :cap], sent),)
+    return out
 
 
 def device_available() -> bool:
@@ -115,3 +120,76 @@ def read_survivor_hashes(px: ParsedFastx, c: int, k: int) -> Dict[int, list]:
     # the dedup fold's decision sequence is order-dependent: restore file
     # order (buckets emit out of order)
     return dict(sorted(out.items()))
+
+
+_GBLOCK = 4096      # genome scan row length (bases)
+
+
+def genome_survivor_positions(px: ParsedFastx, c: int, k: int):
+    """(contigs, end_positions, hashes) of FracMinHash survivors over all
+    contigs, in (contig, position) order — the device equivalent of
+    fmh_seeds_positions per record (sylph src/seeding.rs:182-208), feeding
+    the duplicate/spacing filter.
+
+    Contigs scan in blocked rows of _GBLOCK bases with a (k-1)-base halo —
+    the same seam-overlap trick the reference's AVX2 lanes use
+    (src/avx2_seeding.rs:37-41), across rows instead of lanes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..tpu.pipeline import _seed
+    from ..tpu.u64 import to_u64_np
+
+    step = _GBLOCK - (k - 1)           # fresh windows per row
+    rows_bases = []
+    rows_meta = []                     # (contig_id, base_offset)
+    lens = []
+    for cid in range(px.n_records):
+        codes = px.record_codes(cid)
+        n = codes.shape[0]
+        if n < k:
+            continue
+        for off in range(0, n - k + 1, step):
+            end = min(off + _GBLOCK, n)
+            rows_bases.append((cid, off, end))
+            lens.append(end - off)
+
+    out_c, out_p, out_h = [], [], []
+    B = 2048                           # rows per device call
+    sent = np.uint32(0xFFFFFFFF)
+    for lo_i in range(0, len(rows_bases), B):
+        batch = rows_bases[lo_i:lo_i + B]
+        nb = len(batch)
+        pad_n = -(-nb // 8) * 8
+        bases = np.zeros((pad_n, _GBLOCK), np.uint32)
+        blens = np.zeros(pad_n, np.int32)
+        for row, (cid, off, end) in enumerate(batch):
+            codes = px.record_codes(cid)
+            bases[row, :end - off] = codes[off:end]
+            blens[row] = end - off
+        hhi, hlo, keep = _seed(jnp.asarray(bases), jnp.asarray(blens),
+                               c=c, k=k)
+        W = _GBLOCK - k + 1
+        hhi, hlo, keep = hhi[:, :W], hlo[:, :W], keep[:, :W]
+        cap = min(W, 8 * W // c + 24)
+        chi, clo, clanes = jax.jit(
+            _compact_by_position, static_argnums=(3, 4))(
+                hhi, hlo, keep, cap, True)
+        chi = np.asarray(chi)
+        clo = np.asarray(clo)
+        clanes = np.asarray(clanes)
+        for row, (cid, off, end) in enumerate(batch):
+            live = chi[row] != sent
+            if not live.any():
+                continue
+            lanes_r = clanes[row][live].astype(np.int64)
+            out_c.append(np.full(lanes_r.size, cid, np.int64))
+            # end position of the window, like fmh_seeds_positions
+            out_p.append(off + lanes_r + (k - 1))
+            out_h.append(to_u64_np(chi[row][live], clo[row][live]))
+    if not out_h:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.uint64)
+    return (np.concatenate(out_c), np.concatenate(out_p),
+            np.concatenate(out_h))

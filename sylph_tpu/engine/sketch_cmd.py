@@ -204,9 +204,10 @@ def sketch(o: SketchOptions):
         def do_genome(gf):
             if o.individual:
                 return sketch_genome_individual(
-                    o.c, o.k, gf, o.min_spacing_kmer, not o.no_pseudotax)
+                    o.c, o.k, gf, o.min_spacing_kmer, not o.no_pseudotax,
+                    device=o.tpu)
             g = sketch_genome(o.c, o.k, gf, o.min_spacing_kmer,
-                              not o.no_pseudotax)
+                              not o.no_pseudotax, device=o.tpu)
             return [g] if g is not None else []
 
         all_sketches = []

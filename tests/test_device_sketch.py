@@ -32,3 +32,22 @@ def test_tiny_low_c_device_parity():
     _eq(sketch_pair_sequences(f"{TF}/t1.fq", f"{TF}/t2.fq", 5, 21),
         sketch_pair_sequences(f"{TF}/t1.fq", f"{TF}/t2.fq", 5, 21,
                               device=True))
+
+
+def test_genome_device_parity():
+    from sylph_tpu.core.sketch_genomes import (sketch_genome,
+                                               sketch_genome_individual)
+    a = sketch_genome(200, 31, f"{TF}/e.coli-o157.fasta.gz", 30, True)
+    b = sketch_genome(200, 31, f"{TF}/e.coli-o157.fasta.gz", 30, True,
+                      device=True)
+    assert a.genome_kmers.tolist() == b.genome_kmers.tolist()
+    assert (a.pseudotax_tracked_nonused_kmers.tolist()
+            == b.pseudotax_tracked_nonused_kmers.tolist())
+    ia = sketch_genome_individual(200, 31, f"{TF}/e.coli-o157.fasta.gz",
+                                  30, True)
+    ib = sketch_genome_individual(200, 31, f"{TF}/e.coli-o157.fasta.gz",
+                                  30, True, device=True)
+    assert len(ia) == len(ib) == 2
+    for x, y in zip(ia, ib):
+        assert x.genome_kmers.tolist() == y.genome_kmers.tolist()
+        assert x.first_contig_name == y.first_contig_name
