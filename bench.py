@@ -35,7 +35,7 @@ BATCH_READS = 65536              # ~16.8 Mbp per batch
 N_GENOMES = 1024
 KMERS_PER_GENOME = 4096          # ~4.2M index k-mers (~0.8 Gbp of genomes)
 N_BUCKETS = 256
-N_BATCHES = 32                   # ~537 Mbp streamed per timed run
+N_BATCHES = 64                   # ~1.07 Gbp streamed per timed run
 
 
 def _bench_sketch_only(jax, jnp, sketch_batch, bases, lengths):
