@@ -75,8 +75,9 @@ class DeviceContainment:
                   len(self._chunks), len(self._devices))
 
     def _counts(self, sample: SequencesSketch) -> np.ndarray:
-        key = id(sample)
-        if self._cache_key == key:
+        # cache by identity; keep a strong ref so a GC'd sample's id can't
+        # be recycled by a different object and alias the cache
+        if self._cache_key is sample:
             return self._cache_counts
         import jax
 
@@ -110,7 +111,7 @@ class DeviceContainment:
                 smp = smp_by_dev[self._devices[i % len(self._devices)]]
                 outs.append(fn(chi, clo, smp[0], smp[1], smp[2]))
             counts = np.concatenate([np.asarray(o) for o in outs])
-        self._cache_key = key
+        self._cache_key = sample
         self._cache_counts = counts
         return counts
 

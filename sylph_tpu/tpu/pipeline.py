@@ -293,9 +293,10 @@ def make_sharded_profile_step(mesh: Mesh, *, c: int, k: int, n_genomes: int,
     def step(bases, lengths, idx_hi, idx_lo, gids, n_kmers):
         chi, clo = _sketch_compact(bases, lengths, c=c, k=k)
         # condense the sparse per-read stream locally before it crosses
-        # ICI: ~8x less all_gather traffic at c=200
-        L = bases.shape[1]
-        live = (L - k + 1) / c / max(chi.shape[1], 1)
+        # ICI: ~8x less all_gather traffic at c=200. Expected live share =
+        # total survivors / total slots (valid for either compaction shape).
+        N, L = bases.shape
+        live = (N * (L - k + 1) / c) / max(chi.size, 1)
         chi, clo = condense_stream(chi, clo, live)
         flat_hi = chi.reshape(-1)
         flat_lo = clo.reshape(-1)
