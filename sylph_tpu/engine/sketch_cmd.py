@@ -22,6 +22,37 @@ from ..io.fastx import is_fasta, is_fastq
 log = logging.getLogger("sylph")
 
 
+def _vmem_gb() -> Optional[float]:
+    """Current process virtual memory in GB (Linux /proc)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmSize:"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:
+        pass
+    return None
+
+
+def check_ram_and_block(max_ram: Optional[int], context: str) -> None:
+    """Backpressure while over the --ram-barrier budget
+    (sylph check_vram_and_block, src/sketch.rs:27-51): sleep until virtual
+    memory drops below the barrier, logging every ~30s."""
+    if max_ram is None:
+        return
+    import time as _time
+    waited = 0.0
+    while True:
+        gb = _vmem_gb()
+        if gb is None or gb < float(max_ram):
+            return
+        if waited % 30.0 < 1.0:
+            log.info("Sketching paused before %s: virtual memory %.1f GB "
+                     ">= barrier %d GB...", context, gb, max_ram)
+        _time.sleep(1.0)
+        waited += 1.0
+
+
 @dataclass
 class SketchOptions:
     """Mirrors SketchArgs (sylph src/cmdline.rs:28-83)."""
@@ -178,6 +209,7 @@ def sketch(o: SketchOptions):
 
         def do_single(item):
             i, rf = item
+            check_ram_and_block(o.max_ram, rf)
             name = (sample_names[i + len(first_pairs)]
                     if sample_names is not None else None)
             return name, sketch_sequences(rf, o.c, o.k, name, o.no_dedup,
@@ -202,6 +234,7 @@ def sketch(o: SketchOptions):
             os.makedirs(parent, exist_ok=True)
 
         def do_genome(gf):
+            check_ram_and_block(o.max_ram, gf)
             if o.individual:
                 return sketch_genome_individual(
                     o.c, o.k, gf, o.min_spacing_kmer, not o.no_pseudotax,
