@@ -36,9 +36,14 @@ class DeviceContainment:
 
     Chunked along the index axis so arbitrarily large databases stream
     through fixed-shape device programs (one compile per chunk shape).
+    Above BUCKET_MIN k-mers each chunk is pre-bucketed by hash range and
+    joined with the dense compare kernel (the static index is never
+    re-sorted per sample — measured 2.4x faster than the merge join at
+    33.5M k-mers); smaller databases keep the merge join.
     """
 
-    CHUNK = 1 << 22  # index k-mers per device call
+    CHUNK = 1 << 22       # index k-mers per device call
+    BUCKET_MIN = 1 << 22  # use the bucketed join at/above this total size
 
     def __init__(self, genome_sketches: List[GenomeSketch]):
         import jax
@@ -63,11 +68,26 @@ class DeviceContainment:
         # chunks in parallel (async dispatch) with no collectives needed —
         # per-chunk counts concatenate on host.
         self._devices = jax.devices()
-        self._chunks = [
-            tuple(jax.device_put((self.index.hi[s:s + self.CHUNK],
-                                  self.index.lo[s:s + self.CHUNK]),
-                                 self._devices[i % len(self._devices)]))
-            for i, s in enumerate(range(0, m, self.CHUNK))]
+        self._use_buckets = (total >= self.BUCKET_MIN)
+        if self._use_buckets:
+            from ..tpu.bucket_join import build_bucketed_index
+            c_min = min(g.c for g in genome_sketches)
+            self._bchunks = []
+            for i, s in enumerate(range(0, m, self.CHUNK)):
+                bidx = build_bucketed_index(
+                    self.index.hi[s:s + self.CHUNK],
+                    self.index.lo[s:s + self.CHUNK], c_min)
+                dev = self._devices[i % len(self._devices)]
+                self._bchunks.append(
+                    (bidx, jax.device_put(bidx.hi, dev),
+                     jax.device_put(bidx.lo, dev)))
+            self._chunks = []
+        else:
+            self._chunks = [
+                tuple(jax.device_put((self.index.hi[s:s + self.CHUNK],
+                                      self.index.lo[s:s + self.CHUNK]),
+                                     self._devices[i % len(self._devices)]))
+                for i, s in enumerate(range(0, m, self.CHUNK))]
         self._cache_key = None
         self._cache_counts: Optional[np.ndarray] = None
         log.debug("Device index: %d genomes, %d k-mers, %d chunk(s) over "
@@ -96,21 +116,41 @@ class DeviceContainment:
         slo[:skmers.size] = lo
         wts[:skmers.size] = scounts
         # replicate the (tiny) sample table onto every device hosting chunks
-        n_dev = min(len(self._devices), len(self._chunks))
+        n_chunks = (len(self._bchunks) if self._use_buckets
+                    else len(self._chunks))
+        n_dev = min(len(self._devices), n_chunks)
         smp_by_dev = {
             d: jax.device_put((shi, slo, wts), d)
             for d in self._devices[:max(1, n_dev)]}
 
         from ..utils.timing import stage_timer
-        fn = jax.jit(merge_join_counts)
         with stage_timer(
                 f"device containment join ({self.index.hi.size} k-mers x "
-                f"{skmers.size} sample k-mers)"):
-            outs = []
-            for i, (chi, clo) in enumerate(self._chunks):
-                smp = smp_by_dev[self._devices[i % len(self._devices)]]
-                outs.append(fn(chi, clo, smp[0], smp[1], smp[2]))
-            counts = np.concatenate([np.asarray(o) for o in outs])
+                f"{skmers.size} sample k-mers, "
+                f"{'bucketed' if self._use_buckets else 'merge'})"):
+            if self._use_buckets:
+                from ..tpu.bucket_join import (bucket_join_device,
+                                               sample_cs)
+                parts = []
+                for i, (bidx, dih, dil) in enumerate(self._bchunks):
+                    smp = smp_by_dev[self._devices[i % len(self._devices)]]
+                    CS = sample_cs(skmers.size, bidx.n_buckets)
+                    parts.append((bidx, bucket_join_device(
+                        dih, dil, smp[0], smp[1], smp[2],
+                        width=bidx.width, B=bidx.n_buckets, CS=CS)))
+                counts = np.zeros(self.index.hi.size, np.int32)
+                for i, (bidx, grid) in enumerate(parts):
+                    g = np.asarray(grid)
+                    live = bidx.pos >= 0
+                    base = i * self.CHUNK
+                    counts[base + bidx.pos[live]] = g[live]
+            else:
+                fn = jax.jit(merge_join_counts)
+                outs = []
+                for i, (chi, clo) in enumerate(self._chunks):
+                    smp = smp_by_dev[self._devices[i % len(self._devices)]]
+                    outs.append(fn(chi, clo, smp[0], smp[1], smp[2]))
+                counts = np.concatenate([np.asarray(o) for o in outs])
         self._cache_key = sample
         self._cache_counts = counts
         return counts

@@ -1,0 +1,183 @@
+"""Bucketed compare-join: per-k-mer sample counts without re-sorting the index.
+
+merge_join_counts sorts (index ∪ sample) per sample — at GTDB scale the
+index side (hundreds of millions of k-mers) dominates that sort even though
+it never changes. This module splits the work by hash range instead:
+
+  offline (host, once per database):
+    hashes are uniform in [0, U64MAX/c), so bucket = hash_hi // width gives
+    Poisson-balanced buckets; the index is laid out dense [B, CI] with CI =
+    the exact max bucket occupancy (no loss), padded with sentinels, plus
+    the original position of every slot.
+
+  per sample (device):
+    the sample table arrives hash-sorted, so bucket ids are nondecreasing —
+    rank-in-bucket comes from a cummax over run starts (no sort, no gather)
+    and one scatter places it dense [B, CS] (CS = mean + 6 sigma, overflow
+    ~1e-9). A Pallas kernel then compares every index slot against its
+    bucket's CS sample slots and accumulates weights: pure VPU broadcast
+    compares, no gathers, O(M * CS) work independent of the index sort.
+
+Counts return in index order via the host-side position map.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENT = np.uint32(0xFFFFFFFF)
+
+
+class BucketedIndex(NamedTuple):
+    hi: np.ndarray        # [B, CI] uint32, sentinel-padded
+    lo: np.ndarray        # [B, CI] uint32
+    pos: np.ndarray       # [B, CI] int64 original index position (-1 pad)
+    width: int            # hash_hi bucket width
+    n_buckets: int
+    m: int                # original index length
+
+
+def build_bucketed_index(hi: np.ndarray, lo: np.ndarray, c: int,
+                         target_mean: float = 64.0) -> BucketedIndex:
+    """Host-side dense bucketing of a flattened index (see HostIndex)."""
+    m = int(hi.size)
+    thr_hi = int((((1 << 64) - 1) // max(c, 1)) >> 32)
+    b_want = max(1, int(m / target_mean))
+    B = 1 << max(0, int(np.ceil(np.log2(b_want))))
+    width = thr_hi // B + 1
+    b = np.minimum(hi.astype(np.int64) // width, B - 1)
+    counts = np.bincount(b, minlength=B)
+    ci = max(8, int(counts.max()))
+    CI = -(-ci // 128) * 128 if ci > 8 else 8
+    out_hi = np.full((B, CI), SENT, np.uint32)
+    out_lo = np.full((B, CI), SENT, np.uint32)
+    out_pos = np.full((B, CI), -1, np.int64)
+    order = np.argsort(b, kind="stable")
+    bs = b[order]
+    ranks = np.arange(m) - np.concatenate(
+        [[0], np.cumsum(counts)])[bs]
+    out_hi[bs, ranks] = hi[order]
+    out_lo[bs, ranks] = lo[order]
+    out_pos[bs, ranks] = order
+    return BucketedIndex(out_hi, out_lo, out_pos, width, B, m)
+
+
+def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int):
+    """Dense [B(+1), CS] layout of a HASH-SORTED sample table (jnp).
+
+    Zero-weight rows (padding) route to the overflow bucket B. Rank within
+    bucket via run-start cummax — the input is sorted so bucket ids are
+    nondecreasing.
+    """
+    t = shi.shape[0]
+    # hash_hi < 2^32/c <= 2^31 for c >= 2, so u32 division stays exact.
+    # Hashes past the index's range (a sample sketched with smaller c) can
+    # match nothing — route them to the overflow bucket with the padding.
+    raw = shi // jnp.uint32(width)
+    in_range = raw < jnp.uint32(B)
+    b = jnp.where(in_range & (sw > 0), raw.astype(jnp.int32), B)
+    idx = jnp.arange(t, dtype=jnp.int32)
+    new_run = jnp.concatenate([jnp.ones(1, bool), b[1:] != b[:-1]])
+    start = jax.lax.cummax(jnp.where(new_run, idx, -1))
+    rank = idx - start
+    tgt = jnp.where(rank < CS, b * CS + rank, B * CS)
+    flat = (B + 1) * CS
+    dh = jnp.full((flat + 1,), SENT, jnp.uint32).at[tgt].set(shi,
+                                                             mode="drop")
+    dl = jnp.full((flat + 1,), SENT, jnp.uint32).at[tgt].set(slo,
+                                                             mode="drop")
+    dw = jnp.zeros((flat + 1,), jnp.int32).at[tgt].set(sw, mode="drop")
+    return (dh[:B * CS].reshape(B, CS), dl[:B * CS].reshape(B, CS),
+            dw[:B * CS].reshape(B, CS))
+
+
+def _join_kernel(ihi, ilo, shi, slo, sw, out, *, CS):
+    a_hi = ihi[...]
+    a_lo = ilo[...]
+
+    # compare the sample tile one column at a time, rotating it left so the
+    # live column is always 0 (static slice); fori_loop keeps VMEM flat —
+    # an unrolled loop made Mosaic stack-allocate every intermediate.
+    def body(_, carry):
+        dh, dl, dw, counts = carry
+        eq = (a_hi == dh[:, 0:1]) & (a_lo == dl[:, 0:1])
+        counts = counts + jnp.where(eq, dw[:, 0:1], 0)
+        r = CS - 1          # left-rotate by 1 (roll wants non-negative)
+        return (pltpu.roll(dh, r, axis=1), pltpu.roll(dl, r, axis=1),
+                pltpu.roll(dw, r, axis=1), counts)
+
+    _, _, _, counts = jax.lax.fori_loop(
+        0, CS, body,
+        (shi[...], slo[...], sw[...], jnp.zeros(a_hi.shape, jnp.int32)))
+    out[...] = counts
+
+
+def _join_xla(ihi, ilo, shi, slo, sw):
+    """XLA fallback of the compare kernel (CPU tests / non-TPU)."""
+    CS = shi.shape[1]
+
+    def body(j, counts):
+        eq = (ihi == jax.lax.dynamic_slice_in_dim(shi, j, 1, 1)) & \
+             (ilo == jax.lax.dynamic_slice_in_dim(slo, j, 1, 1))
+        w = jax.lax.dynamic_slice_in_dim(sw, j, 1, 1)
+        return counts + jnp.where(eq, w, 0)
+
+    return jax.lax.fori_loop(0, CS, body,
+                             jnp.zeros(ihi.shape, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "B", "CS",
+                                             "interpret", "force_xla"))
+def bucket_join_device(ihi, ilo, shi, slo, sw, *, width: int, B: int,
+                       CS: int, interpret: bool = False,
+                       force_xla: bool = False):
+    """[B, CI] per-slot sample multiplicities for a bucketed index."""
+    dh, dl, dw = _sample_to_buckets(shi, slo, sw, width=width, B=B, CS=CS)
+    CI = ihi.shape[1]
+    if force_xla or (jax.default_backend() == "cpu" and not interpret):
+        return _join_xla(ihi, ilo, dh, dl, dw)
+    TB = max(1, min(64, B))
+    if B % TB != 0:
+        TB = 1
+    kern = functools.partial(_join_kernel, CS=CS)
+    spec_i = pl.BlockSpec((TB, CI), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((TB, CS), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB,),
+        in_specs=[spec_i, spec_i, spec_s, spec_s, spec_s],
+        out_specs=pl.BlockSpec((TB, CI), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, CI), jnp.int32),
+        interpret=interpret,
+    )(ihi, ilo, dh, dl, dw)
+
+
+def sample_cs(t_real: int, B: int) -> int:
+    """Sample-side bucket capacity: mean + 6 sigma, 8/128-lane rounded."""
+    mean = max(1.0, t_real / B)
+    cs = int(np.ceil(mean + 6.0 * np.sqrt(mean) + 8))
+    return -(-cs // 128) * 128 if cs > 8 else 8
+
+
+def bucket_join_counts(bidx: BucketedIndex, shi, slo, sw, t_real: int,
+                       interpret: bool = False,
+                       force_xla: bool = False) -> np.ndarray:
+    """Exact per-k-mer sample counts [M] in original index order."""
+    CS = sample_cs(t_real, bidx.n_buckets)
+    grid = bucket_join_device(
+        jnp.asarray(bidx.hi), jnp.asarray(bidx.lo), jnp.asarray(shi),
+        jnp.asarray(slo), jnp.asarray(sw), width=bidx.width,
+        B=bidx.n_buckets, CS=CS, interpret=interpret, force_xla=force_xla)
+    grid = np.asarray(grid)
+    out = np.zeros(bidx.m, np.int32)
+    live = bidx.pos >= 0
+    out[bidx.pos[live]] = grid[live]
+    return out

@@ -6,6 +6,33 @@ from sylph_tpu.core.types import GenomeSketch, SequencesSketch
 from sylph_tpu.engine.device_exec import DeviceContainment
 
 
+def test_bucketed_engine_counts(monkeypatch):
+    monkeypatch.setattr(DeviceContainment, "BUCKET_MIN", 1000)
+    monkeypatch.setattr(DeviceContainment, "CHUNK", 4096)
+    rng = np.random.default_rng(3)
+    c = 50
+    thr = ((1 << 64) - 1) // c
+    pool = rng.integers(0, thr, size=6000, dtype=np.uint64)
+    genomes = [GenomeSketch(
+        genome_kmers=rng.choice(pool, size=900,
+                                replace=False).astype(np.uint64),
+        pseudotax_tracked_nonused_kmers=None, file_name=f"g{g}",
+        first_contig_name=f"c{g}", c=c, k=31, gn_size=1, min_spacing=30)
+        for g in range(10)]
+    skm = rng.choice(pool, size=2500, replace=False).astype(np.uint64)
+    scnt = rng.integers(1, 6, size=2500).astype(np.uint32)
+    sample = SequencesSketch(kmers=skm, counts=scnt, c=c, k=31,
+                             file_name="s", sample_name=None, paired=False,
+                             mean_read_length=150.0)
+    eng = DeviceContainment(genomes)
+    assert eng._use_buckets and len(eng._bchunks) > 1
+    m = dict(zip(skm.tolist(), scnt.tolist()))
+    for gi, g in enumerate(genomes):
+        covs, lost = eng.genome_covs(gi, sample)
+        want = sorted(m[int(km)] for km in g.genome_kmers if int(km) in m)
+        assert covs.tolist() == want
+
+
 def test_multi_chunk_multi_device_counts(monkeypatch):
     monkeypatch.setattr(DeviceContainment, "CHUNK", 1024)
     rng = np.random.default_rng(0)
