@@ -38,12 +38,14 @@ class DeviceContainment:
     through fixed-shape device programs (one compile per chunk shape).
     Above BUCKET_MIN k-mers each chunk is pre-bucketed by hash range and
     joined with the dense compare kernel (the static index is never
-    re-sorted per sample — measured 2.4x faster than the merge join at
-    33.5M k-mers); smaller databases keep the merge join.
+    re-sorted per sample). Measured on v5e: 2.4x faster than the merge
+    join at 33.5M index vs 4.2M sample k-mers, but SLOWER at comparable
+    sizes (index ~ sample) — so it engages only for large databases where
+    index >> sample.
     """
 
     CHUNK = 1 << 22       # index k-mers per device call
-    BUCKET_MIN = 1 << 22  # use the bucketed join at/above this total size
+    BUCKET_MIN = 1 << 24  # bucketed join at/above this total index size
 
     def __init__(self, genome_sketches: List[GenomeSketch]):
         import jax

@@ -160,6 +160,37 @@ def bucket_join_device(ihi, ilo, shi, slo, sw, *, width: int, B: int,
     )(ihi, ilo, dh, dl, dw)
 
 
+def build_gid_grid(bidx: BucketedIndex, gids: np.ndarray,
+                   n_genomes: int) -> np.ndarray:
+    """[B, CI] genome id per index slot (padding slots get n_genomes)."""
+    grid = np.full(bidx.hi.shape, n_genomes, np.int32)
+    live = bidx.pos >= 0
+    grid[live] = gids[bidx.pos[live]]
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "B", "CS", "n_genomes", "n_buckets", "interpret",
+    "force_xla"))
+def bucket_join_hist(ihi, ilo, gid_grid, shi, slo, sw, *, width: int,
+                     B: int, CS: int, n_genomes: int, n_buckets: int,
+                     interpret: bool = False, force_xla: bool = False):
+    """Per-genome multiplicity histograms [G, H] via the bucketed join.
+
+    Replaces merge_join_hist when the index is pre-bucketed: no per-sample
+    sort of the index, one dense compare kernel + one bincount.
+    """
+    from .containment import _bincount
+    grid = bucket_join_device(ihi, ilo, shi, slo, sw, width=width, B=B,
+                              CS=CS, interpret=interpret,
+                              force_xla=force_xla)
+    G, H = n_genomes, n_buckets
+    bucket = jnp.minimum(grid, H - 1)
+    seg = jnp.where(gid_grid < G, gid_grid * H + bucket, G * H)
+    flat = _bincount(seg.reshape(-1), G * H + 1)
+    return flat[:G * H].reshape(G, H)
+
+
 def sample_cs(t_real: int, B: int) -> int:
     """Sample-side bucket capacity: mean + 6 sigma, 8/128-lane rounded."""
     mean = max(1.0, t_real / B)

@@ -47,6 +47,44 @@ def test_bucket_join_pallas_interpret():
     assert (got == want).all()
 
 
+def test_bucket_join_hist_matches_merge_join():
+    import jax.numpy as jnp
+
+    from sylph_tpu.tpu.bucket_join import (build_gid_grid,
+                                           bucket_join_hist)
+    from sylph_tpu.tpu.containment import merge_join_hist
+    from sylph_tpu.tpu.pipeline import build_host_index
+    rng = np.random.default_rng(5)
+    c, G, H = 50, 7, 32
+    thr = ((1 << 64) - 1) // c
+    pool = rng.integers(0, thr, size=4000, dtype=np.uint64)
+    genomes = [rng.choice(pool, size=400, replace=False).astype(np.uint64)
+               for _ in range(G)]
+    idx = build_host_index(genomes, pad_multiple=64)
+    occ = np.sort(np.concatenate([
+        rng.choice(pool, size=3000),
+        rng.integers(0, thr, size=500, dtype=np.uint64)]))
+    shi, slo = from_u64_np(occ)
+    pad = (-occ.size) % 512
+    sent = np.uint32(0xFFFFFFFF)
+    shi = np.concatenate([shi, np.full(pad, sent, np.uint32)])
+    slo = np.concatenate([slo, np.full(pad, sent, np.uint32)])
+    sw = (shi != sent).astype(np.int32)
+    want = np.asarray(merge_join_hist(
+        jnp.asarray(idx.hi), jnp.asarray(idx.lo),
+        jnp.asarray(idx.genome_ids), jnp.asarray(shi), jnp.asarray(slo),
+        n_genomes=G, n_buckets=H))
+    bidx = build_bucketed_index(idx.hi, idx.lo, c)
+    gidg = build_gid_grid(bidx, idx.genome_ids, G)
+    got = np.asarray(bucket_join_hist(
+        jnp.asarray(bidx.hi), jnp.asarray(bidx.lo), jnp.asarray(gidg),
+        jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(sw),
+        width=bidx.width, B=bidx.n_buckets,
+        CS=sample_cs(occ.size, bidx.n_buckets), n_genomes=G, n_buckets=H,
+        force_xla=True))
+    assert (got == want).all()
+
+
 def test_capacity_is_exact_on_index_side():
     # index bucketing must never drop entries — CI is data-exact
     rng = np.random.default_rng(4)
