@@ -179,7 +179,7 @@ FxResult *fx_parse(const char *path, int skip_names) {
         }
     } else if (*p == '@') { /* FASTQ: strict 4-line records */
         while (p < lim && ok) {
-            /* skip trailing blank lines */
+            /* skip blank lines between records and at end-of-file */
             const uint8_t *q = p;
             int blank = 1;
             while (q < lim) {
@@ -187,6 +187,7 @@ FxResult *fx_parse(const char *path, int skip_names) {
                 else { blank = 0; break; }
             }
             if (blank) break;
+            p = q;
             if (*p != '@') { ok = 0; break; }
             const uint8_t *next, *he = line_end(p, lim, &next);
             if (!b_grow_rec(&b) || !b_name(&b, p + 1, he - (p + 1),

@@ -22,6 +22,20 @@ from ..core.types import GenomeSketch, SequencesSketch
 
 log = logging.getLogger("sylph")
 
+_MERGE_JOIN_JIT = None
+
+
+def _merge_join_jit():
+    """Module-cached jitted merge join (one trace per process, not per
+    sample; the XLA executable additionally persists via the repo cache)."""
+    global _MERGE_JOIN_JIT
+    if _MERGE_JOIN_JIT is None:
+        import jax
+
+        from ..tpu.containment import merge_join_counts
+        _MERGE_JOIN_JIT = jax.jit(merge_join_counts)
+    return _MERGE_JOIN_JIT
+
 
 def device_available() -> bool:
     try:
@@ -50,8 +64,10 @@ class DeviceContainment:
     def __init__(self, genome_sketches: List[GenomeSketch]):
         import jax
 
+        from ..tpu import configure_persistent_cache
         from ..tpu.pipeline import build_host_index
 
+        configure_persistent_cache()
         self._jax = jax
         total = int(sum(g.genome_kmers.size for g in genome_sketches))
         # pad to the next power of two (>=1024) so compile shapes are
@@ -92,9 +108,12 @@ class DeviceContainment:
                 for i, s in enumerate(range(0, m, self.CHUNK))]
         self._cache_key = None
         self._cache_counts: Optional[np.ndarray] = None
-        log.debug("Device index: %d genomes, %d k-mers, %d chunk(s) over "
+        log.debug("Device index: %d genomes, %d k-mers, %d %s chunk(s) over "
                   "%d device(s)", len(genome_sketches), m,
-                  len(self._chunks), len(self._devices))
+                  len(self._bchunks) if self._use_buckets
+                  else len(self._chunks),
+                  "bucketed" if self._use_buckets else "merge-join",
+                  len(self._devices))
 
     def _counts(self, sample: SequencesSketch) -> np.ndarray:
         # cache by identity; keep a strong ref so a GC'd sample's id can't
@@ -104,7 +123,6 @@ class DeviceContainment:
         import jax
 
         from ..tpu import u64
-        from ..tpu.containment import merge_join_counts
 
         skmers, scounts = sample.sorted_view()
         # pad the sample table to the next power of two to bound compile
@@ -147,7 +165,7 @@ class DeviceContainment:
                     base = i * self.CHUNK
                     counts[base + bidx.pos[live]] = g[live]
             else:
-                fn = jax.jit(merge_join_counts)
+                fn = _merge_join_jit()
                 outs = []
                 for i, (chi, clo) in enumerate(self._chunks):
                     smp = smp_by_dev[self._devices[i % len(self._devices)]]

@@ -24,6 +24,17 @@ log = logging.getLogger("sylph")
 _BUCKETS = (128, 256, 512)     # padded lengths (Pallas wants L % 128 == 0)
 _MAX_BATCH = 1 << 16           # reads per device call
 
+_COMPACT_JIT = None
+
+
+def _compact_jit():
+    """Module-cached jit of _compact_by_position (one trace per process)."""
+    global _COMPACT_JIT
+    if _COMPACT_JIT is None:
+        import jax
+        _COMPACT_JIT = jax.jit(_compact_by_position, static_argnums=(3, 4))
+    return _COMPACT_JIT
+
 
 def _compact_by_position(hhi, hlo, keep, cap, want_lanes=False):
     """Per-row compaction that PRESERVES position order (compact_rows sorts
@@ -88,8 +99,7 @@ def read_survivor_hashes(px: ParsedFastx, c: int, k: int) -> Dict[int, list]:
         # per-READ compaction so read boundaries survive the transfer;
         # 8x-expectation capacity so parity loss is astronomically unlikely
         cap = min(W, 8 * W // c + 24)
-        chi, clo = jax.jit(_compact_by_position, static_argnums=3)(
-            hhi, hlo, keep, cap)
+        chi, clo = _compact_jit()(hhi, hlo, keep, cap, False)
         chi = np.asarray(chi)
         clo = np.asarray(clo)
         for row, rid in enumerate(rids):
@@ -173,9 +183,7 @@ def genome_survivor_positions(px: ParsedFastx, c: int, k: int):
         W = _GBLOCK - k + 1
         hhi, hlo, keep = hhi[:, :W], hlo[:, :W], keep[:, :W]
         cap = min(W, 8 * W // c + 24)
-        chi, clo, clanes = jax.jit(
-            _compact_by_position, static_argnums=(3, 4))(
-                hhi, hlo, keep, cap, True)
+        chi, clo, clanes = _compact_jit()(hhi, hlo, keep, cap, True)
         chi = np.asarray(chi)
         clo = np.asarray(clo)
         clanes = np.asarray(clanes)

@@ -64,6 +64,22 @@ class ContainOptions:
     profile_trace: Optional[str] = None  # jax.profiler trace output dir
 
 
+def sample_parallelism_step(pseudotax: bool, threads: int,
+                            sample_threads: Optional[int],
+                            num_raw_read_files: int) -> int:
+    """Concurrent-sample worker count (sylph src/contain.rs:239-256).
+
+    The reference counts RAW read files only (pre-sketched .sylsp samples
+    are cheap to load and don't justify extra workers); profile floors at
+    threads/3+1 so the nested per-genome parallelism keeps 2/3 of the pool.
+    """
+    if sample_threads is not None:
+        return sample_threads if sample_threads > 0 else 1
+    if pseudotax:
+        return max(threads // 3 + 1, min(num_raw_read_files, threads))
+    return max(1, min(num_raw_read_files, threads))
+
+
 def _stat_params(opts: ContainOptions, k: int) -> StatParams:
     return StatParams(k=k, min_count_correct=opts.min_count_correct,
                       estimator=opts.estimator, no_ci=opts.no_ci,
@@ -254,8 +270,31 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
             log.debug("%s has estimated identity %.3f.", first_read_file,
                       math.pow(kmer_id_opt, 1.0 / sample.k) * 100.0)
 
+    from .prefilter import prefilter_candidates
+    candidates = prefilter_candidates(opts, sample, genome_sketches,
+                                      device_engine)
+    if candidates is None:
+        candidate_iter = enumerate(genome_sketches)
+    else:
+        # the prefilter skips get_stats' per-genome k/c compatibility
+        # checks for dropped genomes — run them upfront so incompatible
+        # databases still fail loudly (src/contain.rs:603-622)
+        for g in genome_sketches:
+            if g.k != sample.k:
+                log.error("k parameter for reads %s != k parameter for "
+                          "genome %s", sample.k, g.k)
+                raise SystemExit(1)
+            if g.c < sample.c:
+                log.error("c parameter for reads %s > c parameter for "
+                          "genome %s", sample.c, g.c)
+                raise SystemExit(1)
+        log.debug("%s: batched prefilter kept %d/%d genomes for the exact "
+                  "statistics pass.", first_read_file, candidates.size,
+                  len(genome_sketches))
+        candidate_iter = ((int(i), genome_sketches[int(i)])
+                          for i in candidates)
     results = []
-    for i, g in enumerate(genome_sketches):
+    for i, g in candidate_iter:
         r = get_stats(opts, g, i, sample, None, -1, opts.log_reassignments,
                       device_engine)
         if r is not None:
@@ -344,9 +383,10 @@ def contain(opts: ContainOptions, pseudotax: bool,
     if opts.tpu:
         from .device_exec import DeviceContainment, device_available
         if device_available():
+            import jax
             device_engine = DeviceContainment(genome_sketches)
             log.info("Containment runs on %d device(s).",
-                     1)
+                     len(jax.devices()))
         else:
             log.warning("--tpu requested but no JAX device available; "
                         "falling back to the host engine.")
@@ -355,17 +395,14 @@ def contain(opts: ContainOptions, pseudotax: bool,
     n_raw = len(read_files)
     print_header(opts.pseudotax, out, opts.estimate_unknown)
     # sample-level parallelism mirrors the reference's chunked par_iter
-    # (src/contain.rs:239-256, 266-267): profile uses threads/3+1 workers,
-    # query min(#samples, threads). The device engine serializes samples
-    # (one containment join at a time keeps the index resident / cache hot).
+    # (src/contain.rs:239-256, 266-267). The device engine serializes
+    # samples (one containment join at a time keeps the index resident /
+    # cache hot).
     if device_engine is not None:
         step = 1
-    elif opts.sample_threads is not None:
-        step = max(1, opts.sample_threads)
-    elif opts.pseudotax:
-        step = opts.threads // 3 + 1
     else:
-        step = max(1, min(len(all_samples), opts.threads))
+        step = sample_parallelism_step(opts.pseudotax, opts.threads,
+                                       opts.sample_threads, n_raw)
 
     def handle(item):
         j, rf = item

@@ -163,9 +163,10 @@ def _parse_fasta(path, data, skip_names) -> ParsedFastx:
 
 def _parse_fastq(path, data, skip_names) -> ParsedFastx:
     ls, le = _line_index(data)
-    # drop trailing blank lines
-    while ls.size and le[-1] <= ls[-1]:
-        ls, le = ls[:-1], le[:-1]
+    # drop blank lines (between records and at EOF) like the native decoder;
+    # degenerate empty-sequence records are rejected by the stride check
+    nonblank = le > ls
+    ls, le = ls[nonblank], le[nonblank]
     if ls.size % 4 != 0:
         raise FastxParseError(f"{path}: truncated fastq (lines % 4 != 0)")
     hdr_s, hdr_e = ls[0::4], le[0::4]

@@ -67,18 +67,21 @@ def build_bucketed_index(hi: np.ndarray, lo: np.ndarray, c: int,
     return BucketedIndex(out_hi, out_lo, out_pos, width, B, m)
 
 
-def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int):
+def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int,
+                       base: int = 0):
     """Dense [B(+1), CS] layout of a HASH-SORTED sample table (jnp).
 
     Zero-weight rows (padding) route to the overflow bucket B. Rank within
     bucket via run-start cummax — the input is sorted so bucket ids are
-    nondecreasing.
+    nondecreasing. ``base`` shifts the bucket origin for range-chunked
+    indexes (grange join): bucket = (hash_hi - base) // width; values below
+    base wrap to huge u32 and land in the overflow bucket.
     """
     t = shi.shape[0]
     # hash_hi < 2^32/c <= 2^31 for c >= 2, so u32 division stays exact.
     # Hashes past the index's range (a sample sketched with smaller c) can
     # match nothing — route them to the overflow bucket with the padding.
-    raw = shi // jnp.uint32(width)
+    raw = (shi - jnp.uint32(base)) // jnp.uint32(width)
     in_range = raw < jnp.uint32(B)
     b = jnp.where(in_range & (sw > 0), raw.astype(jnp.int32), B)
     idx = jnp.arange(t, dtype=jnp.int32)
@@ -131,13 +134,14 @@ def _join_xla(ihi, ilo, shi, slo, sw):
                              jnp.zeros(ihi.shape, jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "B", "CS",
+@functools.partial(jax.jit, static_argnames=("width", "B", "CS", "base",
                                              "interpret", "force_xla"))
 def bucket_join_device(ihi, ilo, shi, slo, sw, *, width: int, B: int,
-                       CS: int, interpret: bool = False,
+                       CS: int, base: int = 0, interpret: bool = False,
                        force_xla: bool = False):
     """[B, CI] per-slot sample multiplicities for a bucketed index."""
-    dh, dl, dw = _sample_to_buckets(shi, slo, sw, width=width, B=B, CS=CS)
+    dh, dl, dw = _sample_to_buckets(shi, slo, sw, width=width, B=B, CS=CS,
+                                    base=base)
     CI = ihi.shape[1]
     if force_xla or (jax.default_backend() == "cpu" and not interpret):
         return _join_xla(ihi, ilo, dh, dl, dw)
@@ -191,11 +195,13 @@ def bucket_join_hist(ihi, ilo, gid_grid, shi, slo, sw, *, width: int,
     return flat[:G * H].reshape(G, H)
 
 
-def sample_cs(t_real: int, B: int) -> int:
-    """Sample-side bucket capacity: mean + 6 sigma, 8/128-lane rounded."""
+def sample_cs(t_real: int, B: int, granularity: int = 128) -> int:
+    """Sample-side bucket capacity: mean + 6 sigma, rounded up to
+    ``granularity`` (compare-kernel work is linear in CS, so the grange
+    join uses granularity 8; the whole-range join keeps 128-lane tiles)."""
     mean = max(1.0, t_real / B)
     cs = int(np.ceil(mean + 6.0 * np.sqrt(mean) + 8))
-    return -(-cs // 128) * 128 if cs > 8 else 8
+    return -(-cs // granularity) * granularity if cs > 8 else 8
 
 
 def bucket_join_counts(bidx: BucketedIndex, shi, slo, sw, t_real: int,

@@ -84,3 +84,21 @@ def test_individual_contain(db, tmp_path):
         individual=True, minimum_ani=85.0), pseudotax=False, out=out)
     lines = out.getvalue().strip().splitlines()
     assert len(lines) >= 3              # the o157 fixture has 2 contigs
+
+
+def test_sample_parallelism_step_table():
+    """Heuristic table vs sylph src/contain.rs:239-256."""
+    from sylph_tpu.engine.runner import sample_parallelism_step as step
+    # profile: max(threads/3 + 1, min(n_raw, threads))
+    assert step(True, 3, None, 0) == 2          # 3/3+1=2, min(0,3)=0
+    assert step(True, 3, None, 1) == 2
+    assert step(True, 3, None, 10) == 3         # min(10,3)=3 > 2
+    assert step(True, 64, None, 2) == 22        # 64/3+1=22 > min(2,64)
+    assert step(True, 64, None, 40) == 40       # min(40,64)=40 > 22
+    # query: max(1, min(n_raw, threads))
+    assert step(False, 3, None, 0) == 1
+    assert step(False, 3, None, 2) == 2
+    assert step(False, 8, None, 100) == 8
+    # explicit --sample-threads wins; 0 clamps to 1
+    assert step(True, 64, 5, 100) == 5
+    assert step(False, 3, 0, 100) == 1

@@ -22,7 +22,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
+# hard timeout guard lives in the subprocess communicate(timeout=540)
 def test_two_process_profile(tmp_path):
     port = _free_port()
     coord = f"localhost:{port}"

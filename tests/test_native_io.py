@@ -52,3 +52,17 @@ def test_malformed(tmp_path, lib_available):
     p2.write_text("hello world\n")
     with pytest.raises(FastxParseError):
         parse_fastx_native(str(p2))
+
+
+def test_interior_blank_lines(tmp_path, lib_available):
+    # blank lines BETWEEN fastq records are skipped, not a parse error
+    p = tmp_path / "blank.fq"
+    p.write_text("@r1\nACGTACGT\n+\nIIIIIIII\n\n\n@r2\nTTTTGGGG\n+\n"
+                 "IIIIIIII\n\n")
+    b = parse_fastx_native(str(p))
+    assert b is not None
+    assert b.n_records == 2
+    assert b.names == ["r1", "r2"]
+    a = parse_fastx_py(str(p))
+    assert (a.codes == b.codes).all()
+    assert (a.starts == b.starts).all()
