@@ -48,20 +48,26 @@ def device_available() -> bool:
 class DeviceContainment:
     """Holds the flattened genome index on device; serves per-sample counts.
 
-    Chunked along the index axis so arbitrarily large databases stream
-    through fixed-shape device programs (one compile per chunk shape).
-    Above BUCKET_MIN k-mers each chunk is pre-bucketed by hash range and
-    joined with the dense compare kernel (the static index is never
-    re-sorted per sample). Measured on v5e: 2.4x faster than the merge
-    join at 33.5M index vs 4.2M sample k-mers, but SLOWER at comparable
-    sizes (index ~ sample) — so it engages only for large databases where
-    index >> sample.
+    Three regimes by total index size:
+      - merge (< BUCKET_MIN): chunked sort-merge join; exact per-k-mer
+        counts cached per sample.
+      - bucket (< GRANGE_MIN): whole-range bucketed compare join per chunk
+        (the static index is never re-sorted per sample). Measured on v5e:
+        2.4x faster than the merge join at 33.5M index vs 4.2M sample
+        k-mers, but SLOWER at comparable sizes (index ~ sample).
+      - grange (>= GRANGE_MIN, database scale): globally hash-sorted
+        range-chunked layout (tpu/grange.py). Per-sample output is the
+        per-genome coverage HISTOGRAM only (the multiset pass-1 statistics
+        need); exact per-k-mer counts for the few surviving genomes come
+        from the host probe, so fetching 10^8-10^9 counts through the
+        interconnect is never required.
     """
 
     CHUNK = 1 << 22       # index k-mers per device call
     BUCKET_MIN = 1 << 24  # bucketed join at/above this total index size
+    GRANGE_MIN = 1 << 26  # global-range layout at/above this total size
 
-    def __init__(self, genome_sketches: List[GenomeSketch]):
+    def __init__(self, genome_sketches: List[GenomeSketch], devices=None):
         import jax
 
         from ..tpu import configure_persistent_cache
@@ -69,7 +75,33 @@ class DeviceContainment:
 
         configure_persistent_cache()
         self._jax = jax
+        self._genome_sketches = genome_sketches
         total = int(sum(g.genome_kmers.size for g in genome_sketches))
+        self._grange = None
+        self._sharded = None
+        self._devices = list(devices) if devices is not None \
+            else jax.devices()
+        self._cache_key = None
+        self._cache_counts: Optional[np.ndarray] = None
+        if total >= self.GRANGE_MIN:
+            from ..tpu.grange import GRangeEngine, build_grange_index
+            kmers = np.concatenate(
+                [g.genome_kmers for g in genome_sketches]).astype(np.uint64)
+            gids = np.repeat(
+                np.arange(len(genome_sketches), dtype=np.int32),
+                [g.genome_kmers.size for g in genome_sketches])
+            gidx = build_grange_index(kmers, gids, len(genome_sketches))
+            del kmers, gids
+            self._grange = GRangeEngine(gidx, devices=self._devices)
+            log.debug(
+                "Device index (grange): %d genomes, %d k-mers, %d chunks "
+                "of [%d, %d] buckets, %d spilled, over %d device(s)",
+                len(genome_sketches), total, len(gidx.chunk_hi), gidx.B,
+                gidx.CI, gidx.spill_kmers.size, len(self._devices))
+            return
+        if len(self._devices) > 1:
+            self._init_sharded(jax, genome_sketches)
+            return
         # pad to the next power of two (>=1024) so compile shapes are
         # bounded: one program per distinct (chunk, sample) shape pair
         m = 1024
@@ -81,11 +113,10 @@ class DeviceContainment:
         self.offsets = np.concatenate(
             [[0], np.cumsum(self.index.n_kmers.astype(np.int64))])
         m = self.index.hi.size
-        # index chunks round-robin across all local devices: each chunk's
-        # join runs on its resident device, so multi-chip hosts process
-        # chunks in parallel (async dispatch) with no collectives needed —
-        # per-chunk counts concatenate on host.
-        self._devices = jax.devices()
+        # index chunks round-robin across all selected devices: each
+        # chunk's join runs on its resident device, so chunks process in
+        # parallel (async dispatch) with no collectives needed — per-chunk
+        # counts concatenate on host.
         self._use_buckets = (total >= self.BUCKET_MIN)
         if self._use_buckets:
             from ..tpu.bucket_join import build_bucketed_index
@@ -106,14 +137,47 @@ class DeviceContainment:
                                       self.index.lo[s:s + self.CHUNK]),
                                      self._devices[i % len(self._devices)]))
                 for i, s in enumerate(range(0, m, self.CHUNK))]
-        self._cache_key = None
-        self._cache_counts: Optional[np.ndarray] = None
         log.debug("Device index: %d genomes, %d k-mers, %d %s chunk(s) over "
                   "%d device(s)", len(genome_sketches), m,
                   len(self._bchunks) if self._use_buckets
                   else len(self._chunks),
                   "bucketed" if self._use_buckets else "merge-join",
                   len(self._devices))
+
+    def _init_sharded(self, jax, genome_sketches: List[GenomeSketch]):
+        """Multi-device mode: the genome index shards over a 1-D ('ip',)
+        mesh; each device merge-joins the (replicated) sample table against
+        its shard under shard_map and the sharded output concatenates to
+        exact per-k-mer counts — the multi-chip analog of the reference's
+        per-genome rayon fan-out (src/contain.rs:266-307), with bit-parity
+        preserved because statistics stay on the host."""
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..tpu.containment import merge_join_counts
+        from ..tpu.pipeline import build_host_index
+
+        n_dev = len(self._devices)
+        # pad so the M axis shards evenly at any sample-pad shape
+        m = 1024 * n_dev
+        total = int(sum(g.genome_kmers.size for g in genome_sketches))
+        while m < total:
+            m *= 2
+        self.index = build_host_index(
+            [g.genome_kmers for g in genome_sketches], pad_multiple=m)
+        self.offsets = np.concatenate(
+            [[0], np.cumsum(self.index.n_kmers.astype(np.int64))])
+        mesh = Mesh(np.asarray(self._devices), ("ip",))
+        self._shard_smp = NamedSharding(mesh, P())
+        fn = jax.shard_map(
+            merge_join_counts, mesh=mesh,
+            in_specs=(P("ip"), P("ip"), P(), P(), P()),
+            out_specs=P("ip"), check_vma=False)
+        self._sharded = jax.jit(fn)
+        self._idx_dev = jax.device_put(
+            (self.index.hi, self.index.lo), NamedSharding(mesh, P("ip")))
+        log.debug("Device index (sharded): %d genomes, %d k-mers over %d "
+                  "device(s)", len(genome_sketches), m, n_dev)
 
     def _counts(self, sample: SequencesSketch) -> np.ndarray:
         # cache by identity; keep a strong ref so a GC'd sample's id can't
@@ -135,6 +199,17 @@ class DeviceContainment:
         shi[:skmers.size] = hi
         slo[:skmers.size] = lo
         wts[:skmers.size] = scounts
+        if self._sharded is not None:
+            from ..utils.timing import stage_timer
+            smp = jax.device_put((shi, slo, wts), self._shard_smp)
+            with stage_timer(
+                    f"sharded containment join ({self.index.hi.size} "
+                    f"k-mers x {skmers.size} sample k-mers, "
+                    f"{len(self._devices)} devices)"):
+                counts = np.asarray(self._sharded(*self._idx_dev, *smp))
+            self._cache_key = sample
+            self._cache_counts = counts
+            return counts
         # replicate the (tiny) sample table onto every device hosting chunks
         n_chunks = (len(self._bchunks) if self._use_buckets
                     else len(self._chunks))
@@ -175,9 +250,34 @@ class DeviceContainment:
         self._cache_counts = counts
         return counts
 
+    def hists(self, sample: SequencesSketch) -> np.ndarray:
+        """[G, 64] per-genome multiplicity histograms for the batched
+        prefilter — the device replacement for probing every genome."""
+        if self._grange is not None:
+            skmers, scounts = sample.sorted_view()
+            from ..utils.timing import stage_timer
+            with stage_timer(
+                    f"device grange hists ({self._grange.gidx.m} k-mers x "
+                    f"{skmers.size} sample k-mers)"):
+                return self._grange.hists(skmers.astype(np.uint64),
+                                          scounts)
+        counts = self._counts(sample)
+        gids = self.index.genome_ids
+        G = int(self.index.n_genomes)
+        m = (counts > 0) & (gids < G)
+        seg = (gids[m].astype(np.int64) * 64
+               + np.minimum(counts[m].astype(np.int64), 63))
+        return np.bincount(seg, minlength=G * 64).reshape(G, 64)
+
     def genome_covs(self, genome_index: int, sample: SequencesSketch,
                     winner=None, self_group: int = -1):
         """Drop-in for engine.containment.genome_covs using device counts."""
+        if self._grange is not None:
+            # database-scale mode: exact counts for the few candidate
+            # genomes come from the host probe (the f64 parity oracle)
+            from .containment import genome_covs as host_covs
+            return host_covs(self._genome_sketches[genome_index], sample,
+                             winner, self_group)
         counts = self._counts(sample)
         s, e = self.offsets[genome_index], self.offsets[genome_index + 1]
         cts = counts[s:e]

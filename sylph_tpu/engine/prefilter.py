@@ -197,13 +197,10 @@ def prefilter_candidates(opts, sample, genome_sketches,
     min_ani = (opts.minimum_ani / 100.0 if opts.minimum_ani is not None
                else (MIN_ANI_P_DEF if opts.pseudotax else MIN_ANI_DEF))
     if device_engine is not None:
-        counts = device_engine._counts(sample)
-        gids = device_engine.index.genome_ids
-        chunks = iter([(counts.astype(np.int64),
-                        gids.astype(np.int64))])
+        hist = device_engine.hists(sample).astype(np.int64)
+        assert hist.shape == (G, _H)
     else:
-        chunks = host_counts_chunks(genome_sketches, sample)
-    hist = genome_hists(chunks, G)
+        hist = genome_hists(host_counts_chunks(genome_sketches, sample), G)
     n_kmers = np.array([g.genome_kmers.size for g in genome_sketches],
                        dtype=np.int64)
     keep = candidate_mask(

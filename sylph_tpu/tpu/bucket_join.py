@@ -81,7 +81,7 @@ def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int,
     # hash_hi < 2^32/c <= 2^31 for c >= 2, so u32 division stays exact.
     # Hashes past the index's range (a sample sketched with smaller c) can
     # match nothing — route them to the overflow bucket with the padding.
-    raw = (shi - jnp.uint32(base)) // jnp.uint32(width)
+    raw = (shi - jnp.asarray(base, jnp.uint32)) // jnp.uint32(width)
     in_range = raw < jnp.uint32(B)
     b = jnp.where(in_range & (sw > 0), raw.astype(jnp.int32), B)
     idx = jnp.arange(t, dtype=jnp.int32)

@@ -1,5 +1,6 @@
 """DeviceContainment chunked/multi-device index vs exact numpy counts."""
 
+import jax
 import numpy as np
 
 from sylph_tpu.core.types import GenomeSketch, SequencesSketch
@@ -24,7 +25,8 @@ def test_bucketed_engine_counts(monkeypatch):
     sample = SequencesSketch(kmers=skm, counts=scnt, c=c, k=31,
                              file_name="s", sample_name=None, paired=False,
                              mean_read_length=150.0)
-    eng = DeviceContainment(genomes)
+    # pin one device: the chunked regimes are the single-device path
+    eng = DeviceContainment(genomes, devices=[jax.devices()[0]])
     assert eng._use_buckets and len(eng._bchunks) > 1
     m = dict(zip(skm.tolist(), scnt.tolist()))
     for gi, g in enumerate(genomes):
@@ -49,7 +51,7 @@ def test_multi_chunk_multi_device_counts(monkeypatch):
     sample = SequencesSketch(kmers=skm, counts=scnt, c=100, k=31,
                              file_name="s", sample_name=None, paired=False,
                              mean_read_length=150.0)
-    eng = DeviceContainment(genomes)
+    eng = DeviceContainment(genomes, devices=[jax.devices()[0]])
     assert len(eng._chunks) > 1     # the chunked path is actually exercised
     m = dict(zip(skm.tolist(), scnt.tolist()))
     for gi, g in enumerate(genomes):
@@ -57,3 +59,37 @@ def test_multi_chunk_multi_device_counts(monkeypatch):
         want = sorted(m[int(km)] for km in g.genome_kmers if int(km) in m)
         assert covs.tolist() == want
         assert lost == 0
+
+
+def test_sharded_multi_device_counts():
+    """>1 device => shard_map merge join over the ('ip',) mesh; counts must
+    be bit-identical to the single-device chunked engine."""
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device mesh")
+    rng = np.random.default_rng(7)
+    pool = rng.integers(0, 1 << 48, size=4000, dtype=np.uint64)
+    genomes = []
+    for g in range(16):
+        ks = rng.choice(pool, size=800, replace=False).astype(np.uint64)
+        genomes.append(GenomeSketch(
+            genome_kmers=ks, pseudotax_tracked_nonused_kmers=None,
+            file_name=f"g{g}", first_contig_name=f"c{g}", c=100, k=31,
+            gn_size=100000, min_spacing=30))
+    skm = rng.choice(pool, size=2000, replace=False).astype(np.uint64)
+    scnt = rng.integers(1, 5, size=2000).astype(np.uint32)
+    sample = SequencesSketch(kmers=skm, counts=scnt, c=100, k=31,
+                             file_name="s", sample_name=None, paired=False,
+                             mean_read_length=150.0)
+    eng_sh = DeviceContainment(genomes)
+    assert eng_sh._sharded is not None
+    eng_1 = DeviceContainment(genomes, devices=[jax.devices()[0]])
+    c_sh = eng_sh._counts(sample)
+    c_1 = eng_1._counts(sample)
+    n = min(c_sh.size, c_1.size)      # pad tails may differ in length
+    assert (c_sh[:n] == c_1[:n]).all()
+    assert not c_sh[n:].any() and not c_1[n:].any()
+    for gi in range(len(genomes)):
+        a, la = eng_sh.genome_covs(gi, sample)
+        b, lb = eng_1.genome_covs(gi, sample)
+        assert a.tolist() == b.tolist() and la == lb

@@ -1,0 +1,184 @@
+"""Global-range bucketed join (tpu/grange.py) vs a numpy oracle."""
+
+import numpy as np
+import pytest
+
+from sylph_tpu.tpu.grange import (HIST_H, GRangeEngine, build_grange_index,
+                                  slice_sample)
+
+
+def _oracle_hists(kmers, gids, G, skmers, scounts):
+    hist = np.zeros((G, HIST_H), np.int64)
+    idx = np.searchsorted(skmers, kmers)
+    idxc = np.minimum(idx, max(skmers.size - 1, 0))
+    found = (idx < skmers.size)
+    if skmers.size:
+        found &= skmers[idxc] == kmers
+    cts = np.where(found, scounts[idxc] if scounts.size else 0, 0)
+    live = cts > 0
+    np.add.at(hist, (gids[live], np.minimum(cts[live], HIST_H - 1)), 1)
+    return hist
+
+
+def _world(seed, m=200_000, G=50, t=5_000, c=20, dup_frac=0.1):
+    rng = np.random.default_rng(seed)
+    thr = ((1 << 64) - 1) // c
+    kmers = rng.integers(0, thr, size=m, dtype=np.uint64)
+    # duplicate a slab of k-mers across many genomes (GTDB-style strains)
+    ndup = int(m * dup_frac)
+    kmers[:ndup] = rng.choice(kmers[ndup:ndup * 2], size=ndup)
+    gids = rng.integers(0, G, size=m).astype(np.int32)
+    # sample overlaps the index for ~half its table
+    sk = np.unique(np.concatenate([
+        rng.choice(kmers, size=t // 2),
+        rng.integers(0, thr, size=t // 2, dtype=np.uint64)]))
+    sc = rng.integers(1, 100, size=sk.size).astype(np.uint32)
+    return kmers, gids, sk, sc
+
+
+@pytest.mark.parametrize("seed,chunk_slots,target_mean", [
+    (0, 1 << 16, 64), (1, 1 << 15, 512), (2, 1 << 18, 128)])
+def test_grange_hist_matches_oracle(seed, chunk_slots, target_mean):
+    kmers, gids, sk, sc = _world(seed)
+    G = 50
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=chunk_slots,
+                              target_mean=target_mean)
+    eng = GRangeEngine(gidx)
+    got = eng.hists(sk, sc)
+    want = _oracle_hists(kmers, gids, G, sk, sc)
+    assert (got == want).all()
+
+
+def test_grange_spill_forced():
+    # tiny ci_cap forces heavy spill; result must still be exact
+    kmers, gids, sk, sc = _world(3, m=50_000, dup_frac=0.4)
+    G = 50
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 14,
+                              target_mean=256, ci_cap=8)
+    assert gidx.spill_kmers.size > 0
+    eng = GRangeEngine(gidx)
+    got = eng.hists(sk, sc)
+    want = _oracle_hists(kmers, gids, G, sk, sc)
+    assert (got == want).all()
+
+
+def test_grange_boundary_duplicates():
+    # the same k-mer value repeated enough to straddle chunk boundaries
+    rng = np.random.default_rng(4)
+    c = 20
+    thr = ((1 << 64) - 1) // c
+    base = rng.integers(0, thr, size=1000, dtype=np.uint64)
+    kmers = np.repeat(base, 40)             # 40k k-mers, runs of 40
+    gids = np.arange(kmers.size, dtype=np.int32) % 7
+    G = 7
+    sk = np.unique(base[::3])
+    sc = rng.integers(1, 5, size=sk.size).astype(np.uint32)
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 10,
+                              target_mean=64)
+    # with 1024-slot chunks and 40-long runs, some run MUST straddle
+    eng = GRangeEngine(gidx)
+    got = eng.hists(sk, sc)
+    want = _oracle_hists(kmers, gids, G, sk, sc)
+    assert (got == want).all()
+
+
+def test_grange_empty_sample():
+    kmers, gids, _sk, _sc = _world(5, m=10_000, t=10)
+    gidx = build_grange_index(kmers, gids, 50, chunk_slots=1 << 12)
+    eng = GRangeEngine(gidx)
+    got = eng.hists(np.empty(0, np.uint64), np.empty(0, np.uint32))
+    assert got.sum() == 0
+
+
+def test_slice_sample_covers_all_matches():
+    kmers, gids, sk, sc = _world(6, m=100_000)
+    gidx = build_grange_index(kmers, gids, 50, chunk_slots=1 << 14)
+    slices = slice_sample(gidx, sk)
+    covered = np.zeros(sk.size, bool)
+    for s, e in slices:
+        covered[s:e] = True
+    # every sample k-mer that exists in the index must appear in a slice
+    in_index = np.isin(sk, kmers)
+    assert covered[in_index].all()
+
+
+def test_grange_cli_parity(tmp_path, monkeypatch):
+    """profile --tpu with the grange engine forced: byte-identical TSV."""
+    import gzip
+    import io
+
+    from sylph_tpu.engine.device_exec import DeviceContainment
+    from sylph_tpu.engine.runner import ContainOptions, contain
+    from sylph_tpu.engine.sketch_cmd import SketchOptions, sketch
+
+    rng = np.random.default_rng(21)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_genomes, glen = 80, 20_000
+    genomes, paths = [], []
+    for g in range(n_genomes):
+        seq = rng.integers(0, 4, size=glen).astype(np.uint8)
+        genomes.append(seq)
+        p = tmp_path / f"g{g:03d}.fa.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(b">genome%03d\n" % g + BASES[seq].tobytes() + b"\n")
+        paths.append(str(p))
+    reads = []
+    for t, cov in [(3, 2.0), (40, 0.35), (77, 6.0)]:
+        src = genomes[t]
+        for s in rng.integers(0, glen - 150,
+                              size=int(glen * cov / 150)):
+            reads.append(src[s:s + 150].copy())
+    rf = tmp_path / "sample.fq"
+    with open(rf, "wb") as f:
+        for i in rng.permutation(len(reads)):
+            f.write(b"@r%d\n" % i + BASES[reads[i]].tobytes()
+                    + b"\n+\n" + b"I" * 150 + b"\n")
+    sketch(SketchOptions(files=[], genomes=paths, reads=[str(rf)],
+                         db_out_name=str(tmp_path / "db"),
+                         sample_output_dir=str(tmp_path), c=25, k=31,
+                         threads=4))
+
+    def run(tpu):
+        out = io.StringIO()
+        contain(ContainOptions(
+            files=[str(tmp_path / "db.syldb"),
+                   str(tmp_path / "sample.fq.sylsp")], tpu=tpu),
+            pseudotax=True, out=out)
+        return out.getvalue()
+
+    host = run(tpu=False)
+    monkeypatch.setattr(DeviceContainment, "GRANGE_MIN", 0)
+    dev = run(tpu=True)
+    assert dev == host
+    assert len(host.strip().splitlines()) > 1
+
+
+def test_hist_device_stream_matches_oracle():
+    import jax
+    import jax.numpy as jnp
+
+    from sylph_tpu.tpu import u64
+    from sylph_tpu.tpu.grange import SENT
+
+    kmers, gids, sk, sc = _world(9, m=150_000, t=4_000)
+    G = 50
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 15,
+                              target_mean=128)
+    eng = GRangeEngine(gidx, devices=[jax.devices()[0]])
+    # occurrence stream: each kmer repeated count times (counts clamped
+    # small to keep the stream manageable), sentinel-padded, sorted
+    sc_small = np.minimum(sc, 3)
+    occ = np.repeat(sk, sc_small)
+    hi, lo = u64.from_u64_np(occ)
+    pad = (1 << int(np.ceil(np.log2(occ.size + 1)))) - occ.size
+    hi = np.concatenate([hi, np.full(pad, SENT, np.uint32)])
+    lo = np.concatenate([lo, np.full(pad, SENT, np.uint32)])
+    shi, slo = jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
+    hist, check = eng.hist_device_stream(shi, slo)
+    assert check()
+    got = np.asarray(hist)[:G * 64].reshape(G, 64).astype(np.int64)
+    # device path has no spill handling on-device; fold it in like hists()
+    want = _oracle_hists(kmers, gids, G, sk, sc_small.astype(np.uint32))
+    if gidx.spill_kmers.size:
+        pytest.skip("spill present; device-stream path excludes spill")
+    assert (got == want).all()
