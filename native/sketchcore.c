@@ -122,6 +122,104 @@ static int set_check_insert(Set128 *s, uint64_t a, uint64_t b, int *oom) {
     return 0;
 }
 
+/* ---------- scalable blocked-bloom pair filter (fpr > 0) ----------
+ *
+ * Memory-bounded replacement for the exact pair set, mirroring the
+ * reference's ScalableCuckooFilter role (sylph src/sketch.rs:733-768,
+ * 796-804): an approximate member test whose total false-positive
+ * probability is bounded by the user's --fpr. Chain of blocked-bloom
+ * levels; level i holds CAP0<<i keys at fpr_i = fpr / 2^(i+1) (geometric
+ * sum <= fpr). Each key touches ONE 512-bit cache line per level. The
+ * layout is a deterministic function of (key, level) so the pure-Python
+ * fallback reproduces decisions bit-for-bit. */
+
+#define BLOOM_CAP0 (1u << 23)
+#define BLOOM_MAX_LEVELS 24
+
+typedef struct {
+    uint64_t *bits;         /* n_blocks * 8 u64 words */
+    uint64_t n_blocks;
+    uint32_t k;             /* hash bits set per key */
+    uint64_t cap, n;
+} BloomLevel;
+
+typedef struct {
+    BloomLevel lv[BLOOM_MAX_LEVELS];
+    int n_levels;
+    double fpr;
+} Bloom;
+
+static int bloom_level_init(BloomLevel *l, uint64_t cap, double fpr_i) {
+    /* k = ceil(log2(1/fpr_i)); m = cap*k/ln2 bits, rounded up to blocks */
+    uint32_t k = 1;
+    double p = 0.5;
+    while (p > fpr_i && k < 21) { k++; p *= 0.5; }
+    l->k = k;
+    double bits = (double)cap * (double)k / 0.6931471805599453;
+    l->n_blocks = (uint64_t)(bits / 512.0) + 1;
+    l->bits = (uint64_t *)calloc(l->n_blocks * 8, sizeof(uint64_t));
+    l->cap = cap;
+    l->n = 0;
+    return l->bits != NULL;
+}
+
+static int bloom_init(Bloom *b, double fpr) {
+    b->fpr = fpr;
+    b->n_levels = 1;
+    return bloom_level_init(&b->lv[0], BLOOM_CAP0, fpr * 0.5);
+}
+
+static void bloom_free(Bloom *b) {
+    for (int i = 0; i < b->n_levels; i++) free(b->lv[i].bits);
+}
+
+/* 1 if the key hashes all-set in level li (maybe-present) */
+static inline int bloom_level_test(const BloomLevel *l, int li,
+                                   uint64_t h, int insert) {
+    /* block: multiply-shift of a level-salted rehash; in-block bit
+     * positions: consecutive 9-bit fields of two further rehashes */
+    uint64_t h1 = mix64(h + (uint64_t)(2 * li + 1));
+    uint64_t block = (uint64_t)(((__uint128_t)h1 * l->n_blocks) >> 64);
+    uint64_t *blk = l->bits + block * 8;
+    uint64_t h2 = mix64(h1 ^ 0x9e3779b97f4a7c15ULL);
+    uint64_t h3 = mix64(h2 ^ 0xd1b54a32d192ed03ULL);
+    uint64_t h4 = mix64(h3 ^ 0x2545f4914f6cdd1dULL);
+    int all = 1;
+    for (uint32_t j = 0; j < l->k; j++) {
+        uint64_t hw = (j < 7) ? h2 : (j < 14) ? h3 : h4;
+        uint32_t pos = (uint32_t)((hw >> (9 * (j % 7))) & 511u);
+        uint64_t bit = 1ULL << (pos & 63u);
+        uint64_t *word = blk + (pos >> 6);
+        if (!(*word & bit)) {
+            all = 0;
+            if (insert) *word |= bit; else return 0;
+        }
+    }
+    return all;
+}
+
+/* contains-then-insert, matching set_check_insert semantics */
+static int bloom_check_insert(Bloom *b, uint64_t a, uint64_t bkey,
+                              int *oom) {
+    uint64_t h = mix64(a) ^ mix64(bkey * 0x9e3779b97f4a7c15ULL);
+    for (int i = 0; i < b->n_levels; i++)
+        if (bloom_level_test(&b->lv[i], i, h, 0)) return 1;
+    BloomLevel *last = &b->lv[b->n_levels - 1];
+    if (last->n >= last->cap && b->n_levels < BLOOM_MAX_LEVELS) {
+        double fpr_i = b->fpr;
+        for (int i = 0; i <= b->n_levels; i++) fpr_i *= 0.5;
+        if (!bloom_level_init(&b->lv[b->n_levels], last->cap * 2, fpr_i)) {
+            *oom = 1;
+            return 0;
+        }
+        b->n_levels++;
+        last = &b->lv[b->n_levels - 1];
+    }
+    bloom_level_test(last, b->n_levels - 1, h, 1);
+    last->n++;
+    return 0;
+}
+
 /* ---------- 1. dedup fold ---------- */
 
 /* Segments are runs of k-mers sharing one dedup decision context (one read,
@@ -134,17 +232,22 @@ static int set_check_insert(Set128 *s, uint64_t a, uint64_t b, int *oom) {
  *                   vs same-pair R1, sylph src/sketch.rs:851-853)
  * threshold: dedup consulted only while count < threshold (single-end
  * MAX_DEDUP_COUNT=4; pass UINT32_MAX for paired).
+ * fpr: 0 => exact pair set; > 0 => scalable blocked-bloom bounded at that
+ * total false-positive probability (reference src/sketch.rs:830-846).
  */
 int64_t sk_dedup_fold(const uint64_t *kmers, int64_t n_kmers,
                       const int64_t *seg_starts, int64_t n_segs,
                       const uint64_t *fp, const uint8_t *fp_valid,
                       const uint8_t *filter_prev,
-                      int no_dedup, uint32_t threshold,
+                      int no_dedup, uint32_t threshold, double fpr,
                       uint64_t **out_kmers, uint32_t **out_counts,
                       int64_t *out_n) {
     Map64 counts;
     Set128 pairs;
+    Bloom bloom;
+    int use_bloom = (fpr > 0.0) && !no_dedup;
     if (!map_init(&counts, 1 << 16) || !set_init(&pairs, 1 << 16)) return -1;
+    if (use_bloom && !bloom_init(&bloom, fpr)) return -1;
     uint64_t *order = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)(n_kmers > 16 ? n_kmers : 16));
     int64_t n_order = 0;
     if (!order) return -1;
@@ -170,12 +273,16 @@ int64_t sk_dedup_fold(const uint64_t *kmers, int64_t n_kmers,
             int64_t slot = map_slot(&counts, km);
             uint32_t c = counts.used[slot] ? counts.vals[slot] : 0;
             if (!no_dedup && c < threshold && fp_valid && fp_valid[s]) {
+                uint64_t p0 = fp[4 * s + 0] << 32 | (uint32_t)fp[4 * s + 1];
+                uint64_t p1 = fp[4 * s + 2] << 32 | (uint32_t)fp[4 * s + 3];
                 int ret = 0;
-                int in0 = set_check_insert(&pairs, km, fp[4 * s + 0] << 32
-                                           | (uint32_t)fp[4 * s + 1], &oom);
+                int in0 = use_bloom
+                    ? bloom_check_insert(&bloom, km, p0, &oom)
+                    : set_check_insert(&pairs, km, p0, &oom);
                 if (in0 && c > 0) ret = 1;
-                int in1 = set_check_insert(&pairs, km, fp[4 * s + 2] << 32
-                                           | (uint32_t)fp[4 * s + 3], &oom);
+                int in1 = use_bloom
+                    ? bloom_check_insert(&bloom, km, p1, &oom)
+                    : set_check_insert(&pairs, km, p1, &oom);
                 if (in1 && c > 0) ret = 1;
                 if (ret) { ndup++; continue; }
             }
@@ -198,6 +305,7 @@ int64_t sk_dedup_fold(const uint64_t *kmers, int64_t n_kmers,
         free(order);
         free(counts.keys); free(counts.vals); free(counts.used);
         free(pairs.k1); free(pairs.k2); free(pairs.used);
+        if (use_bloom) bloom_free(&bloom);
         return -1;
     }
     uint64_t *ok = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)(n_order > 0 ? n_order : 1));
@@ -210,6 +318,7 @@ int64_t sk_dedup_fold(const uint64_t *kmers, int64_t n_kmers,
     free(order);
     free(counts.keys); free(counts.vals); free(counts.used);
     free(pairs.k1); free(pairs.k2); free(pairs.used);
+    if (use_bloom) bloom_free(&bloom);
     *out_kmers = ok;
     *out_counts = oc;
     *out_n = n_order;

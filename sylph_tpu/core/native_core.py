@@ -57,7 +57,7 @@ def get_lib():
             return None
         lib.sk_dedup_fold.argtypes = [
             _U64P, ctypes.c_int64, _I64P, ctypes.c_int64, _U64P, _U8P,
-            _U8P, ctypes.c_int, ctypes.c_uint32,
+            _U8P, ctypes.c_int, ctypes.c_uint32, ctypes.c_double,
             ctypes.POINTER(_U64P), ctypes.POINTER(_U32P), _I64P]
         lib.sk_dedup_fold.restype = ctypes.c_int64
         lib.sk_spacing_scan.argtypes = [
@@ -77,12 +77,14 @@ def _p(arr, typ):
 def dedup_fold_native(kmers: np.ndarray, seg_starts: np.ndarray,
                       fps: np.ndarray, fp_valid: np.ndarray,
                       filter_prev: Optional[np.ndarray],
-                      no_dedup: bool, threshold: Optional[int]):
+                      no_dedup: bool, threshold: Optional[int],
+                      fpr: float = 0.0):
     """(kmers_in_order, counts, ndup) or None if the lib is unavailable.
 
     kmers: concatenated survivor hashes (u64); seg_starts: int64 start
     offset of each segment; fps: [n_segs, 4] u64 (f, r, g, t); fp_valid,
-    filter_prev: u8 flags per segment.
+    filter_prev: u8 flags per segment; fpr > 0 selects the approximate
+    (memory-bounded) pair filter.
     """
     lib = get_lib()
     if lib is None:
@@ -101,7 +103,7 @@ def dedup_fold_native(kmers: np.ndarray, seg_starts: np.ndarray,
         _p(kmers, _U64P), len(kmers), _p(seg_starts, _I64P),
         len(seg_starts), _p(fps, _U64P), _p(fp_valid, _U8P),
         _p(fprev, _U8P) if fprev is not None else None,
-        1 if no_dedup else 0, np.uint32(thr),
+        1 if no_dedup else 0, np.uint32(thr), float(fpr),
         ctypes.byref(out_k), ctypes.byref(out_c), ctypes.byref(out_n))
     if ndup < 0:
         raise MemoryError("sk_dedup_fold allocation failure")

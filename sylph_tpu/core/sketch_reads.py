@@ -9,10 +9,12 @@ Behavioral spec:
     occurrence is dropped iff one of its two (kmer, fingerprint) keys was
     already seen AND the k-mer's count is nonzero; unseen keys are inserted.
 
-Divergence (documented): for paired-end dedup the reference defaults to an
-*approximate* scalable cuckoo filter with FPR 1e-4 (src/sketch.rs:800-804);
-we always use an exact set, which matches the reference whenever the filter
-fires no false positive (its own tests rely on this equivalence at tiny FPR).
+Paired-end dedup honors --fpr like the reference (src/sketch.rs:800-804):
+fpr == 0 selects the exact pair set; fpr > 0 (default 1e-4) a memory-bounded
+scalable blocked-bloom filter (core/pair_filter.py; the reference uses a
+scalable cuckoo filter — same role, bounded total FP probability, so the
+expected divergence from exact is <= fpr of dedup decisions). The native C
+fold and the Python fallback make bit-identical decisions in both modes.
 
 Extraction and fingerprints are vectorized; only the order-dependent dedup
 fold runs per-survivor (~1/c of bases).
@@ -123,29 +125,26 @@ def _extract_segs(px: ParsedFastx, c: int, k: int, device: bool):
     return _segments_by_read(rids, hashes)
 
 
-def _dedup_fold(segments_iter, counts: Dict[int, int], pair_set: set,
+def _dedup_fold(segments_iter, counts: Dict[int, int], pair_filter,
                 no_dedup: bool, threshold: Optional[int]) -> int:
-    """The exact dedup fold (src/sketch.rs:690-731). segments_iter yields
-    (kmer_list, fingerprint_or_None). Returns #occurrences removed."""
+    """The dedup fold (src/sketch.rs:690-731). segments_iter yields
+    (kmer_list, fingerprint_or_None); ``pair_filter`` provides
+    check_insert(km, packed_pair) — exact set or scalable bloom
+    (core/pair_filter.py). Returns #occurrences removed."""
     thr = threshold if threshold is not None else (1 << 32) - 1
     ndup = 0
     for kms, fp in segments_iter:
+        if fp is not None:
+            p0 = (fp[0][0] << 32) | fp[0][1]
+            p1 = (fp[1][0] << 32) | fp[1][1]
         for km in kms:
             c = counts.get(km, 0)
             if not no_dedup and c < thr and fp is not None:
                 ret = False
-                k0 = (km, fp[0])
-                k1 = (km, fp[1])
-                if k0 in pair_set:
-                    if c > 0:
-                        ret = True
-                else:
-                    pair_set.add(k0)
-                if k1 in pair_set:
-                    if c > 0:
-                        ret = True
-                else:
-                    pair_set.add(k1)
+                if pair_filter.check_insert(km, p0) and c > 0:
+                    ret = True
+                if pair_filter.check_insert(km, p1) and c > 0:
+                    ret = True
                 if ret:
                     ndup += 1
                     continue
@@ -162,11 +161,13 @@ def _finish(counts: Dict[int, int], file_name, c, k, paired, sample_name,
                            paired=paired, mean_read_length=mean_read_length)
 
 
-def _fold_native(seg_kmer_lists, seg_fps, filter_prev, no_dedup, threshold):
+def _fold_native(seg_kmer_lists, seg_fps, filter_prev, no_dedup, threshold,
+                 fpr: float = 0.0):
     """Run the fold through native sk_dedup_fold; None if unavailable.
 
     seg_kmer_lists: list of k-mer lists; seg_fps: per-segment fingerprint
-    ((f,r),(g,t)) or None; filter_prev: per-segment bool or None.
+    ((f,r),(g,t)) or None; filter_prev: per-segment bool or None; fpr > 0
+    selects the memory-bounded approximate pair filter.
     """
     from .native_core import dedup_fold_native
     n_segs = len(seg_kmer_lists)
@@ -186,7 +187,7 @@ def _fold_native(seg_kmer_lists, seg_fps, filter_prev, no_dedup, threshold):
     fprev = (np.asarray(filter_prev, np.uint8)
              if filter_prev is not None else None)
     return dedup_fold_native(kmers, seg_starts, fps, fp_valid, fprev,
-                             no_dedup, threshold)
+                             no_dedup, threshold, fpr)
 
 
 def sketch_sequences(read_file: str, c: int, k: int,
@@ -212,11 +213,11 @@ def sketch_sequences(read_file: str, c: int, k: int,
         counts = None
         total = int(cs.sum()) + ndup
     else:
+        from .pair_filter import ExactPairSet
         counts: Dict[int, int] = {}
-        pair_set: set = set()
         ndup = _dedup_fold(
             ((kms, fps.get(rid)) for rid, kms in segs.items()),
-            counts, pair_set, no_dedup, MAX_DEDUP_COUNT)
+            counts, ExactPairSet(), no_dedup, MAX_DEDUP_COUNT)
         total = sum(counts.values()) + ndup
     if total:
         log.debug("Dedup removed %d sketched k-mers for %s (%.2f%%)",
@@ -236,8 +237,9 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
                           device: bool = False) -> Optional[SequencesSketch]:
     """Paired-end read sketch (sylph src/sketch.rs:771-895).
 
-    ``fpr`` is accepted for CLI compatibility; dedup is always exact here
-    (see module docstring)."""
+    ``fpr == 0`` dedups with an exact pair set; ``fpr > 0`` (the CLI
+    default, 1e-4) with the memory-bounded scalable bloom filter
+    (core/pair_filter.py) — the reference's ScalableCuckooFilter role."""
     try:
         px1 = parse_fastx(read_file1, skip_names=True)
         px2 = parse_fastx(read_file2, skip_names=True)
@@ -264,14 +266,16 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
         seg_fps.append(fp)
         fprev.append(True)          # R2 skips k-mers in same-pair R1
 
-    native = _fold_native(seg_lists, seg_fps, fprev, no_dedup, None)
+    native = _fold_native(seg_lists, seg_fps, fprev, no_dedup, None,
+                          fpr=0.0 if no_dedup else fpr)
     if native is not None:
         ks, cs, ndup = native
         counts = None
         total = int(cs.sum()) + ndup
     else:
+        from .pair_filter import make_pair_filter
         counts: Dict[int, int] = {}
-        pair_set: set = set()
+        pair_filter = make_pair_filter(0.0 if no_dedup else fpr)
 
         def gen():
             for rid in pair_rids.tolist():
@@ -286,7 +290,7 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
                     if s2f:
                         yield s2f, fp
 
-        ndup = _dedup_fold(gen(), counts, pair_set, no_dedup, None)
+        ndup = _dedup_fold(gen(), counts, pair_filter, no_dedup, None)
         total = sum(counts.values()) + ndup
     if total:
         log.debug(

@@ -253,8 +253,12 @@ def _get_seq_sketch(opts: ContainOptions, read_file: List[str],
     if len(read_file) == 1:
         return sketch_sequences(read_file[0], opts.c, opts.k, None, False,
                                 device=opts.tpu)
+    # on-the-fly paired sketching uses DEFAULT_FPR like the reference
+    # (src/contain.rs:591)
+    from ..constants import DEFAULT_FPR
     return sketch_pair_sequences(read_file[0], read_file[1], opts.c, opts.k,
-                                 None, False, device=opts.tpu)
+                                 None, False, fpr=DEFAULT_FPR,
+                                 device=opts.tpu)
 
 
 def process_sample(opts: ContainOptions, sample: SequencesSketch,
