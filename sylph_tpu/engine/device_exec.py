@@ -23,6 +23,7 @@ from ..core.types import GenomeSketch, SequencesSketch
 log = logging.getLogger("sylph")
 
 _MERGE_JOIN_JIT = None
+_MERGE_JOIN_BATCHED_JIT = None
 
 
 def _merge_join_jit():
@@ -35,6 +36,19 @@ def _merge_join_jit():
         from ..tpu.containment import merge_join_counts
         _MERGE_JOIN_JIT = jax.jit(merge_join_counts)
     return _MERGE_JOIN_JIT
+
+
+def _merge_join_batched_jit():
+    """Vmapped-over-samples merge join: [S, T] sample tables vs one index
+    chunk -> [S, M] counts in one program (multi-sample batching)."""
+    global _MERGE_JOIN_BATCHED_JIT
+    if _MERGE_JOIN_BATCHED_JIT is None:
+        import jax
+
+        from ..tpu.containment import merge_join_counts
+        _MERGE_JOIN_BATCHED_JIT = jax.jit(jax.vmap(
+            merge_join_counts, in_axes=(None, None, 0, 0, 0)))
+    return _MERGE_JOIN_BATCHED_JIT
 
 
 def device_available() -> bool:
@@ -81,8 +95,11 @@ class DeviceContainment:
         self._sharded = None
         self._devices = list(devices) if devices is not None \
             else jax.devices()
-        self._cache_key = None
-        self._cache_counts: Optional[np.ndarray] = None
+        # per-sample counts cache: id(sample) -> (strong ref, counts).
+        # Strong refs prevent id reuse aliasing; bounded so multi-sample
+        # prefetch batches fit without unbounded growth.
+        self._cache = {}
+        self._cache_cap = 16
         if total >= self.GRANGE_MIN:
             from ..tpu.grange import GRangeEngine, build_grange_index
             kmers = np.concatenate(
@@ -174,24 +191,27 @@ class DeviceContainment:
             in_specs=(P("ip"), P("ip"), P(), P(), P()),
             out_specs=P("ip"), check_vma=False)
         self._sharded = jax.jit(fn)
+        fnb = jax.shard_map(
+            jax.vmap(merge_join_counts, in_axes=(None, None, 0, 0, 0)),
+            mesh=mesh,
+            in_specs=(P("ip"), P("ip"), P(), P(), P()),
+            out_specs=P(None, "ip"), check_vma=False)
+        self._sharded_batched = jax.jit(fnb)
         self._idx_dev = jax.device_put(
             (self.index.hi, self.index.lo), NamedSharding(mesh, P("ip")))
         log.debug("Device index (sharded): %d genomes, %d k-mers over %d "
                   "device(s)", len(genome_sketches), m, n_dev)
 
-    def _counts(self, sample: SequencesSketch) -> np.ndarray:
-        # cache by identity; keep a strong ref so a GC'd sample's id can't
-        # be recycled by a different object and alias the cache
-        if self._cache_key is sample:
-            return self._cache_counts
-        import jax
+    def _cache_put(self, sample, counts: np.ndarray) -> None:
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[id(sample)] = (sample, counts)
 
+    @staticmethod
+    def _pad_table(sample: SequencesSketch, t: int):
+        """Sentinel-padded (hi, lo, weights) arrays of length t."""
         from ..tpu import u64
-
         skmers, scounts = sample.sorted_view()
-        # pad the sample table to the next power of two to bound compile
-        # shapes (one program per (chunk, sample-bucket) pair)
-        t = max(1024, 1 << int(np.ceil(np.log2(max(skmers.size, 1)))))
         shi = np.full(t, 0xFFFFFFFF, np.uint32)
         slo = np.full(t, 0xFFFFFFFF, np.uint32)
         wts = np.zeros(t, np.int32)
@@ -199,6 +219,65 @@ class DeviceContainment:
         shi[:skmers.size] = hi
         slo[:skmers.size] = lo
         wts[:skmers.size] = scounts
+        return shi, slo, wts
+
+    def prefetch(self, samples: List[SequencesSketch]) -> None:
+        """Batch the containment joins of several samples into one device
+        program per index chunk ([S, T] vmapped merge join) — the CLI
+        analog of finish_profile_batched (multi-sample data parallelism,
+        reference counterpart: the chunked sample par_iter
+        src/contain.rs:266-307). Counts land in the per-sample cache;
+        regimes without a batched path (bucket, grange) are served
+        per-sample on demand instead."""
+        todo = [s for s in samples if id(s) not in self._cache]
+        if len(todo) < 2 or self._grange is not None or \
+                (self._sharded is None and self._use_buckets):
+            return
+        import jax
+        S = len(todo)
+        t = max(1024, 1 << int(np.ceil(np.log2(max(
+            max(s.kmers.size for s in todo), 1)))))
+        tabs = [self._pad_table(s, t) for s in todo]
+        shi = np.stack([a for a, _, _ in tabs])
+        slo = np.stack([b for _, b, _ in tabs])
+        wts = np.stack([w for _, _, w in tabs])
+        self._cache_cap = max(self._cache_cap, S + 2)
+        from ..utils.timing import stage_timer
+        with stage_timer(
+                f"batched containment join ({self.index.hi.size} k-mers x "
+                f"{S} samples x {t} table slots)"):
+            if self._sharded is not None:
+                smp = jax.device_put((shi, slo, wts), self._shard_smp)
+                counts = np.asarray(
+                    self._sharded_batched(*self._idx_dev, *smp))
+            else:
+                fn = _merge_join_batched_jit()
+                smp_by_dev = {
+                    d: jax.device_put((shi, slo, wts), d)
+                    for d in self._devices[:max(1, min(
+                        len(self._devices), len(self._chunks)))]}
+                outs = []
+                for i, (chi, clo) in enumerate(self._chunks):
+                    smp = smp_by_dev[self._devices[i % len(self._devices)]]
+                    outs.append(fn(chi, clo, smp[0], smp[1], smp[2]))
+                counts = np.concatenate(
+                    [np.asarray(o) for o in outs], axis=1)
+        for si, s in enumerate(todo):
+            self._cache_put(s, counts[si])
+
+    def _counts(self, sample: SequencesSketch) -> np.ndarray:
+        # cache by identity; keep a strong ref so a GC'd sample's id can't
+        # be recycled by a different object and alias the cache
+        hit = self._cache.get(id(sample))
+        if hit is not None and hit[0] is sample:
+            return hit[1]
+        import jax
+
+        skmers, scounts = sample.sorted_view()
+        # pad the sample table to the next power of two to bound compile
+        # shapes (one program per (chunk, sample-bucket) pair)
+        t = max(1024, 1 << int(np.ceil(np.log2(max(skmers.size, 1)))))
+        shi, slo, wts = self._pad_table(sample, t)
         if self._sharded is not None:
             from ..utils.timing import stage_timer
             smp = jax.device_put((shi, slo, wts), self._shard_smp)
@@ -207,8 +286,7 @@ class DeviceContainment:
                     f"k-mers x {skmers.size} sample k-mers, "
                     f"{len(self._devices)} devices)"):
                 counts = np.asarray(self._sharded(*self._idx_dev, *smp))
-            self._cache_key = sample
-            self._cache_counts = counts
+            self._cache_put(sample, counts)
             return counts
         # replicate the (tiny) sample table onto every device hosting chunks
         n_chunks = (len(self._bchunks) if self._use_buckets
@@ -246,8 +324,7 @@ class DeviceContainment:
                     smp = smp_by_dev[self._devices[i % len(self._devices)]]
                     outs.append(fn(chi, clo, smp[0], smp[1], smp[2]))
                 counts = np.concatenate([np.asarray(o) for o in outs])
-        self._cache_key = sample
-        self._cache_counts = counts
+        self._cache_put(sample, counts)
         return counts
 
     def hists(self, sample: SequencesSketch) -> np.ndarray:

@@ -399,22 +399,24 @@ def contain(opts: ContainOptions, pseudotax: bool,
     n_raw = len(read_files)
     print_header(opts.pseudotax, out, opts.estimate_unknown)
     # sample-level parallelism mirrors the reference's chunked par_iter
-    # (src/contain.rs:239-256, 266-267). The device engine serializes
-    # samples (one containment join at a time keeps the index resident /
-    # cache hot).
+    # (src/contain.rs:239-256, 266-267). The device engine instead batches
+    # groups of samples through ONE vmapped containment join per index
+    # chunk (DeviceContainment.prefetch) and emits results in order.
     if device_engine is not None:
         step = 1
     else:
         step = sample_parallelism_step(opts.pseudotax, opts.threads,
                                        opts.sample_threads, n_raw)
 
-    def handle(item):
+    def load(item):
         j, rf = item
         is_sketch = j >= n_raw
         with stage_timer(f"load/sketch sample {rf[0]}"):
-            sample = _get_seq_sketch(opts, rf, is_sketch,
-                                     genome_sketches[0].c,
-                                     genome_sketches[0].k)
+            return rf, _get_seq_sketch(opts, rf, is_sketch,
+                                       genome_sketches[0].c,
+                                       genome_sketches[0].k)
+
+    def process(rf, sample):
         if sample is None:
             return rf, None
         with stage_timer(f"process sample {rf[0]}",
@@ -423,10 +425,34 @@ def contain(opts: ContainOptions, pseudotax: bool,
                                      device_engine)
         return rf, results
 
+    def handle(item):
+        return process(*load(item))
+
+    def device_batched(items):
+        """Groups of samples share one vmapped device join; output order
+        is preserved (multi-sample batching through the CLI)."""
+        B = 8
+        for i in range(0, len(items), B):
+            grp = items[i:i + B]
+            if len(grp) > 1 and opts.threads > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(
+                        max_workers=min(opts.threads, len(grp))) as lex:
+                    loaded = list(lex.map(load, grp))
+            else:
+                loaded = [load(it) for it in grp]
+            samples = [s for _, s in loaded if s is not None]
+            if len(samples) > 1:
+                device_engine.prefetch(samples)
+            for rf, sample in loaded:
+                yield process(rf, sample)
+
     from ..utils.timing import maybe_profile, stage_timer
     with maybe_profile(opts.profile_trace):
         items = list(enumerate(all_samples))
-        if step == 1 or len(items) <= 1:
+        if device_engine is not None and len(items) > 1:
+            outputs = device_batched(items)
+        elif step == 1 or len(items) <= 1:
             outputs = map(handle, items)
         else:
             from concurrent.futures import ThreadPoolExecutor

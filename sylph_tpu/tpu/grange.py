@@ -69,16 +69,22 @@ class GRangeIndex(NamedTuple):
 def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
                        n_genomes: int, chunk_slots: int = 1 << 25,
                        target_mean: int = 512,
-                       ci_cap: Optional[int] = None) -> GRangeIndex:
+                       ci_cap: Optional[int] = None,
+                       presorted: bool = False) -> GRangeIndex:
     """Sort the flat (kmer, gid) index by hash and lay it out in range
     chunks. ``ci_cap`` bounds the bucket capacity (defaults to a generous
     Poisson tail); deeper buckets (heavy k-mer duplication across genomes)
-    spill to the overflow list."""
+    spill to the overflow list. ``presorted`` skips the (expensive) global
+    sort when the caller's arrays are already hash-ascending."""
     m = int(kmers_u64.size)
-    order = np.argsort(kmers_u64, kind="stable")
-    su = kmers_u64[order]
-    sg = gids[order].astype(np.int32)
-    del order
+    if presorted:
+        su = kmers_u64
+        sg = np.ascontiguousarray(gids, np.int32)
+    else:
+        order = np.argsort(kmers_u64, kind="stable")
+        su = kmers_u64[order]
+        sg = gids[order].astype(np.int32)
+        del order
 
     n_chunks = max(1, -(-m // chunk_slots))
     B = 1 << max(0, int(np.ceil(np.log2(max(1, chunk_slots // target_mean)))))

@@ -93,3 +93,44 @@ def test_sharded_multi_device_counts():
         a, la = eng_sh.genome_covs(gi, sample)
         b, lb = eng_1.genome_covs(gi, sample)
         assert a.tolist() == b.tolist() and la == lb
+
+
+def test_prefetch_batched_counts_parity():
+    """prefetch() fills the cache with counts identical to per-sample
+    joins, for both the sharded (multi-device) and merge (one-device)
+    regimes."""
+    rng = np.random.default_rng(11)
+    pool = rng.integers(0, 1 << 48, size=4000, dtype=np.uint64)
+    genomes = []
+    for g in range(10):
+        ks = rng.choice(pool, size=600, replace=False).astype(np.uint64)
+        genomes.append(GenomeSketch(
+            genome_kmers=ks, pseudotax_tracked_nonused_kmers=None,
+            file_name=f"g{g}", first_contig_name=f"c{g}", c=100, k=31,
+            gn_size=100000, min_spacing=30))
+
+    def mk_sample(seed, n):
+        r = np.random.default_rng(seed)
+        skm = np.unique(r.choice(pool, size=n))
+        return SequencesSketch(
+            kmers=skm.astype(np.uint64),
+            counts=r.integers(1, 5, size=skm.size).astype(np.uint32),
+            c=100, k=31, file_name=f"s{seed}", sample_name=None,
+            paired=False, mean_read_length=150.0)
+
+    samples = [mk_sample(i, 500 + 301 * i) for i in range(3)]
+    engines = [DeviceContainment(genomes)]
+    if len(jax.devices()) > 1:
+        engines.append(DeviceContainment(genomes,
+                                         devices=[jax.devices()[0]]))
+    for eng in engines:
+        ref = DeviceContainment(genomes, devices=[jax.devices()[0]])
+        eng.prefetch(samples)
+        if eng._grange is None and not getattr(eng, "_use_buckets", False):
+            assert all(id(s) in eng._cache for s in samples)
+        for s in samples:
+            got = eng._counts(s)
+            want = ref._counts(s)
+            n = min(got.size, want.size)
+            assert (got[:n] == want[:n]).all()
+            assert not got[n:].any() and not want[n:].any()

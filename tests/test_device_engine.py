@@ -47,3 +47,27 @@ def test_tpu_engine_raw_reads_parity(db):
     host = _run(ContainOptions(**base), False)
     dev = _run(ContainOptions(**base, tpu=True), False)
     assert host == dev
+
+
+@pytest.mark.parametrize("pseudotax", [False, True])
+def test_tpu_engine_multisample_parity(db, tmp_path, pseudotax):
+    """>1 sample through profile/query --tpu: the batched (prefetch)
+    device path must emit byte-identical TSVs in the same order."""
+    import gzip
+    import shutil
+
+    # three distinct samples: the .sylsp, plus two raw read files
+    r2 = tmp_path / "reads2.fastq.gz"
+    shutil.copy(f"{TF}/o157_reads.fastq.gz", r2)
+    with gzip.open(f"{TF}/o157_reads.fastq.gz", "rb") as f:
+        recs = f.read().splitlines()
+    half = tmp_path / "reads_half.fastq"
+    with open(half, "wb") as f:
+        f.write(b"\n".join(recs[: 4 * (len(recs) // 8)]) + b"\n")
+    base = dict(files=[str(db / "db.syldb"),
+                       str(db / "o157_reads.fastq.gz.sylsp"),
+                       str(r2), str(half)], threads=4)
+    host = _run(ContainOptions(**base), pseudotax)
+    dev = _run(ContainOptions(**base, tpu=True), pseudotax)
+    assert host == dev
+    assert len(host.splitlines()) >= 4
