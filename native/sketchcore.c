@@ -348,4 +348,17 @@ void sk_spacing_scan(const int64_t *contigs, const int64_t *positions,
     }
 }
 
+/* ---------- 3. mean read length fold ---------- */
+
+/* The reference's sequential running mean (sylph src/sketch.rs:941-943):
+ * mean += (len - mean) / counter. Bit-exact f64 op order. */
+double sk_mean_fold(const int64_t *lengths, int64_t n) {
+    double mean = 0.0, counter = 0.0;
+    for (int64_t i = 0; i < n; i++) {
+        counter += 1.0;
+        mean += ((double)lengths[i] - mean) / counter;
+    }
+    return mean;
+}
+
 void sk_free(void *p) { free(p); }

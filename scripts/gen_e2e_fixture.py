@@ -1,0 +1,122 @@
+"""Generate the end-to-end CLI benchmark fixture (once; cached on disk).
+
+Produces in .bench_data/e2e/:
+  - genomes/g0000.fa .. g0063.fa : 64 synthetic 1-Mbp genomes
+  - db.syldb                     : sketched via the real CLI (c=200, k=31)
+  - reads.fastq.gz               : ~1.07 Gbp of 150-bp reads drawn from 8
+                                   of the genomes at staggered coverages
+                                   plus 20% random background reads
+
+The profile bench (bench.py --config e2e) then times
+`sylph profile --tpu db.syldb reads.fastq.gz` file -> TSV, i.e. INCLUDING
+gzip decode, FASTX parsing, sketching, dedup, containment and statistics —
+the number comparable to the reference's wall-clock claim
+(/root/reference/README.md:16-28).
+"""
+
+import gzip
+import os
+import subprocess
+import sys
+import time
+import zlib
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, ".bench_data", "e2e")
+N_GENOMES = 64
+GLEN = 1_000_000
+READ_LEN = 150
+TOTAL_BP = 1_073_741_824            # ~1.07 Gbp
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def main():
+    t0 = time.perf_counter()
+    os.makedirs(os.path.join(OUT, "genomes"), exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    genomes = []
+    paths = []
+    for g in range(N_GENOMES):
+        codes = rng.integers(0, 4, size=GLEN, dtype=np.uint8)
+        genomes.append(codes)
+        p = os.path.join(OUT, "genomes", f"g{g:04d}.fa")
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(b">genome%04d synthetic\n" % g)
+                f.write(BASES[codes].tobytes())
+                f.write(b"\n")
+        paths.append(p)
+    print(f"[{time.perf_counter() - t0:.0f}s] genomes written", flush=True)
+
+    db = os.path.join(OUT, "db")
+    if not os.path.exists(db + ".syldb"):
+        subprocess.run([sys.executable, "-m", "sylph_tpu.cli", "sketch",
+                        "-g", *paths, "-o", db, "-t", "8"], check=True,
+                       cwd=ROOT)
+    print(f"[{time.perf_counter() - t0:.0f}s] db.syldb done", flush=True)
+
+    rf = os.path.join(OUT, "reads.fastq.gz")
+    if os.path.exists(rf):
+        print("reads.fastq.gz exists; done")
+        return
+    n_reads = TOTAL_BP // READ_LEN
+    # 8 source genomes at staggered coverage shares; 20% background noise
+    shares = np.array([28, 17, 11, 8, 6, 5, 3, 2], np.float64)
+    shares = shares / shares.sum() * 0.8
+    src_counts = (shares * n_reads).astype(np.int64)
+    n_noise = n_reads - int(src_counts.sum())
+
+    qual = b"I" * READ_LEN
+    tmpl_mid = b"\n+\n" + qual + b"\n"
+    comp = zlib.compressobj(1, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    written = 0
+    CHUNK = 65536
+    with open(rf, "wb") as fout:
+        def emit(block: bytes):
+            nonlocal written
+            fout.write(comp.compress(block))
+            written += len(block)
+
+        rid = 0
+        for src, cnt in enumerate(src_counts.tolist()):
+            codes = genomes[src]
+            done = 0
+            while done < cnt:
+                b = min(CHUNK, cnt - done)
+                starts = rng.integers(0, GLEN - READ_LEN, size=b)
+                idx = starts[:, None] + np.arange(READ_LEN)[None, :]
+                seqs = BASES[codes[idx]]
+                parts = []
+                for i in range(b):
+                    parts.append(b"@r%d\n" % (rid + i))
+                    parts.append(seqs[i].tobytes())
+                    parts.append(tmpl_mid)
+                emit(b"".join(parts))
+                rid += b
+                done += b
+            print(f"[{time.perf_counter() - t0:.0f}s] genome {src}: "
+                  f"{cnt} reads", flush=True)
+        done = 0
+        while done < n_noise:
+            b = min(CHUNK, n_noise - done)
+            seqs = BASES[rng.integers(0, 4, size=(b, READ_LEN),
+                                      dtype=np.uint8)]
+            parts = []
+            for i in range(b):
+                parts.append(b"@n%d\n" % (rid + i))
+                parts.append(seqs[i].tobytes())
+                parts.append(tmpl_mid)
+            emit(b"".join(parts))
+            rid += b
+            done += b
+        fout.write(comp.flush())
+    print(f"[{time.perf_counter() - t0:.0f}s] DONE: {rid} reads, "
+          f"{rid * READ_LEN / 1e9:.2f} Gbp raw, "
+          f"{os.path.getsize(rf) / 1e9:.2f} GB gz", flush=True)
+
+
+if __name__ == "__main__":
+    main()

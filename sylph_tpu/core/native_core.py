@@ -66,6 +66,8 @@ def get_lib():
         lib.sk_spacing_scan.restype = None
         lib.sk_free.argtypes = [ctypes.c_void_p]
         lib.sk_free.restype = None
+        lib.sk_mean_fold.argtypes = [_I64P, ctypes.c_int64]
+        lib.sk_mean_fold.restype = ctypes.c_double
         _LIB = lib
         return _LIB
 
@@ -117,6 +119,15 @@ def dedup_fold_native(kmers: np.ndarray, seg_starts: np.ndarray,
         lib.sk_free(out_k)
         lib.sk_free(out_c)
     return ks, cs, int(ndup)
+
+
+def mean_fold_native(lengths: np.ndarray):
+    """Sequential running mean (f64 bit-exact), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    return float(lib.sk_mean_fold(_p(lengths, _I64P), len(lengths)))
 
 
 def spacing_scan_native(contigs: np.ndarray, positions: np.ndarray,

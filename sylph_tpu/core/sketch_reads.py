@@ -42,6 +42,10 @@ def _mean_fold(lengths: np.ndarray) -> float:
         return 0.0
     if np.all(lengths == lengths[0]):
         return float(lengths[0])  # the fold is exact when all equal
+    from .native_core import mean_fold_native
+    native = mean_fold_native(lengths)
+    if native is not None:
+        return native
     mean = 0.0
     counter = 0.0
     for ln in lengths.tolist():
@@ -100,6 +104,63 @@ def _fp_paired(px1: ParsedFastx, px2: ParsedFastx, rids: np.ndarray):
     return {int(rid): ((int(a), int(b)), (int(cc), int(dd)))
             for rid, a, b, cc, dd in zip(rr.tolist(), f.tolist(), r.tolist(),
                                          g.tolist(), t.tolist())}
+
+
+def _fp_single_arrays(px: ParsedFastx, seg_rids: np.ndarray):
+    """Array form of _fp_single: ([n_segs, 4] u64 fps, [n_segs] u8 valid),
+    aligned to seg_rids."""
+    n = seg_rids.size
+    fps = np.zeros((max(n, 1), 4), np.uint64)
+    valid = np.zeros(max(n, 1), np.uint8)
+    lens = px.lengths[seg_rids]
+    ok = (lens >= 4 * _FP_K + 2) & (lens <= 400)
+    rr = seg_rids[ok]
+    if rr.size:
+        starts = px.starts[rr]
+        half = px.lengths[rr] // 2
+        ev = [2 * i for i in range(_FP_K)]
+        fps[ok, 0] = _pack16(_gather_cols(px.codes, starts, ev))
+        fps[ok, 1] = _pack16(_gather_cols(px.codes, starts + half, ev))
+        fps[ok, 2] = _pack16(_gather_cols(px.codes, starts + 1, ev))
+        fps[ok, 3] = _pack16(_gather_cols(px.codes, starts + 1 + half, ev))
+        valid[ok] = 1
+    return fps, valid
+
+
+def _single_end_fast(px: ParsedFastx, c: int, k: int, device: bool,
+                     no_dedup: bool):
+    """Array-native single-end fold: no per-read Python objects anywhere
+    (the e2e hot path at millions of reads). Returns (kmers, counts, ndup)
+    or None when the native lib is unavailable (callers fall back to the
+    dict/segment path, which is also the parity oracle)."""
+    from .native_core import dedup_fold_native, get_lib
+    if get_lib() is None:
+        return None
+    if device:
+        from ..engine.device_sketch import (device_available,
+                                            read_survivor_arrays)
+        if device_available():
+            rids, hashes = read_survivor_arrays(px, c, k)
+        else:
+            log.warning("--tpu requested but no JAX device available; "
+                        "using the host seeding path.")
+            rids, hashes = fmh_seeds_concat_np(px.codes, px.starts,
+                                               px.ends, c, k)
+    else:
+        rids, hashes = fmh_seeds_concat_np(px.codes, px.starts, px.ends,
+                                           c, k)
+    if rids.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32), 0
+    boundaries = np.flatnonzero(np.diff(rids)) + 1
+    seg_starts = np.concatenate([[0], boundaries]).astype(np.int64)
+    seg_rids = rids[seg_starts]
+    if no_dedup:
+        fps = np.zeros((seg_starts.size, 4), np.uint64)
+        valid = np.zeros(seg_starts.size, np.uint8)
+    else:
+        fps, valid = _fp_single_arrays(px, seg_rids)
+    return dedup_fold_native(hashes, seg_starts, fps, valid, None,
+                             no_dedup, MAX_DEDUP_COUNT)
 
 
 def _segments_by_read(rids: np.ndarray, hashes: np.ndarray):
@@ -201,19 +262,16 @@ def sketch_sequences(read_file: str, c: int, k: int,
         log.warning("%s is not a valid fasta/fastq file; skipping.",
                     read_file)
         return None
-    segs = _extract_segs(px, c, k, device)
-    fps = {} if no_dedup else _fp_single(
-        px, np.fromiter(segs.keys(), dtype=np.int64, count=len(segs)))
-
-    native = _fold_native([kms for kms in segs.values()],
-                          [fps.get(rid) for rid in segs],
-                          None, no_dedup, MAX_DEDUP_COUNT)
+    native = _single_end_fast(px, c, k, device, no_dedup)
     if native is not None:
         ks, cs, ndup = native
         counts = None
         total = int(cs.sum()) + ndup
     else:
         from .pair_filter import ExactPairSet
+        segs = _extract_segs(px, c, k, device)
+        fps = {} if no_dedup else _fp_single(
+            px, np.fromiter(segs.keys(), dtype=np.int64, count=len(segs)))
         counts: Dict[int, int] = {}
         ndup = _dedup_fold(
             ((kms, fps.get(rid)) for rid, kms in segs.items()),

@@ -132,6 +132,74 @@ def read_survivor_hashes(px: ParsedFastx, c: int, k: int) -> Dict[int, list]:
     return dict(sorted(out.items()))
 
 
+def read_survivor_arrays(px: ParsedFastx, c: int, k: int):
+    """(read_ids, hashes) flat u64 survivor arrays in (read, position)
+    order — the array-native equivalent of read_survivor_hashes with no
+    per-read Python objects (the e2e hot path at millions of reads).
+    """
+    import jax
+
+    from ..tpu.containment import SENTINEL
+    from ..tpu.pipeline import _seed
+    from ..tpu.u64 import to_u64_np
+
+    lengths = px.lengths
+    n = px.n_records
+    parts_r: List[np.ndarray] = []
+    parts_h: List[np.ndarray] = []
+
+    def flush(bucket_len: int, rids: np.ndarray):
+        if rids.size == 0:
+            return
+        nb = rids.size
+        pad_n = -(-nb // 8) * 8
+        lens = lengths[rids].astype(np.int64)
+        # one vectorized gather builds the whole batch (no per-read loop)
+        idx = px.starts[rids][:, None] + np.arange(bucket_len)[None, :]
+        col_ok = np.arange(bucket_len)[None, :] < lens[:, None]
+        gat = px.codes[np.minimum(idx, px.codes.size - 1)]
+        bases = np.zeros((pad_n, bucket_len), np.uint32)
+        bases[:nb] = np.where(col_ok, gat, 0)
+        blens = np.zeros(pad_n, np.int32)
+        blens[:nb] = lens
+        hhi, hlo, keep = _seed(jax.numpy.asarray(bases),
+                               jax.numpy.asarray(blens), c=c, k=k)
+        W = bucket_len - k + 1
+        hhi, hlo, keep = hhi[:, :W], hlo[:, :W], keep[:, :W]
+        cap = min(W, 8 * W // c + 24)
+        chi, clo = _compact_jit()(hhi, hlo, keep, cap, False)
+        chi = np.asarray(chi)[:nb]
+        clo = np.asarray(clo)[:nb]
+        live = chi != SENTINEL[0]
+        rr = np.broadcast_to(rids[:, None], chi.shape)[live]
+        parts_r.append(rr.astype(np.int64))
+        parts_h.append(to_u64_np(chi[live], clo[live]))
+
+    max_b = _BUCKETS[-1]
+    short = np.flatnonzero((lengths >= k) & (lengths <= max_b))
+    if short.size:
+        bucket_of = np.searchsorted(np.asarray(_BUCKETS),
+                                    lengths[short], side="left")
+        for bi, b in enumerate(_BUCKETS):
+            sel = short[bucket_of == bi]
+            for s in range(0, sel.size, _MAX_BATCH):
+                flush(b, sel[s:s + _MAX_BATCH])
+    long_rids = np.flatnonzero(lengths > max_b)
+    for rid in long_rids.tolist():
+        h = fmh_seeds_np(px.record_codes(rid), c, k)
+        if h.size:
+            parts_r.append(np.full(h.size, rid, np.int64))
+            parts_h.append(h)
+    if not parts_h:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    rids_all = np.concatenate(parts_r)
+    hashes_all = np.concatenate(parts_h)
+    # restore global (read, position) order; stable sort keeps the
+    # within-read position order each batch row preserved
+    order = np.argsort(rids_all, kind="stable")
+    return rids_all[order], hashes_all[order]
+
+
 _GBLOCK = 4096      # genome scan row length (bases)
 
 
