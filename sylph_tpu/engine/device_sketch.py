@@ -25,6 +25,7 @@ _BUCKETS = (128, 256, 512)     # padded lengths (Pallas wants L % 128 == 0)
 _MAX_BATCH = 1 << 16           # reads per device call
 
 _COMPACT_JIT = None
+_SEED_PACKED_JIT = None
 
 
 def _compact_jit():
@@ -34,6 +35,50 @@ def _compact_jit():
         import jax
         _COMPACT_JIT = jax.jit(_compact_by_position, static_argnums=(3, 4))
     return _COMPACT_JIT
+
+
+def _seed_packed_jit():
+    """Read-seeding for the e2e ingest hot path, wire-optimized both ways:
+    H2D is the 2-bit packed format (0.25 B/base); D2H is per-read survivor
+    COUNTS plus an order-preserving condensed hash stream (~10-20x smaller
+    than the [R, cap] compaction grid). Returns
+    (stream_hi, stream_lo, n_per_read u16)."""
+    global _SEED_PACKED_JIT
+    if _SEED_PACKED_JIT is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..tpu.pipeline import _seed, condense_stream, unpack_bases
+
+        @functools.partial(jax.jit, static_argnames=("c", "k", "cap"))
+        def fn(packed, lengths, *, c, k, cap):
+            bases = unpack_bases(packed)
+            hhi, hlo, keep = _seed(bases, lengths, c=c, k=k)
+            W = bases.shape[1] - k + 1
+            hhi, hlo, keep = hhi[:, :W], hlo[:, :W], keep[:, :W]
+            chi, clo = _compact_by_position(hhi, hlo, keep, cap, False)
+            live = chi != jnp.uint32(0xFFFFFFFF)
+            n_r = jnp.sum(live, axis=1).astype(jnp.uint16)
+            # flatten rows (read-major, position order kept) and butterfly-
+            # condense: drops only sentinels, preserves order
+            exp = (W / c) / cap
+            shi, slo = condense_stream(chi.reshape(-1), clo.reshape(-1),
+                                       exp)
+            return shi, slo, n_r
+        _SEED_PACKED_JIT = fn
+    return _SEED_PACKED_JIT
+
+
+def _pack16_rows(codes_u8: np.ndarray) -> np.ndarray:
+    """[N, L] uint8 codes -> [N, L/16] uint32 words (LSB-first), host side."""
+    N, L = codes_u8.shape
+    w = codes_u8.reshape(N, L // 16, 16).astype(np.uint32)
+    out = np.zeros((N, L // 16), np.uint32)
+    for j in range(16):
+        out |= w[:, :, j] << np.uint32(2 * j)
+    return out
 
 
 def _compact_by_position(hhi, hlo, keep, cap, want_lanes=False):
@@ -136,21 +181,22 @@ def read_survivor_arrays(px: ParsedFastx, c: int, k: int):
     """(read_ids, hashes) flat u64 survivor arrays in (read, position)
     order — the array-native equivalent of read_survivor_hashes with no
     per-read Python objects (the e2e hot path at millions of reads).
+
+    All batches dispatch asynchronously (packed 0.25 B/base up, condensed
+    stream + per-read counts down), then fetch in a second pass so device
+    compute and transfers pipeline across batches.
     """
     import jax
 
     from ..tpu.containment import SENTINEL
-    from ..tpu.pipeline import _seed
     from ..tpu.u64 import to_u64_np
 
     lengths = px.lengths
-    n = px.n_records
     parts_r: List[np.ndarray] = []
     parts_h: List[np.ndarray] = []
+    pending = []
 
-    def flush(bucket_len: int, rids: np.ndarray):
-        if rids.size == 0:
-            return
+    def build_batch(bucket_len: int, rids: np.ndarray):
         nb = rids.size
         pad_n = -(-nb // 8) * 8
         lens = lengths[rids].astype(np.int64)
@@ -158,22 +204,22 @@ def read_survivor_arrays(px: ParsedFastx, c: int, k: int):
         idx = px.starts[rids][:, None] + np.arange(bucket_len)[None, :]
         col_ok = np.arange(bucket_len)[None, :] < lens[:, None]
         gat = px.codes[np.minimum(idx, px.codes.size - 1)]
-        bases = np.zeros((pad_n, bucket_len), np.uint32)
+        bases = np.zeros((pad_n, bucket_len), np.uint8)
         bases[:nb] = np.where(col_ok, gat, 0)
         blens = np.zeros(pad_n, np.int32)
         blens[:nb] = lens
-        hhi, hlo, keep = _seed(jax.numpy.asarray(bases),
-                               jax.numpy.asarray(blens), c=c, k=k)
+        return bases, blens
+
+    def dispatch(bucket_len: int, rids: np.ndarray):
+        if rids.size == 0:
+            return
+        bases, blens = build_batch(bucket_len, rids)
         W = bucket_len - k + 1
-        hhi, hlo, keep = hhi[:, :W], hlo[:, :W], keep[:, :W]
         cap = min(W, 8 * W // c + 24)
-        chi, clo = _compact_jit()(hhi, hlo, keep, cap, False)
-        chi = np.asarray(chi)[:nb]
-        clo = np.asarray(clo)[:nb]
-        live = chi != SENTINEL[0]
-        rr = np.broadcast_to(rids[:, None], chi.shape)[live]
-        parts_r.append(rr.astype(np.int64))
-        parts_h.append(to_u64_np(chi[live], clo[live]))
+        shi, slo, nr = _seed_packed_jit()(
+            jax.numpy.asarray(_pack16_rows(bases)),
+            jax.numpy.asarray(blens), c=c, k=k, cap=cap)
+        pending.append((bucket_len, rids, shi, slo, nr))
 
     max_b = _BUCKETS[-1]
     short = np.flatnonzero((lengths >= k) & (lengths <= max_b))
@@ -183,7 +229,34 @@ def read_survivor_arrays(px: ParsedFastx, c: int, k: int):
         for bi, b in enumerate(_BUCKETS):
             sel = short[bucket_of == bi]
             for s in range(0, sel.size, _MAX_BATCH):
-                flush(b, sel[s:s + _MAX_BATCH])
+                dispatch(b, sel[s:s + _MAX_BATCH])
+
+    for bucket_len, rids, shi, slo, nr in pending:
+        nr_h = np.asarray(nr)[:rids.size].astype(np.int64)
+        hi = np.asarray(shi)
+        lo = np.asarray(slo)
+        live = hi != SENTINEL[0]
+        if int(live.sum()) != int(nr_h.sum()):
+            # condensation overflow dropped survivors (expectation+6-sigma
+            # capacity: astronomically rare) — redo losslessly
+            from ..tpu.pipeline import _seed
+            bases, blens = build_batch(bucket_len, rids)
+            hhi, hlo, keep = _seed(jax.numpy.asarray(bases.astype(
+                np.uint32)), jax.numpy.asarray(blens), c=c, k=k)
+            W = bucket_len - k + 1
+            cap = min(W, 8 * W // c + 24)
+            chi, clo = _compact_jit()(hhi[:, :W], hlo[:, :W], keep[:, :W],
+                                      cap, False)
+            chi = np.asarray(chi)[:rids.size]
+            clo = np.asarray(clo)[:rids.size]
+            lv = chi != SENTINEL[0]
+            rr = np.broadcast_to(rids[:, None], chi.shape)[lv]
+            parts_r.append(rr.astype(np.int64))
+            parts_h.append(to_u64_np(chi[lv], clo[lv]))
+            continue
+        parts_r.append(np.repeat(rids, nr_h))
+        parts_h.append(to_u64_np(hi[live], lo[live]))
+
     long_rids = np.flatnonzero(lengths > max_b)
     for rid in long_rids.tolist():
         h = fmh_seeds_np(px.record_codes(rid), c, k)

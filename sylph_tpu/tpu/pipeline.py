@@ -146,17 +146,21 @@ def pack_bases_u32(codes: np.ndarray) -> np.ndarray:
     return out
 
 
+def unpack_bases(packed):
+    """[N, L/16] uint32 words -> [N, L] 2-bit codes (device-side)."""
+    N, W = packed.shape
+    rep = jnp.repeat(packed, 16, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (N, W * 16), 1)
+    return (rep >> ((lane & np.uint32(15)) << np.uint32(1))) & np.uint32(3)
+
+
 @functools.partial(jax.jit, static_argnames=("c", "k"))
 def sketch_batch_packed(packed, lengths, *, c: int, k: int):
     """sketch_batch over the 2-bit packed wire format ([N, L/16] uint32).
 
     The packed words cross PCIe/DCN at 0.25 B/base; one XLA unpack pass in
     HBM feeds the fused kernel."""
-    N, W = packed.shape
-    rep = jnp.repeat(packed, 16, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.uint32, (N, W * 16), 1)
-    bases = (rep >> ((lane & np.uint32(15)) << np.uint32(1))) & np.uint32(3)
-    chi, clo = _sketch_compact(bases, lengths, c=c, k=k)
+    chi, clo = _sketch_compact(unpack_bases(packed), lengths, c=c, k=k)
     n = jnp.sum((chi != SENTINEL[0]).astype(jnp.int32))
     return chi, clo, n
 
