@@ -30,7 +30,8 @@ import time
 # this dev VM is snapshot-restored: freed-then-refaulted pages cost
 # ~0.5 ms each, so keep big numpy buffers on the heap for reuse
 # (size_t-parsed env vars; must be set before the process starts)
-if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
+if __name__ == "__main__" and os.environ.get("MALLOC_MMAP_THRESHOLD_") \
+        is None:
     env = dict(os.environ, MALLOC_MMAP_THRESHOLD_="17179869184",
                MALLOC_TRIM_THRESHOLD_="-1")
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
