@@ -317,12 +317,16 @@ def main():
         return
 
     run_once(N_BATCHES)           # compile + warm up (cache-persistent)
-    best = float("inf")
-    for _ in range(2):            # best-of-2: host scheduler noise is ~15%
+    times = []
+    for _ in range(5):            # median-of-5: host scheduler noise ~15%
         t0 = time.perf_counter()
         run_once(N_BATCHES)
-        best = min(best, time.perf_counter() - t0)
-    dt = best
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(f"# timed runs: {[round(x, 3) for x in sorted(times)]} "
+          f"(median {dt:.3f}s, spread "
+          f"{(max(times) - min(times)) / dt * 100:.0f}%)",
+          file=sys.stderr, flush=True)
 
     total_bases = N_BATCHES * bases_per_batch
     gbps = total_bases / dt / 1e9
