@@ -104,7 +104,10 @@ def _synth_sorted_index(M, G, c, seed=1):
     d = rng.exponential(size=M + 1)
     cum = np.cumsum(d)
     kmers = (cum[:-1] * (thr / cum[-1])).astype(np.uint64)
-    gids = rng.integers(0, G, size=M, dtype=np.int32)
+    # pow2-range draw + modulo: no rejection sampling (30x faster at 7e8;
+    # the ~2^-16 modulo bias is irrelevant for a throughput benchmark)
+    gids = (rng.integers(0, 1 << 31, size=M, dtype=np.int32)
+            % np.int32(G)).astype(np.int32)
     return kmers, gids
 
 

@@ -139,21 +139,16 @@ static inline const uint8_t *line_end(const uint8_t *p, const uint8_t *lim,
     return e;
 }
 
-FxResult *fx_parse(const char *path, int skip_names) {
-    init_table();
-    FxResult *r = (FxResult *)calloc(1, sizeof(FxResult));
-    if (!r) return NULL;
-    int64_t len = 0;
-    uint8_t *data = read_all(path, &len);
-    if (!data) return fail(r, "cannot read file", path);
-
+static FxResult *parse_data(FxResult *r, uint8_t *data, int64_t len,
+                            int skip_names, const char *path,
+                            int own_data) {
     const uint8_t *p = data, *lim = data + len;
     while (p < lim && (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t'))
         p++;
-    if (p >= lim) { free(data); return fail(r, "empty file", path); }
+    if (p >= lim) { if (own_data) free(data); return fail(r, "empty file", path); }
 
     Builder b;
-    if (!b_init(&b, len)) { free(data); return fail(r, "oom", path); }
+    if (!b_init(&b, len)) { if (own_data) free(data); return fail(r, "oom", path); }
     int ok = 1;
 
     if (*p == '>') { /* FASTA: header line, then sequence lines */
@@ -173,7 +168,7 @@ FxResult *fx_parse(const char *path, int skip_names) {
             b.n_rec++;
         }
         if (!ok && !r->error) {
-            free(data);
+            if (own_data) free(data);
             free(b.codes); free(b.starts); free(b.ends); free(b.names);
             return fail(r, "malformed fasta", path);
         }
@@ -210,17 +205,17 @@ FxResult *fx_parse(const char *path, int skip_names) {
             p = next;
         }
         if (!ok) {
-            free(data);
+            if (own_data) free(data);
             free(b.codes); free(b.starts); free(b.ends); free(b.names);
             return fail(r, "malformed fastq", path);
         }
     } else {
-        free(data);
+        if (own_data) free(data);
         free(b.codes); free(b.starts); free(b.ends); free(b.names);
         return fail(r, "not a fasta/fastq file", path);
     }
 
-    free(data);
+    if (own_data) free(data);
     r->codes = b.codes;
     r->n_codes = b.codes_len;
     r->starts = b.starts;
@@ -229,6 +224,27 @@ FxResult *fx_parse(const char *path, int skip_names) {
     r->names = b.names;
     r->names_len = b.names_len;
     return r;
+}
+
+FxResult *fx_parse(const char *path, int skip_names) {
+    init_table();
+    FxResult *r = (FxResult *)calloc(1, sizeof(FxResult));
+    if (!r) return NULL;
+    int64_t len = 0;
+    uint8_t *data = read_all(path, &len);
+    if (!data) return fail(r, "cannot read file", path);
+    return parse_data(r, data, len, skip_names, path, 1);
+}
+
+/* parse an in-memory (already decompressed) fasta/fastq block — the
+ * streaming-ingest entry point: the caller decodes gzip in chunks, cuts
+ * at record boundaries, and parses each block while the next decodes. */
+FxResult *fx_parse_buffer(const uint8_t *data, int64_t len,
+                          int skip_names) {
+    init_table();
+    FxResult *r = (FxResult *)calloc(1, sizeof(FxResult));
+    if (!r) return NULL;
+    return parse_data(r, (uint8_t *)data, len, skip_names, "<buffer>", 0);
 }
 
 void fx_free(FxResult *r) {

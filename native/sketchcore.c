@@ -220,7 +220,142 @@ static int bloom_check_insert(Bloom *b, uint64_t a, uint64_t bkey,
     return 0;
 }
 
-/* ---------- 1. dedup fold ---------- */
+/* ---------- 1. dedup fold ----------
+ *
+ * Stateful streaming form: sk_fold_new -> sk_fold_push (any number of
+ * chunks, read order) -> sk_fold_finish. The one-shot sk_dedup_fold wraps
+ * them. State holds the count map, the pair set / bloom, and the
+ * first-insertion order list (serialization order parity).
+ */
+
+typedef struct {
+    Map64 counts;
+    Set128 pairs;
+    Bloom bloom;
+    int use_bloom, no_dedup;
+    uint32_t threshold;
+    uint64_t *order;
+    int64_t n_order, order_cap;
+    int64_t ndup;
+} FoldState;
+
+void *sk_fold_new(int no_dedup, uint32_t threshold, double fpr) {
+    FoldState *st = (FoldState *)calloc(1, sizeof(FoldState));
+    if (!st) return NULL;
+    st->no_dedup = no_dedup;
+    st->threshold = threshold;
+    st->use_bloom = (fpr > 0.0) && !no_dedup;
+    if (!map_init(&st->counts, 1 << 16) || !set_init(&st->pairs, 1 << 16)) {
+        free(st);
+        return NULL;
+    }
+    if (st->use_bloom && !bloom_init(&st->bloom, fpr)) {
+        free(st->counts.keys); free(st->counts.vals); free(st->counts.used);
+        free(st->pairs.k1); free(st->pairs.k2); free(st->pairs.used);
+        free(st);
+        return NULL;
+    }
+    st->order_cap = 1 << 16;
+    st->order = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)st->order_cap);
+    if (!st->order) return NULL;
+    return st;
+}
+
+void sk_fold_free(void *p) {
+    FoldState *st = (FoldState *)p;
+    if (!st) return;
+    free(st->counts.keys); free(st->counts.vals); free(st->counts.used);
+    free(st->pairs.k1); free(st->pairs.k2); free(st->pairs.used);
+    if (st->use_bloom) bloom_free(&st->bloom);
+    free(st->order);
+    free(st);
+}
+
+/* one chunk of segments; returns cumulative ndup, or -1 on OOM */
+int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
+                     const int64_t *seg_starts, int64_t n_segs,
+                     const uint64_t *fp, const uint8_t *fp_valid,
+                     const uint8_t *filter_prev) {
+    FoldState *st = (FoldState *)p;
+    int oom = 0;
+    for (int64_t s = 0; s < n_segs; s++) {
+        int64_t lo = seg_starts[s];
+        int64_t hi = (s + 1 < n_segs) ? seg_starts[s + 1] : n_kmers;
+        int64_t plo = 0, phi = 0;
+        if (filter_prev && filter_prev[s] && s > 0) {
+            plo = seg_starts[s - 1];
+            phi = lo;
+        }
+        for (int64_t i = lo; i < hi; i++) {
+            uint64_t km = kmers[i];
+            if (phi > plo) {            /* skip if present in previous seg */
+                int found = 0;
+                for (int64_t j = plo; j < phi; j++)
+                    if (kmers[j] == km) { found = 1; break; }
+                if (found) continue;
+            }
+            int64_t slot = map_slot(&st->counts, km);
+            uint32_t c = st->counts.used[slot] ? st->counts.vals[slot] : 0;
+            if (!st->no_dedup && c < st->threshold && fp_valid
+                && fp_valid[s]) {
+                uint64_t p0 = fp[4 * s + 0] << 32 | (uint32_t)fp[4 * s + 1];
+                uint64_t p1 = fp[4 * s + 2] << 32 | (uint32_t)fp[4 * s + 3];
+                int ret = 0;
+                int in0 = st->use_bloom
+                    ? bloom_check_insert(&st->bloom, km, p0, &oom)
+                    : set_check_insert(&st->pairs, km, p0, &oom);
+                if (in0 && c > 0) ret = 1;
+                int in1 = st->use_bloom
+                    ? bloom_check_insert(&st->bloom, km, p1, &oom)
+                    : set_check_insert(&st->pairs, km, p1, &oom);
+                if (in1 && c > 0) ret = 1;
+                if (ret) { st->ndup++; continue; }
+            }
+            if (!st->counts.used[slot]) {
+                st->counts.used[slot] = 1;
+                st->counts.keys[slot] = km;
+                st->counts.vals[slot] = 1;
+                st->counts.n++;
+                if (st->n_order >= st->order_cap) {
+                    st->order_cap *= 2;
+                    uint64_t *no = (uint64_t *)realloc(
+                        st->order,
+                        sizeof(uint64_t) * (size_t)st->order_cap);
+                    if (!no) { oom = 1; break; }
+                    st->order = no;
+                }
+                st->order[st->n_order++] = km;
+                if (st->counts.n * 10 > st->counts.cap * 7) {
+                    if (!map_grow(&st->counts)) { oom = 1; break; }
+                }
+            } else {
+                st->counts.vals[slot] = c + 1;
+            }
+        }
+        if (oom) break;
+    }
+    return oom ? -1 : st->ndup;
+}
+
+/* emit (kmers, counts) in first-insertion order; state stays valid */
+int64_t sk_fold_finish(void *p, uint64_t **out_kmers, uint32_t **out_counts,
+                       int64_t *out_n) {
+    FoldState *st = (FoldState *)p;
+    int64_t n = st->n_order;
+    uint64_t *ok = (uint64_t *)malloc(sizeof(uint64_t)
+                                      * (size_t)(n > 0 ? n : 1));
+    uint32_t *oc = (uint32_t *)malloc(sizeof(uint32_t)
+                                      * (size_t)(n > 0 ? n : 1));
+    if (!ok || !oc) { free(ok); free(oc); return -1; }
+    for (int64_t i = 0; i < n; i++) {
+        ok[i] = st->order[i];
+        oc[i] = st->counts.vals[map_slot(&st->counts, st->order[i])];
+    }
+    *out_kmers = ok;
+    *out_counts = oc;
+    *out_n = n;
+    return st->ndup;
+}
 
 /* Segments are runs of k-mers sharing one dedup decision context (one read,
  * or one mate of a pair). Per segment:
@@ -242,86 +377,13 @@ int64_t sk_dedup_fold(const uint64_t *kmers, int64_t n_kmers,
                       int no_dedup, uint32_t threshold, double fpr,
                       uint64_t **out_kmers, uint32_t **out_counts,
                       int64_t *out_n) {
-    Map64 counts;
-    Set128 pairs;
-    Bloom bloom;
-    int use_bloom = (fpr > 0.0) && !no_dedup;
-    if (!map_init(&counts, 1 << 16) || !set_init(&pairs, 1 << 16)) return -1;
-    if (use_bloom && !bloom_init(&bloom, fpr)) return -1;
-    uint64_t *order = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)(n_kmers > 16 ? n_kmers : 16));
-    int64_t n_order = 0;
-    if (!order) return -1;
-    int64_t ndup = 0;
-    int oom = 0;
-
-    for (int64_t s = 0; s < n_segs; s++) {
-        int64_t lo = seg_starts[s];
-        int64_t hi = (s + 1 < n_segs) ? seg_starts[s + 1] : n_kmers;
-        int64_t plo = 0, phi = 0;
-        if (filter_prev && filter_prev[s] && s > 0) {
-            plo = seg_starts[s - 1];
-            phi = lo;
-        }
-        for (int64_t i = lo; i < hi; i++) {
-            uint64_t km = kmers[i];
-            if (phi > plo) {            /* skip if present in previous seg */
-                int found = 0;
-                for (int64_t j = plo; j < phi; j++)
-                    if (kmers[j] == km) { found = 1; break; }
-                if (found) continue;
-            }
-            int64_t slot = map_slot(&counts, km);
-            uint32_t c = counts.used[slot] ? counts.vals[slot] : 0;
-            if (!no_dedup && c < threshold && fp_valid && fp_valid[s]) {
-                uint64_t p0 = fp[4 * s + 0] << 32 | (uint32_t)fp[4 * s + 1];
-                uint64_t p1 = fp[4 * s + 2] << 32 | (uint32_t)fp[4 * s + 3];
-                int ret = 0;
-                int in0 = use_bloom
-                    ? bloom_check_insert(&bloom, km, p0, &oom)
-                    : set_check_insert(&pairs, km, p0, &oom);
-                if (in0 && c > 0) ret = 1;
-                int in1 = use_bloom
-                    ? bloom_check_insert(&bloom, km, p1, &oom)
-                    : set_check_insert(&pairs, km, p1, &oom);
-                if (in1 && c > 0) ret = 1;
-                if (ret) { ndup++; continue; }
-            }
-            if (!counts.used[slot]) {
-                counts.used[slot] = 1;
-                counts.keys[slot] = km;
-                counts.vals[slot] = 1;
-                counts.n++;
-                order[n_order++] = km;
-                if (counts.n * 10 > counts.cap * 7) {
-                    if (!map_grow(&counts)) { oom = 1; break; }
-                }
-            } else {
-                counts.vals[slot] = c + 1;
-            }
-        }
-        if (oom) break;
-    }
-    if (oom) {
-        free(order);
-        free(counts.keys); free(counts.vals); free(counts.used);
-        free(pairs.k1); free(pairs.k2); free(pairs.used);
-        if (use_bloom) bloom_free(&bloom);
-        return -1;
-    }
-    uint64_t *ok = (uint64_t *)malloc(sizeof(uint64_t) * (size_t)(n_order > 0 ? n_order : 1));
-    uint32_t *oc = (uint32_t *)malloc(sizeof(uint32_t) * (size_t)(n_order > 0 ? n_order : 1));
-    if (!ok || !oc) { free(ok); free(oc); free(order); return -1; }
-    for (int64_t i = 0; i < n_order; i++) {
-        ok[i] = order[i];
-        oc[i] = counts.vals[map_slot(&counts, order[i])];
-    }
-    free(order);
-    free(counts.keys); free(counts.vals); free(counts.used);
-    free(pairs.k1); free(pairs.k2); free(pairs.used);
-    if (use_bloom) bloom_free(&bloom);
-    *out_kmers = ok;
-    *out_counts = oc;
-    *out_n = n_order;
+    void *st = sk_fold_new(no_dedup, threshold, fpr);
+    if (!st) return -1;
+    int64_t ndup = sk_fold_push(st, kmers, n_kmers, seg_starts, n_segs,
+                                fp, fp_valid, filter_prev);
+    if (ndup >= 0)
+        ndup = sk_fold_finish(st, out_kmers, out_counts, out_n);
+    sk_fold_free(st);
     return ndup;
 }
 
@@ -348,7 +410,141 @@ void sk_spacing_scan(const int64_t *contigs, const int64_t *positions,
     }
 }
 
-/* ---------- 3. mean read length fold ---------- */
+/* ---------- 3. scalar FracMinHash seeding ----------
+ *
+ * The rolling canonical-k-mer loop over 2-bit codes (spec: sylph
+ * src/seeding.rs:86-146 fmh_seeds / :182-208 fmh_seeds_positions), with
+ * the reference's deliberately bugged Wang mix first step
+ * ~(key + (key<<21)) (src/seeding.rs:4-15). Operates on already-encoded
+ * codes (values 0..3) — identical to byte input because BYTE_TO_SEQ maps
+ * 0x00-0x03 to 0..3. The host-side seeding hot path: ~10 ns/base vs
+ * ~100 ns/base for the vectorized-numpy log-doubling composition.
+ */
+
+static inline uint64_t sx_hash64(uint64_t key) {
+    key = ~(key + (key << 21));               /* the preserved bug */
+    key ^= key >> 24;
+    key = key + (key << 3) + (key << 8);      /* * 265 */
+    key ^= key >> 14;
+    key = key + (key << 2) + (key << 4);      /* * 21 */
+    key ^= key >> 28;
+    key = key + (key << 31);
+    return key;
+}
+
+typedef struct { void *p; size_t cap, n, elt; } Vec;
+
+static int vec_init(Vec *v, size_t cap, size_t elt) {
+    v->p = malloc(cap * elt);
+    v->cap = cap;
+    v->n = 0;
+    v->elt = elt;
+    return v->p != NULL;
+}
+
+static inline int vec_reserve(Vec *v, size_t extra) {
+    if (v->n + extra <= v->cap) return 1;
+    while (v->n + extra > v->cap) v->cap *= 2;
+    void *np_ = realloc(v->p, v->cap * v->elt);
+    if (!np_) return 0;
+    v->p = np_;
+    return 1;
+}
+
+/* survivors of all records, (rid, hash) pairs in (read, position) order */
+int64_t sx_seed_concat(const uint8_t *codes, const int64_t *starts,
+                       const int64_t *ends, int64_t n_rec,
+                       uint64_t c, int k,
+                       int64_t **out_rids, uint64_t **out_hashes) {
+    uint64_t thr = UINT64_MAX / c;
+    uint64_t mask = UINT64_MAX >> (64 - 2 * k);
+    uint64_t rev_mask = ~(3ULL << (2 * k - 2));
+    int rshift = 2 * (k - 1);
+    int64_t total = n_rec ? ends[n_rec - 1] - starts[0] : 0;
+    Vec rv, hv;
+    if (!vec_init(&rv, (size_t)(total / (int64_t)c + 1024),
+                  sizeof(int64_t))) return -1;
+    if (!vec_init(&hv, rv.cap, sizeof(uint64_t))) { free(rv.p); return -1; }
+    for (int64_t r = 0; r < n_rec; r++) {
+        int64_t s = starts[r], e = ends[r];
+        if (e - s < (int64_t)k) continue;
+        uint64_t f = 0, rc = 0;
+        for (int64_t i = s; i < s + k - 1; i++) {
+            uint64_t nf = codes[i];
+            f = (f << 2) | nf;
+            rc = (rc >> 2) | ((3 - nf) << rshift);
+        }
+        for (int64_t i = s + k - 1; i < e; i++) {
+            uint64_t nf = codes[i];
+            f = ((f << 2) | nf) & mask;
+            rc = ((rc >> 2) & rev_mask) | ((3 - nf) << rshift);
+            uint64_t canon = f < rc ? f : rc;
+            uint64_t h = sx_hash64(canon);
+            if (h < thr) {
+                if (!vec_reserve(&rv, 1) || !vec_reserve(&hv, 1)) {
+                    free(rv.p); free(hv.p); return -1;
+                }
+                ((int64_t *)rv.p)[rv.n++] = r;
+                ((uint64_t *)hv.p)[hv.n++] = h;
+            }
+        }
+    }
+    *out_rids = (int64_t *)rv.p;
+    *out_hashes = (uint64_t *)hv.p;
+    return (int64_t)hv.n;
+}
+
+/* genome path: (contig_id, window END position, hash) per survivor */
+int64_t sx_seed_positions(const uint8_t *codes, const int64_t *starts,
+                          const int64_t *ends, int64_t n_rec,
+                          uint64_t c, int k,
+                          int64_t **out_cids, int64_t **out_pos,
+                          uint64_t **out_hashes) {
+    uint64_t thr = UINT64_MAX / c;
+    uint64_t mask = UINT64_MAX >> (64 - 2 * k);
+    uint64_t rev_mask = ~(3ULL << (2 * k - 2));
+    int rshift = 2 * (k - 1);
+    int64_t total = n_rec ? ends[n_rec - 1] - starts[0] : 0;
+    Vec cv, pv, hv;
+    size_t cap0 = (size_t)(total / (int64_t)c + 1024);
+    if (!vec_init(&cv, cap0, sizeof(int64_t))) return -1;
+    if (!vec_init(&pv, cap0, sizeof(int64_t))) { free(cv.p); return -1; }
+    if (!vec_init(&hv, cap0, sizeof(uint64_t))) {
+        free(cv.p); free(pv.p); return -1;
+    }
+    for (int64_t r = 0; r < n_rec; r++) {
+        int64_t s = starts[r], e = ends[r];
+        if (e - s < (int64_t)k) continue;
+        uint64_t f = 0, rc = 0;
+        for (int64_t i = s; i < s + k - 1; i++) {
+            uint64_t nf = codes[i];
+            f = (f << 2) | nf;
+            rc = (rc >> 2) | ((3 - nf) << rshift);
+        }
+        for (int64_t i = s + k - 1; i < e; i++) {
+            uint64_t nf = codes[i];
+            f = ((f << 2) | nf) & mask;
+            rc = ((rc >> 2) & rev_mask) | ((3 - nf) << rshift);
+            uint64_t canon = f < rc ? f : rc;
+            uint64_t h = sx_hash64(canon);
+            if (h < thr) {
+                if (!vec_reserve(&cv, 1) || !vec_reserve(&pv, 1)
+                    || !vec_reserve(&hv, 1)) {
+                    free(cv.p); free(pv.p); free(hv.p); return -1;
+                }
+                ((int64_t *)cv.p)[cv.n++] = r;
+                ((int64_t *)pv.p)[pv.n++] = i - s;  /* in-record index */
+                ((uint64_t *)hv.p)[hv.n++] = h;
+            }
+        }
+    }
+    *out_cids = (int64_t *)cv.p;
+    *out_pos = (int64_t *)pv.p;
+    *out_hashes = (uint64_t *)hv.p;
+    return (int64_t)hv.n;
+}
+
+/* ---------- 4. mean read length fold ---------- */
 
 /* The reference's sequential running mean (sylph src/sketch.rs:941-943):
  * mean += (len - mean) / counter. Bit-exact f64 op order. */

@@ -68,6 +68,28 @@ def get_lib():
         lib.sk_free.restype = None
         lib.sk_mean_fold.argtypes = [_I64P, ctypes.c_int64]
         lib.sk_mean_fold.restype = ctypes.c_double
+        lib.sk_fold_new.argtypes = [ctypes.c_int, ctypes.c_uint32,
+                                    ctypes.c_double]
+        lib.sk_fold_new.restype = ctypes.c_void_p
+        lib.sk_fold_push.argtypes = [
+            ctypes.c_void_p, _U64P, ctypes.c_int64, _I64P, ctypes.c_int64,
+            _U64P, _U8P, _U8P]
+        lib.sk_fold_push.restype = ctypes.c_int64
+        lib.sk_fold_finish.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(_U64P), ctypes.POINTER(_U32P),
+            _I64P]
+        lib.sk_fold_finish.restype = ctypes.c_int64
+        lib.sk_fold_free.argtypes = [ctypes.c_void_p]
+        lib.sk_fold_free.restype = None
+        lib.sx_seed_concat.argtypes = [
+            _U8P, _I64P, _I64P, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_int, ctypes.POINTER(_I64P), ctypes.POINTER(_U64P)]
+        lib.sx_seed_concat.restype = ctypes.c_int64
+        lib.sx_seed_positions.argtypes = [
+            _U8P, _I64P, _I64P, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_int, ctypes.POINTER(_I64P), ctypes.POINTER(_I64P),
+            ctypes.POINTER(_U64P)]
+        lib.sx_seed_positions.restype = ctypes.c_int64
         _LIB = lib
         return _LIB
 
@@ -119,6 +141,133 @@ def dedup_fold_native(kmers: np.ndarray, seg_starts: np.ndarray,
         lib.sk_free(out_k)
         lib.sk_free(out_c)
     return ks, cs, int(ndup)
+
+
+class StreamingFold:
+    """Stateful native dedup fold: push (kmers, seg_starts, fps) chunks in
+    read order, then finish() -> (kmers, counts, ndup) in first-insertion
+    order. Raises if the native lib is unavailable (callers gate on
+    get_lib())."""
+
+    def __init__(self, no_dedup: bool, threshold: Optional[int],
+                 fpr: float = 0.0):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native sketchcore unavailable")
+        thr = threshold if threshold is not None else (1 << 32) - 1
+        self._st = self._lib.sk_fold_new(1 if no_dedup else 0,
+                                         np.uint32(thr), float(fpr))
+        if not self._st:
+            raise MemoryError("sk_fold_new failure")
+
+    def push(self, kmers: np.ndarray, seg_starts: np.ndarray,
+             fps: np.ndarray, fp_valid: np.ndarray,
+             filter_prev: Optional[np.ndarray] = None) -> int:
+        kmers = np.ascontiguousarray(kmers, np.uint64)
+        seg_starts = np.ascontiguousarray(seg_starts, np.int64)
+        fps = np.ascontiguousarray(fps, np.uint64)
+        fp_valid = np.ascontiguousarray(fp_valid, np.uint8)
+        fprev = (np.ascontiguousarray(filter_prev, np.uint8)
+                 if filter_prev is not None else None)
+        ndup = self._lib.sk_fold_push(
+            self._st, _p(kmers, _U64P), len(kmers), _p(seg_starts, _I64P),
+            len(seg_starts), _p(fps, _U64P), _p(fp_valid, _U8P),
+            _p(fprev, _U8P) if fprev is not None else None)
+        if ndup < 0:
+            raise MemoryError("sk_fold_push allocation failure")
+        return int(ndup)
+
+    def finish(self):
+        out_k = _U64P()
+        out_c = _U32P()
+        out_n = ctypes.c_int64()
+        ndup = self._lib.sk_fold_finish(self._st, ctypes.byref(out_k),
+                                        ctypes.byref(out_c),
+                                        ctypes.byref(out_n))
+        if ndup < 0:
+            raise MemoryError("sk_fold_finish allocation failure")
+        n = out_n.value
+        try:
+            ks = np.ctypeslib.as_array(out_k, shape=(n,)).copy() if n \
+                else np.empty(0, np.uint64)
+            cs = np.ctypeslib.as_array(out_c, shape=(n,)).copy() if n \
+                else np.empty(0, np.uint32)
+        finally:
+            self._lib.sk_free(out_k)
+            self._lib.sk_free(out_c)
+        return ks, cs, int(ndup)
+
+    def close(self):
+        if self._st:
+            self._lib.sk_fold_free(self._st)
+            self._st = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def seed_concat_native(codes: np.ndarray, starts: np.ndarray,
+                       ends: np.ndarray, c: int, k: int):
+    """(read_ids, hashes) FracMinHash survivors in (read, position) order,
+    or None if the lib is unavailable. ~10x the numpy log-doubling path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    out_r = _I64P()
+    out_h = _U64P()
+    n = lib.sx_seed_concat(_p(codes, _U8P), _p(starts, _I64P),
+                           _p(ends, _I64P), len(starts), np.uint64(c),
+                           int(k), ctypes.byref(out_r),
+                           ctypes.byref(out_h))
+    if n < 0:
+        raise MemoryError("sx_seed_concat allocation failure")
+    try:
+        rids = np.ctypeslib.as_array(out_r, shape=(n,)).copy() if n \
+            else np.empty(0, np.int64)
+        hashes = np.ctypeslib.as_array(out_h, shape=(n,)).copy() if n \
+            else np.empty(0, np.uint64)
+    finally:
+        lib.sk_free(out_r)
+        lib.sk_free(out_h)
+    return rids, hashes
+
+
+def seed_positions_native(codes: np.ndarray, starts: np.ndarray,
+                          ends: np.ndarray, c: int, k: int):
+    """(contig_ids, end_positions, hashes) survivors, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    out_c = _I64P()
+    out_p = _I64P()
+    out_h = _U64P()
+    n = lib.sx_seed_positions(_p(codes, _U8P), _p(starts, _I64P),
+                              _p(ends, _I64P), len(starts), np.uint64(c),
+                              int(k), ctypes.byref(out_c),
+                              ctypes.byref(out_p), ctypes.byref(out_h))
+    if n < 0:
+        raise MemoryError("sx_seed_positions allocation failure")
+    try:
+        cids = np.ctypeslib.as_array(out_c, shape=(n,)).copy() if n \
+            else np.empty(0, np.int64)
+        pos = np.ctypeslib.as_array(out_p, shape=(n,)).copy() if n \
+            else np.empty(0, np.int64)
+        hashes = np.ctypeslib.as_array(out_h, shape=(n,)).copy() if n \
+            else np.empty(0, np.uint64)
+    finally:
+        lib.sk_free(out_c)
+        lib.sk_free(out_p)
+        lib.sk_free(out_h)
+    return cids, pos, hashes
 
 
 def mean_fold_native(lengths: np.ndarray):

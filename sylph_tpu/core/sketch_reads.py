@@ -127,40 +127,111 @@ def _fp_single_arrays(px: ParsedFastx, seg_rids: np.ndarray):
     return fps, valid
 
 
-def _single_end_fast(px: ParsedFastx, c: int, k: int, device: bool,
-                     no_dedup: bool):
-    """Array-native single-end fold: no per-read Python objects anywhere
-    (the e2e hot path at millions of reads). Returns (kmers, counts, ndup)
-    or None when the native lib is unavailable (callers fall back to the
-    dict/segment path, which is also the parity oracle)."""
-    from .native_core import dedup_fold_native, get_lib
-    if get_lib() is None:
-        return None
+def _sketch_single_streaming(read_file: str, c: int, k: int,
+                             sample_name, no_dedup: bool, device: bool):
+    """Streaming array-native single-end sketch, pipelined three ways:
+    a producer thread decodes gzip blocks (zlib releases the GIL), a small
+    worker pool parses + seeds + fingerprints each block concurrently
+    (native C, GIL released), and the main thread folds results in file
+    order (the dedup fold is order-dependent). Memory stays bounded at a
+    few blocks regardless of sample size; no per-read Python objects
+    exist anywhere. Native C lib required (callers fall back to the
+    dict/segment oracle path).
+    """
+    import queue
+    import threading
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io.fastx import parse_block, stream_blocks
+    from .native_core import StreamingFold
+
+    use_device = False
     if device:
-        from ..engine.device_sketch import (device_available,
-                                            read_survivor_arrays)
-        if device_available():
-            rids, hashes = read_survivor_arrays(px, c, k)
-        else:
+        from ..engine.device_sketch import device_available
+        use_device = device_available()
+        if not use_device:
             log.warning("--tpu requested but no JAX device available; "
                         "using the host seeding path.")
-            rids, hashes = fmh_seeds_concat_np(px.codes, px.starts,
-                                               px.ends, c, k)
-    else:
-        rids, hashes = fmh_seeds_concat_np(px.codes, px.starts, px.ends,
-                                           c, k)
-    if rids.size == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.uint32), 0
-    boundaries = np.flatnonzero(np.diff(rids)) + 1
-    seg_starts = np.concatenate([[0], boundaries]).astype(np.int64)
-    seg_rids = rids[seg_starts]
-    if no_dedup:
-        fps = np.zeros((seg_starts.size, 4), np.uint64)
-        valid = np.zeros(seg_starts.size, np.uint8)
-    else:
-        fps, valid = _fp_single_arrays(px, seg_rids)
-    return dedup_fold_native(hashes, seg_starts, fps, valid, None,
-                             no_dedup, MAX_DEDUP_COUNT)
+    if use_device:
+        from ..engine.device_sketch import read_survivor_arrays
+
+    q: "queue.Queue" = queue.Queue(maxsize=3)
+    err = []
+
+    def producer():
+        try:
+            for block in stream_blocks(read_file):
+                q.put(block)
+        except Exception as e:      # re-raised on the consumer side
+            err.append(e)
+        finally:
+            q.put(None)
+
+    def prepare(block: bytes):
+        """block -> (lengths, hashes, seg_starts, fps, valid); parse +
+        seed + fingerprint, all GIL-releasing (runs in the pool)."""
+        px = parse_block(block, read_file, skip_names=True)
+        if use_device:
+            rids, hashes = read_survivor_arrays(px, c, k)
+        else:
+            from .native_core import seed_concat_native
+            seeded = seed_concat_native(px.codes, px.starts, px.ends,
+                                        c, k)
+            if seeded is None:
+                seeded = fmh_seeds_concat_np(px.codes, px.starts,
+                                             px.ends, c, k)
+            rids, hashes = seeded
+        if rids.size == 0:
+            return px.lengths, hashes, None, None, None
+        boundaries = np.flatnonzero(np.diff(rids)) + 1
+        seg_starts = np.concatenate([[0], boundaries]).astype(np.int64)
+        seg_rids = rids[seg_starts]
+        if no_dedup:
+            fps = np.zeros((seg_starts.size, 4), np.uint64)
+            valid = np.zeros(seg_starts.size, np.uint8)
+        else:
+            fps, valid = _fp_single_arrays(px, seg_rids)
+        return px.lengths, hashes, seg_starts, fps, valid
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    fold = StreamingFold(no_dedup, MAX_DEDUP_COUNT)
+    lens_parts = []
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = deque()
+            done = False
+            while futs or not done:
+                while not done and len(futs) < 3:
+                    block = q.get()
+                    if block is None:
+                        done = True
+                        break
+                    futs.append(pool.submit(prepare, block))
+                if not futs:
+                    break
+                lengths, hashes, seg_starts, fps, valid = \
+                    futs.popleft().result()
+                lens_parts.append(lengths)
+                if seg_starts is not None:
+                    fold.push(hashes, seg_starts, fps, valid, None)
+        t.join()
+        if err:
+            raise err[0]
+        if not lens_parts:
+            raise FastxParseError(f"{read_file}: empty file")
+        ks, cs, ndup = fold.finish()
+    finally:
+        fold.close()
+    total = int(cs.sum()) + ndup
+    if total:
+        log.debug("Dedup removed %d sketched k-mers for %s (%.2f%%)",
+                  ndup, read_file, 100.0 * ndup / total)
+    mean_len = _mean_fold(np.concatenate(lens_parts))
+    return SequencesSketch(kmers=ks, counts=cs, c=c, k=k,
+                           file_name=read_file, sample_name=sample_name,
+                           paired=False, mean_read_length=mean_len)
 
 
 def _segments_by_read(rids: np.ndarray, hashes: np.ndarray):
@@ -256,35 +327,34 @@ def sketch_sequences(read_file: str, c: int, k: int,
                      no_dedup: bool = False,
                      device: bool = False) -> Optional[SequencesSketch]:
     """Single-end read sketch (sylph src/sketch.rs:897-959)."""
+    from .native_core import get_lib
+    if get_lib() is not None:
+        try:
+            return _sketch_single_streaming(read_file, c, k, sample_name,
+                                            no_dedup, device)
+        except (FastxParseError, OSError):
+            log.warning("%s is not a valid fasta/fastq file; skipping.",
+                        read_file)
+            return None
     try:
         px = parse_fastx(read_file, skip_names=True)
     except (FastxParseError, OSError):
         log.warning("%s is not a valid fasta/fastq file; skipping.",
                     read_file)
         return None
-    native = _single_end_fast(px, c, k, device, no_dedup)
-    if native is not None:
-        ks, cs, ndup = native
-        counts = None
-        total = int(cs.sum()) + ndup
-    else:
-        from .pair_filter import ExactPairSet
-        segs = _extract_segs(px, c, k, device)
-        fps = {} if no_dedup else _fp_single(
-            px, np.fromiter(segs.keys(), dtype=np.int64, count=len(segs)))
-        counts: Dict[int, int] = {}
-        ndup = _dedup_fold(
-            ((kms, fps.get(rid)) for rid, kms in segs.items()),
-            counts, ExactPairSet(), no_dedup, MAX_DEDUP_COUNT)
-        total = sum(counts.values()) + ndup
+    from .pair_filter import ExactPairSet
+    segs = _extract_segs(px, c, k, device)
+    fps = {} if no_dedup else _fp_single(
+        px, np.fromiter(segs.keys(), dtype=np.int64, count=len(segs)))
+    counts: Dict[int, int] = {}
+    ndup = _dedup_fold(
+        ((kms, fps.get(rid)) for rid, kms in segs.items()),
+        counts, ExactPairSet(), no_dedup, MAX_DEDUP_COUNT)
+    total = sum(counts.values()) + ndup
     if total:
         log.debug("Dedup removed %d sketched k-mers for %s (%.2f%%)",
                   ndup, read_file, 100.0 * ndup / total)
     mean_len = _mean_fold(px.lengths)
-    if counts is None:
-        return SequencesSketch(kmers=ks, counts=cs, c=c, k=k,
-                               file_name=read_file, sample_name=sample_name,
-                               paired=False, mean_read_length=mean_len)
     return _finish(counts, read_file, c, k, False, sample_name, mean_len)
 
 

@@ -71,6 +71,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         lib.fx_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.fx_parse.restype = ctypes.POINTER(_FxResult)
+        lib.fx_parse_buffer.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                        ctypes.c_int]
+        lib.fx_parse_buffer.restype = ctypes.POINTER(_FxResult)
         lib.fx_free.argtypes = [ctypes.POINTER(_FxResult)]
         lib.fx_free.restype = None
         _LIB = lib
@@ -86,8 +89,21 @@ def parse_fastx_native(path: str, skip_names: bool = False):
     lib = get_lib()
     if lib is None:
         return None
-    from .fastx import FastxParseError, ParsedFastx
     rp = lib.fx_parse(path.encode(), 1 if skip_names else 0)
+    return _convert(lib, rp)
+
+
+def parse_fastx_buffer_native(data: bytes, skip_names: bool = False):
+    """Native parse of an in-memory decompressed block, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rp = lib.fx_parse_buffer(data, len(data), 1 if skip_names else 0)
+    return _convert(lib, rp)
+
+
+def _convert(lib, rp):
+    from .fastx import FastxParseError, ParsedFastx
     if not rp:
         raise MemoryError("fx_parse allocation failure")
     try:
@@ -103,7 +119,7 @@ def parse_fastx_native(path: str, skip_names: bool = False):
         ends = np.ctypeslib.as_array(r.ends, shape=(n_rec,)).copy() \
             if n_rec else np.empty(0, np.int64)
         names = []
-        if not skip_names and r.names_len:
+        if r.names_len:
             blob = ctypes.string_at(r.names, int(r.names_len))
             names = blob.decode("utf-8", "replace").split("\n")[:n_rec]
         return ParsedFastx(codes, starts, ends, names)
