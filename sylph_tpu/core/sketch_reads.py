@@ -358,6 +358,126 @@ def sketch_sequences(read_file: str, c: int, k: int,
     return _finish(counts, read_file, c, k, False, sample_name, mean_len)
 
 
+def _fp_paired_arrays(px1: ParsedFastx, px2: ParsedFastx,
+                      rids: np.ndarray):
+    """Array form of _fp_paired for the given pair ids."""
+    n = rids.size
+    fps = np.zeros((max(n, 1), 4), np.uint64)
+    valid = np.zeros(max(n, 1), np.uint8)
+    ok = (px1.lengths[rids] >= 2 * _FP_K + 1) & \
+         (px2.lengths[rids] >= 2 * _FP_K + 1)
+    rr = rids[ok]
+    if rr.size:
+        ev = [2 * i for i in range(_FP_K)]
+        fps[ok, 0] = _pack16(_gather_cols(px1.codes, px1.starts[rr], ev))
+        fps[ok, 1] = _pack16(_gather_cols(px2.codes, px2.starts[rr], ev))
+        fps[ok, 2] = _pack16(_gather_cols(px1.codes, px1.starts[rr] + 1,
+                                          ev))
+        fps[ok, 3] = _pack16(_gather_cols(px2.codes, px2.starts[rr] + 1,
+                                          ev))
+        valid[ok] = 1
+    return fps, valid
+
+
+def _paired_fold_arrays(px1, px2, rids1, h1, rids2, h2, no_dedup):
+    """Interleave per-pair R1/R2 survivor segments into the flat arrays
+    the fold consumes: (kmers, seg_starts, fps, valid, filter_prev).
+    Segment order is rid-ascending with [R1, R2] per pair; R2 carries
+    filter_prev (skip k-mers present in the same pair's R1), matching
+    the reference's loop (src/sketch.rs:851-876)."""
+    n = px1.n_records
+    c1 = np.bincount(rids1, minlength=n).astype(np.int64)
+    c2 = np.bincount(rids2, minlength=n).astype(np.int64)
+    act = np.flatnonzero((c1 > 0) | (c2 > 0))
+    if act.size == 0:
+        return None
+    inv = np.full(n, -1, np.int64)
+    inv[act] = np.arange(act.size)
+    s1 = c1[act]
+    s2 = c2[act]
+    t = s1 + s2
+    base = np.concatenate([[0], np.cumsum(t)[:-1]])
+    out = np.empty(int(t.sum()), np.uint64)
+    if rids1.size:
+        first1 = np.concatenate([[0], np.cumsum(c1)[:-1]])
+        loc1 = np.arange(rids1.size) - first1[rids1]
+        out[base[inv[rids1]] + loc1] = h1
+    if rids2.size:
+        first2 = np.concatenate([[0], np.cumsum(c2)[:-1]])
+        loc2 = np.arange(rids2.size) - first2[rids2]
+        a2 = inv[rids2]
+        out[base[a2] + s1[a2] + loc2] = h2
+    seg_starts = np.empty(2 * act.size, np.int64)
+    seg_starts[0::2] = base
+    seg_starts[1::2] = base + s1
+    if no_dedup:
+        fps2 = np.zeros((2 * act.size, 4), np.uint64)
+        valid2 = np.zeros(2 * act.size, np.uint8)
+    else:
+        fps, valid = _fp_paired_arrays(px1, px2, act)
+        fps2 = np.repeat(fps, 2, axis=0)
+        valid2 = np.repeat(valid, 2)
+    fprev = np.zeros(2 * act.size, np.uint8)
+    fprev[1::2] = 1
+    return out, seg_starts, fps2, valid2, fprev
+
+
+def _sketch_pair_streaming(read_file1: str, read_file2: str, c: int,
+                           k: int, sample_name, no_dedup: bool,
+                           fpr: float, device: bool):
+    """Streaming array-native paired-end sketch: both mate files decode
+    and parse in record-aligned chunks (memory bounded), segments
+    interleave vectorized, and the stateful C fold (exact set or bloom
+    per fpr) runs in pair order. Native C lib required."""
+    from ..io.fastx import stream_fastx_pairs
+    from .native_core import StreamingFold, seed_concat_native
+
+    use_device = False
+    if device:
+        from ..engine.device_sketch import device_available
+        use_device = device_available()
+        if not use_device:
+            log.warning("--tpu requested but no JAX device available; "
+                        "using the host seeding path.")
+    if use_device:
+        from ..engine.device_sketch import read_survivor_arrays
+
+    def seed(px):
+        if use_device:
+            return read_survivor_arrays(px, c, k)
+        got = seed_concat_native(px.codes, px.starts, px.ends, c, k)
+        if got is None:
+            got = fmh_seeds_concat_np(px.codes, px.starts, px.ends, c, k)
+        return got
+
+    fold = StreamingFold(no_dedup, None, fpr=0.0 if no_dedup else fpr)
+    lens1 = []
+    try:
+        for px1, px2 in stream_fastx_pairs(read_file1, read_file2):
+            lens1.append(px1.lengths)
+            rids1, h1 = seed(px1)
+            rids2, h2 = seed(px2)
+            built = _paired_fold_arrays(px1, px2, rids1, h1, rids2, h2,
+                                        no_dedup)
+            if built is not None:
+                fold.push(built[0], built[1], built[2], built[3],
+                          built[4])
+        ks, cs, ndup = fold.finish()
+    finally:
+        fold.close()
+    total = int(cs.sum()) + ndup
+    if total:
+        log.debug(
+            "Number of sketched k-mers removed due to read duplication for "
+            "%s: %d. Percentage: %.2f%%", read_file1, ndup,
+            100.0 * ndup / total)
+    mean_len = _mean_fold(np.concatenate(lens1) if lens1
+                          else np.empty(0, np.int64))
+    return SequencesSketch(kmers=ks, counts=cs, c=c, k=k,
+                           file_name=read_file1, sample_name=sample_name,
+                           paired=True, mean_read_length=mean_len)
+
+
 def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
                           sample_name: Optional[str] = None,
                           no_dedup: bool = False,
@@ -368,6 +488,16 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
     ``fpr == 0`` dedups with an exact pair set; ``fpr > 0`` (the CLI
     default, 1e-4) with the memory-bounded scalable bloom filter
     (core/pair_filter.py) — the reference's ScalableCuckooFilter role."""
+    from .native_core import get_lib
+    if get_lib() is not None:
+        try:
+            return _sketch_pair_streaming(read_file1, read_file2, c, k,
+                                          sample_name, no_dedup, fpr,
+                                          device)
+        except (FastxParseError, OSError):
+            log.error("Paired end reading failed for '%s' and '%s'.",
+                      read_file1, read_file2)
+            raise SystemExit(1)
     try:
         px1 = parse_fastx(read_file1, skip_names=True)
         px2 = parse_fastx(read_file2, skip_names=True)

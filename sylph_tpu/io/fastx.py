@@ -267,6 +267,68 @@ def _parse_bytes_py(block: bytes, path: str, skip_names: bool):
     raise FastxParseError(f"{path}: not a fasta/fastq file")
 
 
+class _RecordBuffer:
+    """Parsed-record lookahead over a block stream (for pair alignment)."""
+
+    def __init__(self, path: str, target_bytes: int):
+        self._gen = stream_fastx(path, skip_names=True,
+                                 target_bytes=target_bytes)
+        self._bufs = []          # [ParsedFastx, consumed_records]
+        self.avail = 0
+        self.eof = False
+
+    def fill(self, want: int):
+        while self.avail < want and not self.eof:
+            try:
+                px = next(self._gen)
+            except StopIteration:
+                self.eof = True
+                return
+            if px.n_records:
+                self._bufs.append([px, 0])
+                self.avail += px.n_records
+
+    def take(self, m: int) -> ParsedFastx:
+        """Pop exactly m records (m <= avail) as one ParsedFastx."""
+        codes_parts, lens_parts = [], []
+        got = 0
+        while got < m:
+            px, s = self._bufs[0]
+            n = min(m - got, px.n_records - s)
+            # records are contiguous in codes (parsers build them so)
+            codes_parts.append(px.codes[px.starts[s]:px.ends[s + n - 1]])
+            lens_parts.append(px.lengths[s:s + n])
+            got += n
+            if s + n == px.n_records:
+                self._bufs.pop(0)
+            else:
+                self._bufs[0][1] = s + n
+        self.avail -= m
+        codes = (codes_parts[0] if len(codes_parts) == 1
+                 else np.concatenate(codes_parts))
+        lens = (lens_parts[0] if len(lens_parts) == 1
+                else np.concatenate(lens_parts))
+        ends = np.cumsum(lens)
+        return ParsedFastx(codes, ends - lens, ends, [])
+
+
+def stream_fastx_pairs(path1: str, path2: str,
+                       target_bytes: int = 64 << 20):
+    """Yield (px1, px2) chunks with EQUAL record counts, covering pairs
+    [0, min(n1, n2)) — the streaming form of parsing both mate files and
+    zipping records (reference loop: sylph src/sketch.rs:809-822; the
+    iteration stops when either file is exhausted)."""
+    b1 = _RecordBuffer(path1, target_bytes)
+    b2 = _RecordBuffer(path2, target_bytes)
+    while True:
+        b1.fill(1)
+        b2.fill(1)
+        m = min(b1.avail, b2.avail)
+        if m == 0:
+            return
+        yield b1.take(m), b2.take(m)
+
+
 def parse_fastx_py(path: str, skip_names: bool = False) -> ParsedFastx:
     """Pure-numpy parser (fallback + oracle for the native decoder)."""
     raw = _read_raw(path)

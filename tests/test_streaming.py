@@ -188,3 +188,57 @@ def test_native_seeding_matches_numpy():
             oh.extend(h.tolist())
         assert cids.tolist() == oc and pos.tolist() == op \
             and hs.tolist() == oh, (c, k)
+
+
+def test_paired_streaming_chunked_matches_oneshot(tmp_path, monkeypatch):
+    """Paired streaming with tiny chunks == whole-file result, including
+    ragged files (n1 != n2: trailing unpaired records ignored)."""
+    from sylph_tpu.core import native_core
+    from sylph_tpu.core.sketch_reads import sketch_pair_sequences
+    if native_core.get_lib() is None:
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(23)
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    n1, n2 = 300, 280                      # ragged
+    for p, n, seed in ((p1, n1, 1), (p2, n2, 2)):
+        r = np.random.default_rng(seed)
+        with open(p, "wb") as f:
+            for i in range(n):
+                ln = int(r.integers(40, 200))
+                s = BASES[r.integers(0, 4, size=ln)].tobytes()
+                f.write(b"@r%d\n" % i + s + b"\n+\n" + b"I" * ln + b"\n")
+
+    whole = sketch_pair_sequences(str(p1), str(p2), 10, 21)
+
+    import sylph_tpu.io.fastx as fastx_mod
+    orig = fastx_mod.stream_blocks
+    monkeypatch.setattr(
+        fastx_mod, "stream_blocks",
+        lambda path, target_bytes=0: orig(path, target_bytes=1024))
+    chunked = sketch_pair_sequences(str(p1), str(p2), 10, 21)
+    assert chunked.kmers.tolist() == whole.kmers.tolist()
+    assert chunked.counts.tolist() == whole.counts.tolist()
+    assert chunked.mean_read_length == whole.mean_read_length
+    assert chunked.paired
+
+
+def test_paired_streaming_duplicate_detection(tmp_path):
+    """PCR duplicates (identical pairs) are removed across chunk sizes."""
+    from sylph_tpu.core import native_core
+    from sylph_tpu.core.sketch_reads import sketch_pair_sequences
+    if native_core.get_lib() is None:
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(29)
+    s1 = BASES[rng.integers(0, 4, size=150)].tobytes()
+    s2 = BASES[rng.integers(0, 4, size=150)].tobytes()
+    p1, p2 = tmp_path / "d1.fq", tmp_path / "d2.fq"
+    with open(p1, "wb") as f:
+        for i in range(20):
+            f.write(b"@r%d\n" % i + s1 + b"\n+\n" + b"I" * 150 + b"\n")
+    with open(p2, "wb") as f:
+        for i in range(20):
+            f.write(b"@r%d\n" % i + s2 + b"\n+\n" + b"I" * 150 + b"\n")
+    sk = sketch_pair_sequences(str(p1), str(p2), 5, 21)
+    # every k-mer seen 20x but 19 are duplicates -> all counts == 1
+    assert sk.kmers.size > 0
+    assert (sk.counts == 1).all()
