@@ -73,6 +73,10 @@ def _extract_positions(px, c: int, k: int, device: bool):
             return genome_survivor_positions(px, c, k)
         log.warning("--tpu requested but no JAX device available; using "
                     "the host seeding path.")
+    from .native_core import seed_positions_native
+    native = seed_positions_native(px.codes, px.starts, px.ends, c, k)
+    if native is not None:
+        return native
     all_h, all_p, all_c = [], [], []
     for i in range(px.n_records):
         h, p = fmh_seeds_positions_np(px.record_codes(i), c, k)
