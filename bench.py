@@ -190,7 +190,10 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         live = (READ_LEN - K + 1) / C / (all_hi.size
                                          / (n_batches * BATCH_READS))
         all_hi, all_lo = condense_stream(all_hi, all_lo, live)
-        shi, slo = jax.lax.sort((all_hi, all_lo), num_keys=2)
+        # condense_stream returns row-major [rows, cap]; the grange engine
+        # wants ONE flat globally sorted stream (sentinels sort to the tail)
+        shi, slo = jax.lax.sort((all_hi.reshape(-1), all_lo.reshape(-1)),
+                                num_keys=2)
         hist, check = eng.hist_device_stream(shi, slo)
         hist2 = hist[:G * 64].reshape(G, 64)
         st = stats_from_histograms(hist2, n_kmers_dev, k=K, min_ani=0.5)

@@ -347,6 +347,8 @@ class GRangeEngine:
         the conservation scalars and returns True iff the histogram is
         exact (compaction capacity honored and every chunk slice fit in P);
         on False callers re-run via the host path."""
+        shi = shi.reshape(-1)
+        slo = slo.reshape(-1)
         gidx = self.gidx
         G = gidx.n_genomes
         n_chunks = len(gidx.chunk_hi)
