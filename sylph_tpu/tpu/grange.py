@@ -337,11 +337,20 @@ class GRangeEngine:
             (e[:, 1] >> np.uint64(32)).astype(np.uint32),
             (e[:, 1] & m32).astype(np.uint32)), self._devices[0])
 
-    def hist_device_stream(self, shi, slo, P: Optional[int] = None):
+    def hist_device_stream(self, shi, slo, P: Optional[int] = None,
+                           n_live: Optional[int] = None):
         """All-device histogram for a SORTED sample occurrence stream
         (sentinel-padded tail; duplicates encode multiplicity). Single
         device only (the bench/serving hot path: nothing crosses the
         host boundary except the conservation scalars).
+
+        ``n_live`` is the caller's count of non-sentinel entries; pass it
+        whenever known — the sentinel tail otherwise inflates the per-chunk
+        slice P (sentinels sort past every chunk edge, so only live entries
+        land in slices) and with it both the compare work (CS) and the
+        compaction density estimate. The round-1 OOM at GTDB scale came
+        from exactly that inflation: density > 0.25 disabled code
+        compaction and 22 full-grid code streams (~7 GB) piled up in HBM.
 
         Returns (hist [G*H+1] device i32, check() -> bool). check() fetches
         the conservation scalars and returns True iff the histogram is
@@ -353,8 +362,10 @@ class GRangeEngine:
         G = gidx.n_genomes
         n_chunks = len(gidx.chunk_hi)
         t = int(shi.shape[0])
+        if n_live is None:
+            n_live = t
         if P is None:
-            mean = t / n_chunks
+            mean = n_live / n_chunks
             P = 1 << max(10, int(np.ceil(np.log2(max(
                 1.0, 1.3 * mean + 6.0 * np.sqrt(mean) + 64)))))
             P = min(P, t)
@@ -363,7 +374,11 @@ class GRangeEngine:
                                          hi_lo, P=P)
         from .bucket_join import sample_cs
         CS = sample_cs(P, gidx.B, granularity=8)
-        density = min(1.0, 4.0 * P / max(1, gidx.B * gidx.CI))
+        # live codes per chunk <= sample entries in the chunk (<= P, up to
+        # cross-genome hash duplication); _compact_codes layers its own
+        # 4x-expectation capacity on top and the conservation check +
+        # lossless fallback catch any violation.
+        density = min(1.0, P / max(1, gidx.B * gidx.CI))
         w = (shi != SENT).astype(jnp.int32)
         codes_parts, diag = [], []
         for i in range(n_chunks):
