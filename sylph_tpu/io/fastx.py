@@ -125,7 +125,7 @@ def stream_blocks(path: str, target_bytes: int = 64 << 20):
 
     def text_chunks():
         with open(path, "rb") as f:
-            head = f.read(2)
+            head = f.read(18)
             f.seek(0)
             if head[:2] != b"\x1f\x8b":
                 while True:
@@ -134,6 +134,17 @@ def stream_blocks(path: str, target_bytes: int = 64 << 20):
                         return
                     yield raw
                 return
+            # BGZF (htslib blocked gzip — common for pipeline fastq.gz):
+            # member boundaries are in the headers, so blocks inflate in
+            # parallel across cores. Falls through on any irregularity.
+            from . import bgzf
+            if bgzf.looks_like_bgzf(head):
+                data = f.read()
+                blocks = bgzf.scan(data)
+                if blocks:
+                    yield from bgzf.iter_decompressed(data, blocks)
+                    return
+                f.seek(0)
             # gzip: libdeflate member-at-a-time when available and the
             # compressed size is modest (2-3x faster than zlib inflate;
             # multi-member Illumina-style files stay memory-bounded at one

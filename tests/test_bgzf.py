@@ -1,0 +1,118 @@
+"""BGZF codec: standard-compliance roundtrip, parallel decode equality,
+and ingest integration (reference ingest counterpart: needletail+flate2
+reading any gzip serially, sylph src/sketch.rs:780-781)."""
+
+import gzip
+import io
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from sylph_tpu.io import bgzf
+from sylph_tpu.io.fastx import parse_fastx, stream_blocks, stream_fastx
+
+
+def _fastq_bytes(n_reads: int, read_len: int = 101, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    out = []
+    qual = b"F" * read_len
+    for i in range(n_reads):
+        seq = bases[rng.integers(0, 4, size=read_len)].tobytes()
+        out.append(b"@r%d\n%s\n+\n%s\n" % (i, seq, qual))
+    return b"".join(out)
+
+
+def test_roundtrip_gzip_module_reads_bgzf(tmp_path):
+    """Our BGZF output is standard gzip: the stdlib reads it unchanged
+    (and so does the reference's flate2)."""
+    raw = _fastq_bytes(3000)
+    p = str(tmp_path / "x.fastq.gz")
+    total = bgzf.write(p, [raw])
+    assert total == len(raw)
+    with gzip.open(p, "rb") as f:
+        assert f.read() == raw
+
+
+def test_scan_and_parallel_decode(tmp_path):
+    raw = _fastq_bytes(5000, seed=1)
+    p = str(tmp_path / "x.fastq.gz")
+    bgzf.write(p, [raw[i:i + 7777] for i in range(0, len(raw), 7777)])
+    data = open(p, "rb").read()
+    assert bgzf.looks_like_bgzf(data[:18])
+    blocks = bgzf.scan(data)
+    assert blocks is not None
+    # every block is a whole gzip member of <= 64 KiB
+    assert all(blen <= 65536 for _o, blen, _i in blocks)
+    # last block is the EOF marker
+    assert blocks[-1][2] == 0
+    # tiny superchunks exercise the multi-group + prefetch path
+    got = b"".join(bgzf.iter_decompressed(data, blocks,
+                                          target_bytes=100_000, workers=3))
+    assert got == raw
+
+
+def test_plain_gzip_not_misdetected(tmp_path):
+    raw = _fastq_bytes(100)
+    p = str(tmp_path / "plain.fastq.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(raw)
+    head = open(p, "rb").read(18)
+    assert not bgzf.looks_like_bgzf(head)
+    # and the generic ingest still reads it
+    blocks = b"".join(stream_blocks(p, target_bytes=1 << 16))
+    assert blocks == raw
+
+
+def test_stream_ingest_equality(tmp_path):
+    """stream_fastx over BGZF == over plain gzip == whole-file parse."""
+    raw = _fastq_bytes(4000, seed=2)
+    pb = str(tmp_path / "b.fastq.gz")
+    pg = str(tmp_path / "g.fastq.gz")
+    bgzf.write(pb, [raw])
+    with gzip.open(pg, "wb") as f:
+        f.write(raw)
+    whole = parse_fastx(pg, skip_names=True)
+
+    for path in (pb, pg):
+        codes_parts, lens_parts = [], []
+        for px in stream_fastx(path, target_bytes=200_000):
+            codes_parts.append(px.codes)
+            lens_parts.append(px.lengths)
+        assert np.array_equal(np.concatenate(codes_parts), whole.codes)
+        assert np.array_equal(np.concatenate(lens_parts), whole.lengths)
+
+
+def test_incompressible_blocks_split(tmp_path):
+    """Level-1 deflate of random bytes can exceed the 64 KiB frame; the
+    writer must fall back to stored/split blocks and stay lossless."""
+    raw = os.urandom(300_000)
+    p = str(tmp_path / "r.bin.gz")
+    bgzf.write(p, [raw])
+    with gzip.open(p, "rb") as f:
+        assert f.read() == raw
+    blocks = bgzf.scan(open(p, "rb").read())
+    assert blocks is not None
+    assert all(blen <= 65536 for _o, blen, _i in blocks)
+
+
+def test_empty_stream(tmp_path):
+    p = str(tmp_path / "e.gz")
+    assert bgzf.write(p, []) == 0
+    data = open(p, "rb").read()
+    assert data == bgzf.EOF_MARKER
+    blocks = bgzf.scan(data)
+    assert blocks is not None and blocks[-1][2] == 0
+    assert b"".join(bgzf.iter_decompressed(data, blocks)) == b""
+
+
+def test_scan_rejects_corrupt():
+    raw = _fastq_bytes(50)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb") as f:
+        f.write(raw)
+    assert bgzf.scan(buf.getvalue()) is None          # no BC subfield
+    assert bgzf.scan(b"\x1f\x8b\x08\x04" + b"\x00" * 20) is None
+    assert bgzf.scan(zlib.compress(raw)) is None      # not gzip at all
