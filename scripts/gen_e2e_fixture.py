@@ -5,7 +5,11 @@ Produces in .bench_data/e2e/:
   - db.syldb                     : sketched via the real CLI (c=200, k=31)
   - reads.fastq.gz               : ~1.07 Gbp of 150-bp reads drawn from 8
                                    of the genomes at staggered coverages
-                                   plus 20% random background reads
+                                   plus 20% random background reads,
+                                   BGZF-compressed (htslib blocked gzip,
+                                   the common pipeline fastq.gz format)
+                                   so ingest exercises the parallel
+                                   decode path (io/bgzf.py)
 
 The profile bench (bench.py --config e2e) then times
 `sylph profile --tpu db.syldb reads.fastq.gz` file -> TSV, i.e. INCLUDING
@@ -14,16 +18,15 @@ the number comparable to the reference's wall-clock claim
 (/root/reference/README.md:16-28).
 """
 
-import gzip
 import os
 import subprocess
 import sys
 import time
-import zlib
 
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 OUT = os.path.join(ROOT, ".bench_data", "e2e")
 N_GENOMES = 64
 GLEN = 1_000_000
@@ -71,15 +74,10 @@ def main():
 
     qual = b"I" * READ_LEN
     tmpl_mid = b"\n+\n" + qual + b"\n"
-    comp = zlib.compressobj(1, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
-    written = 0
     CHUNK = 65536
-    with open(rf, "wb") as fout:
-        def emit(block: bytes):
-            nonlocal written
-            fout.write(comp.compress(block))
-            written += len(block)
+    rid_box = [0]
 
+    def text_chunks():
         rid = 0
         for src, cnt in enumerate(src_counts.tolist()):
             codes = genomes[src]
@@ -94,7 +92,7 @@ def main():
                     parts.append(b"@r%d\n" % (rid + i))
                     parts.append(seqs[i].tobytes())
                     parts.append(tmpl_mid)
-                emit(b"".join(parts))
+                yield b"".join(parts)
                 rid += b
                 done += b
             print(f"[{time.perf_counter() - t0:.0f}s] genome {src}: "
@@ -109,10 +107,14 @@ def main():
                 parts.append(b"@n%d\n" % (rid + i))
                 parts.append(seqs[i].tobytes())
                 parts.append(tmpl_mid)
-            emit(b"".join(parts))
+            yield b"".join(parts)
             rid += b
             done += b
-        fout.write(comp.flush())
+        rid_box[0] = rid
+
+    from sylph_tpu.io import bgzf
+    bgzf.write(rf, text_chunks(), level=1)
+    rid = rid_box[0]
     print(f"[{time.perf_counter() - t0:.0f}s] DONE: {rid} reads, "
           f"{rid * READ_LEN / 1e9:.2f} Gbp raw, "
           f"{os.path.getsize(rf) / 1e9:.2f} GB gz", flush=True)
