@@ -179,12 +179,21 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                          .sum()))
     print(f"# upload: {_t.perf_counter() - t_up:.1f}s", flush=True)
 
-    # exact live-survivor count (one untimed pre-pass + scalar fetch):
-    # sizes the per-chunk slice P and the code-compaction density — the
-    # sentinel-padded stream length over-estimates both
+    # exact live/unique survivor counts (one untimed pre-pass + scalar
+    # fetches): they size the per-chunk slice P, the compaction density,
+    # and the per-bucket sample capacity CS — the sentinel-padded stream
+    # length over-estimates all three. All batches re-sketch the same
+    # bases, so whole-stream unique == one batch's unique.
     _chi, _clo, _n = sketch_batch(bases, lengths, c=C, k=K)
     n_live = n_batches * int(np.asarray(_n))
-    del _chi, _clo, _n
+    _shi, _slo = jax.lax.sort((_chi.reshape(-1), _clo.reshape(-1)),
+                              num_keys=2)
+    _firsts = ((_shi[1:] != _shi[:-1]) | (_slo[1:] != _slo[:-1]))
+    _live1 = _shi != jnp.uint32(0xFFFFFFFF)
+    n_unique = int(np.asarray(jnp.sum(
+        (_firsts & _live1[1:]).astype(jnp.int32))
+        + _live1[0].astype(jnp.int32)))
+    del _chi, _clo, _n, _shi, _slo, _firsts, _live1
 
     def run_once():
         chunks_hi, chunks_lo = [], []
@@ -201,12 +210,15 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         # wants ONE flat globally sorted stream (sentinels sort to the tail)
         shi, slo = jax.lax.sort((all_hi.reshape(-1), all_lo.reshape(-1)),
                                 num_keys=2)
-        hist, check = eng.hist_device_stream(shi, slo, n_live=n_live)
+        hist, check = eng.hist_device_stream(shi, slo, n_live=n_live,
+                                             n_unique=n_unique)
         hist2 = hist[:G * 64].reshape(G, 64)
         st = stats_from_histograms(hist2, n_kmers_dev, k=K, min_ani=0.5)
         ok = check()          # conservation scalars force completion
         return float(np.asarray(st.contained.sum())), ok
 
+    print(f"# n_live={n_live} n_unique={n_unique} warmup begin",
+          flush=True)
     t0 = _t.perf_counter()
     _, ok = run_once()        # compile + warm (cache-persistent)
     print(f"# warmup: {_t.perf_counter() - t0:.1f}s exact={ok}", flush=True)
@@ -252,10 +264,20 @@ def _bench_e2e(jax):
         assert len(tsv.strip().splitlines()) >= 4, tsv  # header + hits
         return dt
 
+    # host-I/O floor: decode + parse (no seeding/device) over the file —
+    # the split the device pipeline must overlap
+    from sylph_tpu.io.fastx import stream_blocks
+    t0 = _t.perf_counter()
+    nbytes = sum(len(b) for b in stream_blocks(reads))
+    t_io = _t.perf_counter() - t0
+    print(f"# host decode-only pass: {t_io:.1f}s "
+          f"({nbytes / t_io / 1e6:.0f} MB/s text)", flush=True)
+
     warm = run()                    # compiles cached across processes
     print(f"# e2e warm-up run: {warm:.1f}s", flush=True)
     times = [run() for _ in range(2)]
-    print(f"# e2e timed runs: {[round(x, 1) for x in times]}", flush=True)
+    print(f"# e2e timed runs: {[round(x, 1) for x in times]} "
+          f"(host-I/O floor {t_io:.1f}s)", flush=True)
     return total_bp / min(times) / 1e9
 
 

@@ -83,11 +83,17 @@ def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int,
     # match nothing — route them to the overflow bucket with the padding.
     raw = (shi - jnp.asarray(base, jnp.uint32)) // jnp.uint32(width)
     in_range = raw < jnp.uint32(B)
-    b = jnp.where(in_range & (sw > 0), raw.astype(jnp.int32), B)
+    live = in_range & (sw > 0)
+    b = jnp.where(live, raw.astype(jnp.int32), B)
     idx = jnp.arange(t, dtype=jnp.int32)
-    new_run = jnp.concatenate([jnp.ones(1, bool), b[1:] != b[:-1]])
-    start = jax.lax.cummax(jnp.where(new_run, idx, -1))
-    rank = idx - start
+    # rank = live entries before i in the same RAW bucket run (zero-weight
+    # slots may interleave with live ones — e.g. duplicates folded into a
+    # first-occurrence weight — and must not consume capacity or split a
+    # run; ``raw`` is nondecreasing because the input is hash-sorted)
+    new_run = jnp.concatenate([jnp.ones(1, bool), raw[1:] != raw[:-1]])
+    cl = jnp.cumsum(live.astype(jnp.int32)) - live.astype(jnp.int32)
+    start_cl = jax.lax.cummax(jnp.where(new_run, cl, -1))
+    rank = cl - start_cl
     tgt = jnp.where(rank < CS, b * CS + rank, B * CS)
     flat = (B + 1) * CS
     dh = jnp.full((flat + 1,), SENT, jnp.uint32).at[tgt].set(shi,

@@ -196,6 +196,27 @@ def _compact_codes(codes: jnp.ndarray, density: float):
     return hi
 
 
+@jax.jit
+def _fold_weights(shi, slo):
+    """Collapse duplicate-hash runs of a HASH-SORTED sentinel-padded
+    stream into first-occurrence weights (the reference's kmer_counts
+    multiplicity map, sylph src/sketch.rs:930-939, as a run reduction).
+    Positions are preserved — non-first slots get weight 0 and are skipped
+    by the bucket scatter — so chunk slicing stays valid."""
+    t = shi.shape[0]
+    live = shi != SENT
+    prev_same = jnp.concatenate([
+        jnp.zeros(1, bool),
+        (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1])])
+    first = live & ~prev_same
+    pos = jnp.arange(t, dtype=jnp.int32)
+    m = jnp.where(~prev_same, pos, t)
+    nxt = jax.lax.cummin(m[::-1])[::-1]          # min_{j>=i} m[j]
+    nxt_excl = jnp.concatenate([nxt[1:], jnp.full(1, t, jnp.int32)])
+    w = jnp.where(first, nxt_excl - pos, 0)
+    return shi, slo, w.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "width", "B", "CS", "n_genomes", "density", "use_pallas"))
 def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
@@ -203,13 +224,18 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
                  use_pallas: bool):
     """One chunk: join + nonzero-slot compaction to gid*H+mult codes.
 
-    Returns (codes, n_live, n_compacted) — callers verify
-    n_live == n_compacted (compaction capacity) and fall back to
-    _chunk_hist_lossless on mismatch. Codes from many chunks concatenate
-    into ONE histogram bincount (the scatter then runs once over the small
-    hit stream instead of once per chunk)."""
-    grid = _joined_grid(ihi, ilo, shi, slo, sw, base, width=width, B=B,
-                        CS=CS, use_pallas=use_pallas)
+    Returns (codes, n_live, n_compacted, w_lost) — callers verify
+    n_live == n_compacted (compaction capacity) and w_lost == 0 (sample
+    bucket-capacity CS honored) and fall back to _chunk_hist_lossless /
+    a larger CS on mismatch. Codes from many chunks concatenate into ONE
+    histogram bincount (the scatter then runs once over the small hit
+    stream instead of once per chunk)."""
+    from .bucket_join import _sample_to_buckets
+    dh, dl, dw = _sample_to_buckets(shi, slo, sw, width=width, B=B,
+                                    CS=CS, base=base)
+    raw = (shi - base) // jnp.uint32(width)
+    w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw, 0))
+    grid = _grid_from_buckets(ihi, ilo, dh, dl, dw, use_pallas=use_pallas)
     G, H = n_genomes, HIST_H
     live = (grid > 0) & (gid_grid < G)
     n_live = jnp.sum(live.astype(jnp.int32))
@@ -221,7 +247,7 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
     if use_pallas:
         codes = _compact_codes(codes.reshape(-1), density)
     n_comp = jnp.sum((codes != SENT).astype(jnp.int32))
-    return codes.reshape(-1), n_live, n_comp
+    return codes.reshape(-1), n_live, n_comp, jnp.abs(w_in - jnp.sum(dw))
 
 
 @functools.partial(jax.jit, static_argnames=("n_genomes",))
@@ -253,6 +279,10 @@ def _joined_grid(ihi, ilo, shi, slo, sw, base, *, width, B, CS, use_pallas):
     """Per-slot sample multiplicities [B, CI] (traced ``base``)."""
     dh, dl, dw = _sample_to_buckets(shi, slo, sw, width=width, B=B, CS=CS,
                                     base=base)
+    return _grid_from_buckets(ihi, ilo, dh, dl, dw, use_pallas=use_pallas)
+
+
+def _grid_from_buckets(ihi, ilo, dh, dl, dw, *, use_pallas):
     if not use_pallas:
         from .bucket_join import _join_xla
         return _join_xla(ihi, ilo, dh, dl, dw)
@@ -262,7 +292,8 @@ def _joined_grid(ihi, ilo, shi, slo, sw, base, *, width, B, CS, use_pallas):
     from jax.experimental.pallas import tpu as pltpu
 
     from .bucket_join import _join_kernel
-    CI = ihi.shape[1]
+    B, CI = ihi.shape
+    CS = dh.shape[1]
     TB = max(1, min(64, B))
     if B % TB != 0:
         TB = 1
@@ -338,7 +369,8 @@ class GRangeEngine:
             (e[:, 1] & m32).astype(np.uint32)), self._devices[0])
 
     def hist_device_stream(self, shi, slo, P: Optional[int] = None,
-                           n_live: Optional[int] = None):
+                           n_live: Optional[int] = None,
+                           n_unique: Optional[int] = None):
         """All-device histogram for a SORTED sample occurrence stream
         (sentinel-padded tail; duplicates encode multiplicity). Single
         device only (the bench/serving hot path: nothing crosses the
@@ -373,13 +405,19 @@ class GRangeEngine:
         starts, max_len = _device_slices(shi, slo, lo_hi, lo_lo, hi_hi,
                                          hi_lo, P=P)
         from .bucket_join import sample_cs
-        CS = sample_cs(P, gidx.B, granularity=8)
+        # fold duplicate hashes into a first-occurrence weight (the
+        # reference's kmer_counts multiplicity map, sylph
+        # src/sketch.rs:930-939, built as a sorted-run reduction): the
+        # per-bucket sample capacity CS then scales with UNIQUE hashes,
+        # which is what bounds compare work in the join kernel.
+        shi, slo, w = _fold_weights(shi, slo)
+        CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
+                       gidx.B, granularity=8)
         # live codes per chunk <= sample entries in the chunk (<= P, up to
         # cross-genome hash duplication); _compact_codes layers its own
         # 4x-expectation capacity on top and the conservation check +
         # lossless fallback catch any violation.
         density = min(1.0, P / max(1, gidx.B * gidx.CI))
-        w = (shi != SENT).astype(jnp.int32)
         codes_parts, diag = [], []
         for i in range(n_chunks):
             s = starts[i]
@@ -388,12 +426,12 @@ class GRangeEngine:
             c_w = jax.lax.dynamic_slice_in_dim(w, s, P)
             ihi, ilo, gidg = self._dev_chunks[i]
             base = jnp.uint32(gidx.bases[i])
-            cod, nl, nc = _chunk_codes(
+            cod, nl, nc, wlost = _chunk_codes(
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas)
             codes_parts.append(cod)
-            diag.append(nl - nc)
+            diag.append(jnp.abs(nl - nc) + wlost)
         hist = hist_from_codes(
             jnp.concatenate(codes_parts) if len(codes_parts) > 1
             else codes_parts[0], n_genomes=G)
@@ -431,11 +469,12 @@ class GRangeEngine:
             ihi, ilo, gidg = self._dev_chunks[i]
             base = jax.device_put(np.uint32(gidx.bases[i]),
                                   self._devices[di])
-            cod, nl, nc = _chunk_codes(
+            cod, nl, nc, wlost = _chunk_codes(
                 ihi, ilo, gidg, *smp, base, width=gidx.width, B=gidx.B,
                 CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas)
-            parts.append((di, cod, nl - nc, (ihi, ilo, gidg, smp, base)))
+            parts.append((di, cod, jnp.abs(nl - nc) + wlost,
+                          (ihi, ilo, gidg, smp, base)))
 
         # one small fetch per device for all conservation checks
         by_dev = {}
@@ -460,11 +499,12 @@ class GRangeEngine:
                                 n_genomes=G)
             hist += np.asarray(h).astype(np.int64)
         for idx in bad:
-            # compaction overflow (astronomically rare): lossless redo
+            # compaction or bucket-capacity overflow (astronomically
+            # rare): lossless redo at 4x the sample capacity
             di, _c, _d, (ihi, ilo, gidg, smp, base) = parts[idx]
             h = _chunk_hist_lossless(
                 ihi, ilo, gidg, *smp, base, width=gidx.width,
-                B=gidx.B, CS=CS, n_genomes=G,
+                B=gidx.B, CS=4 * CS, n_genomes=G,
                 use_pallas=self._use_pallas)
             hist += np.asarray(h).astype(np.int64)
         out = hist[:G * H].reshape(G, H)
