@@ -222,6 +222,40 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     t0 = _t.perf_counter()
     _, ok = run_once()        # compile + warm (cache-persistent)
     print(f"# warmup: {_t.perf_counter() - t0:.1f}s exact={ok}", flush=True)
+
+    if "--stages" in sys.argv:
+        # sync-chained stage split (diagnostic: syncs inflate totals, so
+        # per-stage rates are upper bounds on cost, not additive walls)
+        def sync(x):
+            return float(np.asarray(x.reshape(-1)[:1].astype(jnp.int32)
+                                    .sum()))
+        for name, stop in (("seed", 1), ("condense+sort", 2),
+                           ("join+hist", 3)):
+            t0 = _t.perf_counter()
+            chunks_hi, chunks_lo = [], []
+            for _ in range(n_batches):
+                chi, clo, _n = sketch_batch(bases, lengths, c=C, k=K)
+                chunks_hi.append(chi.reshape(-1))
+                chunks_lo.append(clo.reshape(-1))
+            if stop >= 2:
+                all_hi = jnp.concatenate(chunks_hi)
+                all_lo = jnp.concatenate(chunks_lo)
+                live = (READ_LEN - K + 1) / C / (all_hi.size
+                                                 / (n_batches
+                                                    * BATCH_READS))
+                all_hi, all_lo = condense_stream(all_hi, all_lo, live)
+                shi, slo = jax.lax.sort(
+                    (all_hi.reshape(-1), all_lo.reshape(-1)), num_keys=2)
+            if stop >= 3:
+                hist, check = eng.hist_device_stream(
+                    shi, slo, n_live=n_live, n_unique=n_unique)
+                sync(hist)
+            elif stop == 2:
+                sync(shi)
+            else:
+                sync(chunks_hi[-1])
+            print(f"# stage through {name}: "
+                  f"{_t.perf_counter() - t0:.3f}s", flush=True)
     best = float("inf")
     times = []
     for _ in range(3):

@@ -413,11 +413,14 @@ class GRangeEngine:
         shi, slo, w = _fold_weights(shi, slo)
         CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                        gidx.B, granularity=8)
-        # live codes per chunk <= sample entries in the chunk (<= P, up to
-        # cross-genome hash duplication); _compact_codes layers its own
-        # 4x-expectation capacity on top and the conservation check +
-        # lossless fallback catch any violation.
-        density = min(1.0, P / max(1, gidx.B * gidx.CI))
+        # live codes per chunk <= unique sample hashes in the chunk times
+        # the cross-genome duplication factor; estimate 2x unique (or the
+        # live count when unique is unknown) — _compact_codes layers its
+        # own 4x-expectation capacity on top and the conservation check +
+        # host-path fallback catch any violation.
+        est_codes = 2.0 * (n_unique if n_unique else n_live) / n_chunks
+        density = min(1.0, max(est_codes, 512.0)
+                      / max(1, gidx.B * gidx.CI))
         codes_parts, diag = [], []
         for i in range(n_chunks):
             s = starts[i]
