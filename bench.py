@@ -33,7 +33,7 @@ import time
 if __name__ == "__main__" and os.environ.get("MALLOC_MMAP_THRESHOLD_") \
         is None:
     env = dict(os.environ, MALLOC_MMAP_THRESHOLD_="17179869184",
-               MALLOC_TRIM_THRESHOLD_="-1")
+               MALLOC_TRIM_THRESHOLD_="-1", MALLOC_ARENA_MAX="1")
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import numpy as np

@@ -7,6 +7,7 @@ pseudotax switch (src/main.rs:24-31).
 
 import argparse
 import logging
+import os
 import sys
 
 from .engine.inspect_cmd import InspectOptions, inspect
@@ -172,7 +173,35 @@ def _contain_options(a) -> ContainOptions:
         profile_trace=a.profile_trace)
 
 
+def _tune_allocator() -> None:
+    """Re-exec once with glibc malloc tuned for streaming ingest.
+
+    The ingest pipeline cycles multi-MB buffers (decode blocks, code
+    arrays) across threads; stock glibc hands each thread its own arena
+    and mmap/munmaps large blocks, so every block is first-touch-faulted
+    again — ruinous on VMs that throttle fresh faults (ballooned /
+    snapshot-restored guests fault at tens of MB/s). One shared arena
+    with no trim keeps the pages hot. glibc only reads these at process
+    start, hence the exec. Opt out with SYLPH_NO_MALLOC_TUNE=1.
+    """
+    if os.environ.get("SYLPH_NO_MALLOC_TUNE") or \
+            os.environ.get("MALLOC_MMAP_THRESHOLD_") is not None or \
+            not sys.platform.startswith("linux"):
+        return
+    env = dict(os.environ,
+               MALLOC_MMAP_THRESHOLD_="17179869184",
+               MALLOC_TRIM_THRESHOLD_="-1",
+               MALLOC_ARENA_MAX="1")
+    try:
+        os.execve(sys.executable, [sys.executable, "-m", "sylph_tpu"]
+                  + list(sys.argv[1:]), env)
+    except OSError:                      # exec denied: run untuned
+        os.environ["SYLPH_NO_MALLOC_TUNE"] = "1"
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        _tune_allocator()
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = build_parser()
     if not argv:

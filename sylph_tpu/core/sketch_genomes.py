@@ -68,11 +68,13 @@ def _extract_positions(px, c: int, k: int, device: bool):
     """(contigs, end_positions, hashes) over all records, device or host."""
     if device:
         from ..engine.device_sketch import (device_available,
-                                            genome_survivor_positions)
-        if device_available():
+                                            genome_survivor_positions,
+                                            ingest_on_device)
+        if ingest_on_device():
             return genome_survivor_positions(px, c, k)
-        log.warning("--tpu requested but no JAX device available; using "
-                    "the host seeding path.")
+        if not device_available():
+            log.warning("--tpu requested but no JAX device available; "
+                        "using the host seeding path.")
     from .native_core import seed_positions_native
     native = seed_positions_native(px.codes, px.starts, px.ends, c, k)
     if native is not None:

@@ -148,11 +148,14 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
 
     use_device = False
     if device:
-        from ..engine.device_sketch import device_available
-        use_device = device_available()
-        if not use_device:
+        from ..engine.device_sketch import device_available, ingest_on_device
+        use_device = ingest_on_device()
+        if not use_device and not device_available():
             log.warning("--tpu requested but no JAX device available; "
                         "using the host seeding path.")
+        elif not use_device and device:
+            log.info("Read seeding on host (slow host->device wire); "
+                     "containment still runs on the device.")
     if use_device:
         from ..engine.device_sketch import read_survivor_arrays
 
@@ -248,11 +251,13 @@ def _extract_segs(px: ParsedFastx, c: int, k: int, device: bool):
     """{read_id: [survivor hash, ...]} — device seeding when requested."""
     if device:
         from ..engine.device_sketch import (device_available,
+                                            ingest_on_device,
                                             read_survivor_hashes)
-        if device_available():
+        if ingest_on_device():
             return read_survivor_hashes(px, c, k)
-        log.warning("--tpu requested but no JAX device available; using "
-                    "the host seeding path.")
+        if not device_available():
+            log.warning("--tpu requested but no JAX device available; "
+                        "using the host seeding path.")
     rids, hashes = fmh_seeds_concat_np(px.codes, px.starts, px.ends, c, k)
     return _segments_by_read(rids, hashes)
 
@@ -434,11 +439,14 @@ def _sketch_pair_streaming(read_file1: str, read_file2: str, c: int,
 
     use_device = False
     if device:
-        from ..engine.device_sketch import device_available
-        use_device = device_available()
-        if not use_device:
+        from ..engine.device_sketch import device_available, ingest_on_device
+        use_device = ingest_on_device()
+        if not use_device and not device_available():
             log.warning("--tpu requested but no JAX device available; "
                         "using the host seeding path.")
+        elif not use_device and device:
+            log.info("Read seeding on host (slow host->device wire); "
+                     "containment still runs on the device.")
     if use_device:
         from ..engine.device_sketch import read_survivor_arrays
 

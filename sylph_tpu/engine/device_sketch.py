@@ -110,6 +110,55 @@ def device_available() -> bool:
         return False
 
 
+_H2D_MBPS = None
+
+
+def h2d_bandwidth_mbps() -> float:
+    """Measured host->device bandwidth (MB/s), cached per process.
+
+    One 4 MB probe (~milliseconds on PCIe-attached chips). Overridable
+    via SYLPH_H2D_MBPS for tests and known deployments.
+    """
+    global _H2D_MBPS
+    if _H2D_MBPS is None:
+        import os
+        import time
+        env = os.environ.get("SYLPH_H2D_MBPS")
+        if env:
+            _H2D_MBPS = float(env)
+            return _H2D_MBPS
+        import jax
+        buf = np.zeros(4 << 20, np.uint8)
+        dev = jax.device_put(buf)
+        _ = np.asarray(dev[:1])           # settle the path
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        _ = np.asarray(dev[:1])           # forces transfer completion
+        dt = max(time.perf_counter() - t0, 1e-6)
+        _H2D_MBPS = buf.nbytes / dt / 1e6
+        log.debug("H2D probe: %.0f MB/s", _H2D_MBPS)
+    return _H2D_MBPS
+
+
+def ingest_on_device() -> bool:
+    """Should --tpu read ingest seed on the device?
+
+    Read seeding ships 2 bits/base up the wire (0.25 B/base); at PCIe
+    rates the device kernel wins by an order of magnitude, but behind a
+    slow relay/DCN link the upload alone caps throughput below the native
+    host seeder (measured: 17 MB/s H2D -> 0.07 Gbp/s ceiling while the C
+    seeder sustains ~0.35 Gbp/s/core). Gate on measured bandwidth;
+    override with SYLPH_DEVICE_INGEST=0/1.
+    """
+    import os
+    env = os.environ.get("SYLPH_DEVICE_INGEST")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    if not device_available():
+        return False
+    return h2d_bandwidth_mbps() >= 500.0
+
+
 def read_survivor_hashes(px: ParsedFastx, c: int, k: int) -> Dict[int, list]:
     """{read_id: [u64 hash, ...]} of FracMinHash survivors, position order.
 
