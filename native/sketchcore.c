@@ -557,4 +557,61 @@ double sk_mean_fold(const int64_t *lengths, int64_t n) {
     return mean;
 }
 
+/* pair_kmer_single fingerprints (sylph src/sketch.rs:624-656): for each
+ * selected read, four MSB-first 16-mers packed from 16 even offsets at
+ * read start, start+len/2, start+1 and start+1+len/2; valid only for
+ * 66 <= len <= 400 (the dedup gate, src/sketch.rs:922-927). One
+ * cache-friendly pass per read replaces 64 strided numpy gathers. */
+void sx_fp_single(const uint8_t *codes, const int64_t *starts,
+                  const int64_t *lengths, const int64_t *rids, int64_t n,
+                  uint64_t *out_fps /* [n,4] */, uint8_t *out_valid) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = rids[i];
+        int64_t len = lengths[r];
+        uint64_t *o = out_fps + 4 * i;
+        o[0] = o[1] = o[2] = o[3] = 0;
+        out_valid[i] = 0;
+        if (len < 66 || len > 400) continue;
+        const uint8_t *a = codes + starts[r];
+        const uint8_t *b = a + len / 2;
+        uint64_t f = 0, rv = 0, g = 0, t = 0;
+        for (int j = 0; j < 32; j += 2) {
+            f  = (f  << 2) | a[j];
+            rv = (rv << 2) | b[j];
+            g  = (g  << 2) | a[j + 1];
+            t  = (t  << 2) | b[j + 1];
+        }
+        o[0] = f; o[1] = rv; o[2] = g; o[3] = t;
+        out_valid[i] = 1;
+    }
+}
+
+/* pair_kmer fingerprints (sylph src/sketch.rs:658-688): the four 16-mers
+ * come from the two mates (R1 offsets 0/1, R2 offsets 0/1); valid only
+ * when both mates are >= 33 bp. */
+void sx_fp_paired(const uint8_t *codes1, const int64_t *starts1,
+                  const int64_t *lengths1, const uint8_t *codes2,
+                  const int64_t *starts2, const int64_t *lengths2,
+                  const int64_t *rids, int64_t n,
+                  uint64_t *out_fps /* [n,4] */, uint8_t *out_valid) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = rids[i];
+        uint64_t *o = out_fps + 4 * i;
+        o[0] = o[1] = o[2] = o[3] = 0;
+        out_valid[i] = 0;
+        if (lengths1[r] < 33 || lengths2[r] < 33) continue;
+        const uint8_t *a = codes1 + starts1[r];
+        const uint8_t *b = codes2 + starts2[r];
+        uint64_t f = 0, rv = 0, g = 0, t = 0;
+        for (int j = 0; j < 32; j += 2) {
+            f  = (f  << 2) | a[j];
+            rv = (rv << 2) | b[j];
+            g  = (g  << 2) | a[j + 1];
+            t  = (t  << 2) | b[j + 1];
+        }
+        o[0] = f; o[1] = rv; o[2] = g; o[3] = t;
+        out_valid[i] = 1;
+    }
+}
+
 void sk_free(void *p) { free(p); }

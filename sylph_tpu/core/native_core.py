@@ -90,6 +90,13 @@ def get_lib():
             ctypes.c_int, ctypes.POINTER(_I64P), ctypes.POINTER(_I64P),
             ctypes.POINTER(_U64P)]
         lib.sx_seed_positions.restype = ctypes.c_int64
+        lib.sx_fp_single.argtypes = [
+            _U8P, _I64P, _I64P, _I64P, ctypes.c_int64, _U64P, _U8P]
+        lib.sx_fp_single.restype = None
+        lib.sx_fp_paired.argtypes = [
+            _U8P, _I64P, _I64P, _U8P, _I64P, _I64P, _I64P,
+            ctypes.c_int64, _U64P, _U8P]
+        lib.sx_fp_paired.restype = None
         _LIB = lib
         return _LIB
 
@@ -236,6 +243,55 @@ def seed_concat_native(codes: np.ndarray, starts: np.ndarray,
         lib.sk_free(out_r)
         lib.sk_free(out_h)
     return rids, hashes
+
+
+def fp_single_native(codes: np.ndarray, starts: np.ndarray,
+                     lengths: np.ndarray, rids: np.ndarray):
+    """([n, 4] u64 fps, [n] u8 valid) dedup fingerprints, or None.
+
+    One sequential pass per read vs 64 strided numpy gathers (the
+    pair_kmer_single layout, sylph src/sketch.rs:624-656)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    rids = np.ascontiguousarray(rids, np.int64)
+    n = rids.size
+    fps = np.zeros((max(n, 1), 4), np.uint64)
+    valid = np.zeros(max(n, 1), np.uint8)
+    if n:
+        lib.sx_fp_single(_p(codes, _U8P), _p(starts, _I64P),
+                         _p(lengths, _I64P), _p(rids, _I64P), n,
+                         _p(fps, _U64P), _p(valid, _U8P))
+    return fps, valid
+
+
+def fp_paired_native(codes1, starts1, lengths1, codes2, starts2, lengths2,
+                     rids: np.ndarray):
+    """Paired-end fingerprints (pair_kmer, sylph src/sketch.rs:658-688),
+    or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes1 = np.ascontiguousarray(codes1, np.uint8)
+    starts1 = np.ascontiguousarray(starts1, np.int64)
+    lengths1 = np.ascontiguousarray(lengths1, np.int64)
+    codes2 = np.ascontiguousarray(codes2, np.uint8)
+    starts2 = np.ascontiguousarray(starts2, np.int64)
+    lengths2 = np.ascontiguousarray(lengths2, np.int64)
+    rids = np.ascontiguousarray(rids, np.int64)
+    n = rids.size
+    fps = np.zeros((max(n, 1), 4), np.uint64)
+    valid = np.zeros(max(n, 1), np.uint8)
+    if n:
+        lib.sx_fp_paired(_p(codes1, _U8P), _p(starts1, _I64P),
+                         _p(lengths1, _I64P), _p(codes2, _U8P),
+                         _p(starts2, _I64P), _p(lengths2, _I64P),
+                         _p(rids, _I64P), n, _p(fps, _U64P),
+                         _p(valid, _U8P))
+    return fps, valid
 
 
 def seed_positions_native(codes: np.ndarray, starts: np.ndarray,

@@ -109,6 +109,10 @@ def _fp_paired(px1: ParsedFastx, px2: ParsedFastx, rids: np.ndarray):
 def _fp_single_arrays(px: ParsedFastx, seg_rids: np.ndarray):
     """Array form of _fp_single: ([n_segs, 4] u64 fps, [n_segs] u8 valid),
     aligned to seg_rids."""
+    from .native_core import fp_single_native
+    native = fp_single_native(px.codes, px.starts, px.lengths, seg_rids)
+    if native is not None:
+        return native
     n = seg_rids.size
     fps = np.zeros((max(n, 1), 4), np.uint64)
     valid = np.zeros(max(n, 1), np.uint8)
@@ -366,6 +370,11 @@ def sketch_sequences(read_file: str, c: int, k: int,
 def _fp_paired_arrays(px1: ParsedFastx, px2: ParsedFastx,
                       rids: np.ndarray):
     """Array form of _fp_paired for the given pair ids."""
+    from .native_core import fp_paired_native
+    native = fp_paired_native(px1.codes, px1.starts, px1.lengths,
+                              px2.codes, px2.starts, px2.lengths, rids)
+    if native is not None:
+        return native
     n = rids.size
     fps = np.zeros((max(n, 1), 4), np.uint64)
     valid = np.zeros(max(n, 1), np.uint8)

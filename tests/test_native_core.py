@@ -76,3 +76,53 @@ def test_spacing_scan_matches(lib_available):
     assert a.genome_kmers.tolist() == b.genome_kmers.tolist()
     assert (a.pseudotax_tracked_nonused_kmers.tolist()
             == b.pseudotax_tracked_nonused_kmers.tolist())
+
+
+def test_fp_kernels_match_numpy(lib_available):
+    """C fingerprint kernels vs the numpy oracle across the length gates
+    (66/400 single, 33 paired) and random codes."""
+    from sylph_tpu.core import sketch_reads as sr
+    from sylph_tpu.core.native_core import fp_paired_native, fp_single_native
+    from sylph_tpu.io.fastx import ParsedFastx
+
+    rng = np.random.default_rng(11)
+
+    def make_px(lens):
+        ends = np.cumsum(np.asarray(lens, np.int64))
+        starts = ends - lens
+        codes = rng.integers(0, 4, int(ends[-1]), dtype=np.uint8)
+        return ParsedFastx(codes, starts, ends)
+
+    lens1 = np.array([65, 66, 150, 400, 401, 32, 33, 80], np.int64)
+    lens2 = np.array([70, 40, 150, 32, 300, 33, 32, 80], np.int64)
+    px1, px2 = make_px(lens1), make_px(lens2)
+    rids = np.arange(lens1.size, dtype=np.int64)
+
+    nat = fp_single_native(px1.codes, px1.starts, px1.lengths, rids)
+    ref_fps = np.zeros((rids.size, 4), np.uint64)
+    ref_valid = np.zeros(rids.size, np.uint8)
+    ok = (lens1 >= 66) & (lens1 <= 400)
+    ref = sr._fp_single(px1, rids)
+    for i, r in enumerate(rids):
+        if int(r) in ref:
+            (a, b), (c, d) = ref[int(r)]
+            ref_fps[i] = (a, b, c, d)
+            ref_valid[i] = 1
+    assert nat is not None
+    assert np.array_equal(nat[1].astype(bool), ok)
+    assert np.array_equal(nat[0], ref_fps)
+    assert np.array_equal(nat[1], ref_valid)
+
+    natp = fp_paired_native(px1.codes, px1.starts, px1.lengths,
+                            px2.codes, px2.starts, px2.lengths, rids)
+    refp = sr._fp_paired(px1, px2, rids)
+    ref_fps[:] = 0
+    ref_valid[:] = 0
+    for i, r in enumerate(rids):
+        if int(r) in refp:
+            (a, b), (c, d) = refp[int(r)]
+            ref_fps[i] = (a, b, c, d)
+            ref_valid[i] = 1
+    assert natp is not None
+    assert np.array_equal(natp[0], ref_fps)
+    assert np.array_equal(natp[1], ref_valid)
