@@ -96,7 +96,11 @@ def iter_decompressed(data, blocks: List[Tuple[int, int, int]],
     from concurrent.futures import ThreadPoolExecutor
 
     if workers is None:
-        workers = max(1, min(8, (os.cpu_count() or 2) - 1))
+        env = os.environ.get("SYLPH_INFLATE_WORKERS")
+        # inflate shares cores with the parse+seed pool downstream; ~1:3
+        # work ratio, so give it about half the cores, capped
+        workers = int(env) if env else max(
+            1, min(6, (os.cpu_count() or 2) // 2))
     groups: List[Tuple[int, int]] = []
     acc, s = 0, 0
     for i, (_off, _blen, isize) in enumerate(blocks):
@@ -108,11 +112,10 @@ def iter_decompressed(data, blocks: List[Tuple[int, int, int]],
         groups.append((s, len(blocks)))
 
     mv = memoryview(data)
+    from .deflate import get_lib as _dl_lib
+    _dl = _dl_lib()
 
-    def inflate(group: Tuple[int, int]) -> bytes:
-        # per-block zlib.decompress: small outputs stay in warm allocator
-        # pools (this VM faults fresh pages at ~40 MB/s, so buffer reuse
-        # beats libdeflate's raw speed here); zlib releases the GIL
+    def inflate_zlib(group: Tuple[int, int]) -> bytes:
         lo, hi = group
         parts = []
         for off, blen, isize in blocks[lo:hi]:
@@ -121,6 +124,39 @@ def iter_decompressed(data, blocks: List[Tuple[int, int, int]],
             parts.append(zlib.decompress(mv[off:off + blen],
                                          16 + zlib.MAX_WBITS, isize))
         return b"".join(parts)
+
+    def inflate(group: Tuple[int, int]) -> bytes:
+        # libdeflate, straight into one output buffer per group (no
+        # per-block bytes + join copy); zlib fallback. Both release the
+        # GIL, so groups inflate concurrently across the pool.
+        if _dl is None or not isinstance(data, bytes):
+            return inflate_zlib(group)
+        import ctypes
+        lo, hi = group
+        total = sum(isize for _o, _b, isize in blocks[lo:hi])
+        if total == 0:
+            return b""
+        out = bytearray(total)
+        obase = ctypes.addressof((ctypes.c_char * total).from_buffer(out))
+        ibase = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p).value
+        d = _dl.libdeflate_alloc_decompressor()
+        if not d:
+            return inflate_zlib(group)
+        try:
+            nout = ctypes.c_size_t()
+            pos = 0
+            for off, blen, isize in blocks[lo:hi]:
+                if isize == 0:
+                    continue
+                rc = _dl.libdeflate_gzip_decompress_ex(
+                    d, ibase + off, blen, obase + pos, isize,
+                    None, ctypes.byref(nout))
+                if rc != 0 or nout.value != isize:
+                    return inflate_zlib(group)   # corrupt ISIZE: redo safe
+                pos += isize
+            return bytes(out)
+        finally:
+            _dl.libdeflate_free_decompressor(d)
 
     gi = iter(groups)
     with ThreadPoolExecutor(max_workers=workers) as ex:
