@@ -298,20 +298,19 @@ def _bench_e2e(jax):
         assert len(tsv.strip().splitlines()) >= 4, tsv  # header + hits
         return dt
 
-    # host-I/O floor: decode + parse (no seeding/device) over the file —
-    # the split the device pipeline must overlap
+    warm = run()                    # compiles cached across processes
+    print(f"# e2e warm-up run: {warm:.1f}s", flush=True)
+    times = [run() for _ in range(3)]
+
+    # host-I/O floor: decode-only pass over the file (page-warm, after
+    # the timed runs so it doesn't perturb nor flatter them)
     from sylph_tpu.io.fastx import stream_blocks
     t0 = _t.perf_counter()
     nbytes = sum(len(b) for b in stream_blocks(reads))
     t_io = _t.perf_counter() - t0
-    print(f"# host decode-only pass: {t_io:.1f}s "
-          f"({nbytes / t_io / 1e6:.0f} MB/s text)", flush=True)
-
-    warm = run()                    # compiles cached across processes
-    print(f"# e2e warm-up run: {warm:.1f}s", flush=True)
-    times = [run() for _ in range(2)]
     print(f"# e2e timed runs: {[round(x, 1) for x in times]} "
-          f"(host-I/O floor {t_io:.1f}s)", flush=True)
+          f"(decode-only floor {t_io:.1f}s, "
+          f"{nbytes / t_io / 1e6:.0f} MB/s text)", flush=True)
     return total_bp / min(times) / 1e9
 
 
