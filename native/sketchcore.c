@@ -452,6 +452,242 @@ static inline int vec_reserve(Vec *v, size_t extra) {
 }
 
 /* survivors of all records, (rid, hash) pairs in (read, position) order */
+/* scalar seeding of codes[s:e) from roll state (f, rc), starting at the
+ * window whose last base is index s + done (done >= 0 bases already
+ * consumed). Appends survivor hashes to hv (and rid to rv when rv is
+ * non-NULL). Returns 0 on allocation failure. */
+static int sx_seed_tail(const uint8_t *codes, int64_t s, int64_t e,
+                        int64_t done, uint64_t f, uint64_t rc,
+                        uint64_t thr, uint64_t mask, uint64_t rev_mask,
+                        int rshift, int k, Vec *rv, Vec *hv, int64_t rid) {
+    int64_t i = s + done;
+    for (; i < s + k - 1; i++) {            /* still warming up */
+        uint64_t nf = codes[i];
+        f = (f << 2) | nf;
+        rc = (rc >> 2) | ((3 - nf) << rshift);
+    }
+    for (; i < e; i++) {
+        uint64_t nf = codes[i];
+        f = ((f << 2) | nf) & mask;
+        rc = ((rc >> 2) & rev_mask) | ((3 - nf) << rshift);
+        uint64_t canon = f < rc ? f : rc;
+        uint64_t h = sx_hash64(canon);
+        if (h < thr) {
+            if (!vec_reserve(&hv[0], 1)) return 0;
+            if (rv && !vec_reserve(&rv[0], 1)) return 0;
+            if (rv) ((int64_t *)rv->p)[rv->n++] = rid;
+            ((uint64_t *)hv->p)[hv->n++] = h;
+        }
+    }
+    return 1;
+}
+
+#if defined(__x86_64__) && defined(__GNUC__)
+#define SX_HAVE_AVX2_BUILD 1
+#include <immintrin.h>
+
+__attribute__((target("avx2")))
+static inline __m256i sx_hash4(__m256i key) {
+    /* 4-lane mm_hash64 with the preserved first-step bug */
+    const __m256i ones = _mm256_set1_epi64x(-1LL);
+    key = _mm256_xor_si256(
+        _mm256_add_epi64(key, _mm256_slli_epi64(key, 21)), ones);
+    key = _mm256_xor_si256(key, _mm256_srli_epi64(key, 24));
+    key = _mm256_add_epi64(_mm256_add_epi64(key, _mm256_slli_epi64(key, 3)),
+                           _mm256_slli_epi64(key, 8));
+    key = _mm256_xor_si256(key, _mm256_srli_epi64(key, 14));
+    key = _mm256_add_epi64(_mm256_add_epi64(key, _mm256_slli_epi64(key, 2)),
+                           _mm256_slli_epi64(key, 4));
+    key = _mm256_xor_si256(key, _mm256_srli_epi64(key, 28));
+    key = _mm256_add_epi64(key, _mm256_slli_epi64(key, 31));
+    return key;
+}
+
+__attribute__((target("avx2")))
+static inline __m256i sx_ltu4(__m256i a, __m256i b) {   /* unsigned a < b */
+    const __m256i bias = _mm256_set1_epi64x((long long)0x8000000000000000ULL);
+    return _mm256_cmpgt_epi64(_mm256_xor_si256(b, bias),
+                              _mm256_xor_si256(a, bias));
+}
+
+#define SX_LANE_CAP 2048
+
+/* 4 independent reads, one per 64-bit lane (NOT the reference's
+ * split-one-sequence layout, src/avx2_seeding.rs — reads are natural
+ * lanes for short-read samples and need no chunk-seam handling). The
+ * lockstep vector loop runs while every lane still has 8 unread bases;
+ * per-lane scalar tails finish from the extracted roll state. Survivors
+ * land in per-lane buffers so global (read, position) order is restored
+ * by appending lane-by-lane. Returns 1 on success, 0 when a lane buffer
+ * overflows (caller redoes the quad scalar), -1 on alloc failure. */
+__attribute__((target("avx2")))
+static int sx_seed_quad_avx2(const uint8_t *codes, const int64_t *starts,
+                             const int64_t *ends, const int64_t *rids,
+                             uint64_t c, int k, uint64_t thr,
+                             uint64_t mask, uint64_t rev_mask, int rshift,
+                             Vec *rv, Vec *hv,
+                             uint64_t (*hbuf)[SX_LANE_CAP]) {
+    int64_t minlen = ends[0] - starts[0];
+    for (int l = 1; l < 4; l++) {
+        int64_t len = ends[l] - starts[l];
+        if (len < minlen) minlen = len;
+    }
+    int n_l[4] = {0, 0, 0, 0};
+    __m256i f = _mm256_setzero_si256(), rc = _mm256_setzero_si256();
+    const __m256i vmask = _mm256_set1_epi64x((long long)mask);
+    const __m256i vthr = _mm256_set1_epi64x((long long)thr);
+    const __m256i three = _mm256_set1_epi64x(3);
+    const __m256i vidx0 = _mm256_setr_epi64x(
+        (long long)starts[0], (long long)starts[1],
+        (long long)starts[2], (long long)starts[3]);
+    int64_t j = 0;
+    for (; j + 8 <= minlen; j += 8) {
+        __m256i g = _mm256_i64gather_epi64(
+            (const long long *)codes,
+            _mm256_add_epi64(vidx0, _mm256_set1_epi64x((long long)j)), 1);
+        for (int t = 0; t < 8; t++) {
+            __m256i b = _mm256_and_si256(
+                _mm256_srli_epi64(g, 8 * t), three);
+            f = _mm256_and_si256(
+                _mm256_or_si256(_mm256_slli_epi64(f, 2), b), vmask);
+            rc = _mm256_or_si256(
+                _mm256_srli_epi64(rc, 2),
+                _mm256_slli_epi64(_mm256_xor_si256(b, three), rshift));
+            if (j + t < k - 1) continue;     /* rolls still warming up */
+            __m256i canon = _mm256_blendv_epi8(f, rc, sx_ltu4(rc, f));
+            __m256i h = sx_hash4(canon);
+            int mm = _mm256_movemask_epi8(sx_ltu4(h, vthr));
+            if (mm) {
+                uint64_t hs[4];
+                _mm256_storeu_si256((__m256i *)hs, h);
+                for (int l = 0; l < 4; l++) {
+                    if ((mm >> (8 * l)) & 1) {
+                        if (n_l[l] >= SX_LANE_CAP) return 0;
+                        hbuf[l][n_l[l]++] = hs[l];
+                    }
+                }
+            }
+        }
+    }
+    uint64_t fs[4], rcs[4];
+    _mm256_storeu_si256((__m256i *)fs, f);
+    _mm256_storeu_si256((__m256i *)rcs, rc);
+    for (int l = 0; l < 4; l++) {
+        /* append the vector-phase survivors, then finish scalar */
+        if (!vec_reserve(rv, (size_t)n_l[l] + 1)
+                || !vec_reserve(hv, (size_t)n_l[l] + 1)) return -1;
+        for (int i = 0; i < n_l[l]; i++) {
+            ((int64_t *)rv->p)[rv->n++] = rids[l];
+            ((uint64_t *)hv->p)[hv->n++] = hbuf[l][i];
+        }
+        if (ends[l] - starts[l] < (int64_t)k) continue;
+        if (!sx_seed_tail(codes, starts[l], ends[l], j,
+                          fs[l] & mask, rcs[l], thr, mask, rev_mask,
+                          rshift, k, rv, hv, rids[l])) return -1;
+    }
+    return 1;
+}
+
+static int sx_avx2_ok(void) {
+    static int ok = -1;
+    if (ok < 0) ok = __builtin_cpu_supports("avx2") ? 1 : 0;
+    return ok;
+}
+
+__attribute__((target("avx512f")))
+static inline __m512i sx_hash8(__m512i key) {
+    key = _mm512_xor_si512(                     /* ~(key + (key << 21)) */
+        _mm512_add_epi64(key, _mm512_slli_epi64(key, 21)),
+        _mm512_set1_epi64(-1LL));
+    key = _mm512_xor_si512(key, _mm512_srli_epi64(key, 24));
+    key = _mm512_add_epi64(_mm512_add_epi64(key, _mm512_slli_epi64(key, 3)),
+                           _mm512_slli_epi64(key, 8));
+    key = _mm512_xor_si512(key, _mm512_srli_epi64(key, 14));
+    key = _mm512_add_epi64(_mm512_add_epi64(key, _mm512_slli_epi64(key, 2)),
+                           _mm512_slli_epi64(key, 4));
+    key = _mm512_xor_si512(key, _mm512_srli_epi64(key, 28));
+    key = _mm512_add_epi64(key, _mm512_slli_epi64(key, 31));
+    return key;
+}
+
+/* 8 independent reads per zmm lane; same structure as the AVX2 quad
+ * (lockstep vector phase + scalar tails), with native unsigned compares
+ * (_mm512_cmplt_epu64_mask), min_epu64 canonicalization and mask-register
+ * survivor extraction. */
+__attribute__((target("avx512f")))
+static int sx_seed_oct_avx512(const uint8_t *codes, const int64_t *starts,
+                              const int64_t *ends, const int64_t *rids,
+                              uint64_t c, int k, uint64_t thr,
+                              uint64_t mask, uint64_t rev_mask, int rshift,
+                              Vec *rv, Vec *hv,
+                              uint64_t (*hbuf)[SX_LANE_CAP]) {
+    int64_t minlen = ends[0] - starts[0];
+    for (int l = 1; l < 8; l++) {
+        int64_t len = ends[l] - starts[l];
+        if (len < minlen) minlen = len;
+    }
+    int n_l[8] = {0};
+    __m512i f = _mm512_setzero_si512(), rc = _mm512_setzero_si512();
+    const __m512i vmask = _mm512_set1_epi64((long long)mask);
+    const __m512i vthr = _mm512_set1_epi64((long long)thr);
+    const __m512i three = _mm512_set1_epi64(3);
+    const __m512i vidx0 = _mm512_loadu_si512((const void *)starts);
+    int64_t j = 0;
+    for (; j + 8 <= minlen; j += 8) {
+        __m512i g = _mm512_i64gather_epi64(
+            _mm512_add_epi64(vidx0, _mm512_set1_epi64((long long)j)),
+            (const void *)codes, 1);
+        for (int t = 0; t < 8; t++) {
+            __m512i b = _mm512_and_si512(_mm512_srli_epi64(g, 8 * t),
+                                         three);
+            f = _mm512_and_si512(
+                _mm512_or_si512(_mm512_slli_epi64(f, 2), b), vmask);
+            rc = _mm512_or_si512(
+                _mm512_srli_epi64(rc, 2),
+                _mm512_slli_epi64(_mm512_xor_si512(b, three), rshift));
+            if (j + t < k - 1) continue;
+            __m512i h = sx_hash8(_mm512_min_epu64(f, rc));
+            __mmask8 mm = _mm512_cmplt_epu64_mask(h, vthr);
+            if (mm) {
+                uint64_t hs[8];
+                _mm512_storeu_si512((void *)hs, h);
+                for (int l = 0; l < 8; l++) {
+                    if ((mm >> l) & 1) {
+                        if (n_l[l] >= SX_LANE_CAP) return 0;
+                        hbuf[l][n_l[l]++] = hs[l];
+                    }
+                }
+            }
+        }
+    }
+    uint64_t fs[8], rcs[8];
+    _mm512_storeu_si512((void *)fs, f);
+    _mm512_storeu_si512((void *)rcs, rc);
+    for (int l = 0; l < 8; l++) {
+        if (!vec_reserve(rv, (size_t)n_l[l] + 1)
+                || !vec_reserve(hv, (size_t)n_l[l] + 1)) return -1;
+        for (int i = 0; i < n_l[l]; i++) {
+            ((int64_t *)rv->p)[rv->n++] = rids[l];
+            ((uint64_t *)hv->p)[hv->n++] = hbuf[l][i];
+        }
+        if (ends[l] - starts[l] < (int64_t)k) continue;
+        if (!sx_seed_tail(codes, starts[l], ends[l], j,
+                          fs[l] & mask, rcs[l], thr, mask, rev_mask,
+                          rshift, k, rv, hv, rids[l])) return -1;
+    }
+    return 1;
+}
+
+static int sx_avx512_ok(void) {
+    static int ok = -1;
+    if (ok < 0) {
+        const char *env = getenv("SYLPH_NO_AVX512");
+        ok = (!env && __builtin_cpu_supports("avx512f")) ? 1 : 0;
+    }
+    return ok;
+}
+#endif /* x86_64 */
+
 int64_t sx_seed_concat(const uint8_t *codes, const int64_t *starts,
                        const int64_t *ends, int64_t n_rec,
                        uint64_t c, int k,
@@ -465,28 +701,56 @@ int64_t sx_seed_concat(const uint8_t *codes, const int64_t *starts,
     if (!vec_init(&rv, (size_t)(total / (int64_t)c + 1024),
                   sizeof(int64_t))) return -1;
     if (!vec_init(&hv, rv.cap, sizeof(uint64_t))) { free(rv.p); return -1; }
-    for (int64_t r = 0; r < n_rec; r++) {
+    int64_t r = 0;
+#ifdef SX_HAVE_AVX2_BUILD
+    if (sx_avx2_ok() || sx_avx512_ok()) {
+        static __thread uint64_t hbuf[8][SX_LANE_CAP];
+        int W = sx_avx512_ok() ? 8 : 4;
+        for (; r + W <= n_rec; r += W) {
+            int64_t minlen = ends[r] - starts[r];
+            int64_t maxlen = minlen;
+            for (int l = 1; l < W; l++) {
+                int64_t len = ends[r + l] - starts[r + l];
+                if (len < minlen) minlen = len;
+                if (len > maxlen) maxlen = len;
+            }
+            /* vectorize only when the lockstep phase covers the warmup
+             * for every lane and no lane can overflow its buffer */
+            int rcq = 0;
+            if (minlen >= (int64_t)k + 8
+                    && maxlen / (int64_t)c + 64 < SX_LANE_CAP) {
+                int64_t rids_w[8];
+                for (int l = 0; l < W; l++) rids_w[l] = r + l;
+                size_t rv_n = rv.n, hv_n = hv.n;
+                rcq = W == 8
+                    ? sx_seed_oct_avx512(codes, starts + r, ends + r,
+                                         rids_w, c, k, thr, mask,
+                                         rev_mask, rshift, &rv, &hv, hbuf)
+                    : sx_seed_quad_avx2(codes, starts + r, ends + r,
+                                        rids_w, c, k, thr, mask, rev_mask,
+                                        rshift, &rv, &hv, hbuf);
+                if (rcq < 0) { free(rv.p); free(hv.p); return -1; }
+                if (rcq == 0) { rv.n = rv_n; hv.n = hv_n; }
+            }
+            if (rcq != 1) {
+                for (int l = 0; l < W; l++) {
+                    if (ends[r + l] - starts[r + l] < (int64_t)k) continue;
+                    if (!sx_seed_tail(codes, starts[r + l], ends[r + l],
+                                      0, 0, 0, thr, mask, rev_mask,
+                                      rshift, k, &rv, &hv, r + l)) {
+                        free(rv.p); free(hv.p); return -1;
+                    }
+                }
+            }
+        }
+    }
+#endif
+    for (; r < n_rec; r++) {
         int64_t s = starts[r], e = ends[r];
         if (e - s < (int64_t)k) continue;
-        uint64_t f = 0, rc = 0;
-        for (int64_t i = s; i < s + k - 1; i++) {
-            uint64_t nf = codes[i];
-            f = (f << 2) | nf;
-            rc = (rc >> 2) | ((3 - nf) << rshift);
-        }
-        for (int64_t i = s + k - 1; i < e; i++) {
-            uint64_t nf = codes[i];
-            f = ((f << 2) | nf) & mask;
-            rc = ((rc >> 2) & rev_mask) | ((3 - nf) << rshift);
-            uint64_t canon = f < rc ? f : rc;
-            uint64_t h = sx_hash64(canon);
-            if (h < thr) {
-                if (!vec_reserve(&rv, 1) || !vec_reserve(&hv, 1)) {
-                    free(rv.p); free(hv.p); return -1;
-                }
-                ((int64_t *)rv.p)[rv.n++] = r;
-                ((uint64_t *)hv.p)[hv.n++] = h;
-            }
+        if (!sx_seed_tail(codes, s, e, 0, 0, 0, thr, mask, rev_mask,
+                          rshift, k, &rv, &hv, r)) {
+            free(rv.p); free(hv.p); return -1;
         }
     }
     *out_rids = (int64_t *)rv.p;

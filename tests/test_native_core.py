@@ -126,3 +126,35 @@ def test_fp_kernels_match_numpy(lib_available):
     assert natp is not None
     assert np.array_equal(natp[0], ref_fps)
     assert np.array_equal(natp[1], ref_valid)
+
+
+def test_simd_seed_parity(lib_available):
+    """AVX-512 / AVX2 / scalar seeding all bit-match the numpy oracle on
+    adversarial read-length mixes (short, ragged, < k, long spills)."""
+    import subprocess
+    import sys
+
+    code = r"""
+import numpy as np
+from sylph_tpu.core.native_core import seed_concat_native
+from sylph_tpu.kmer.seeding import fmh_seeds_concat_np
+rng = np.random.default_rng(5)
+for lens in [np.array([150]*1003), rng.integers(20, 400, 4003),
+             np.array([10, 31, 38, 39, 150, 151, 5000, 33, 150]*7),
+             np.array([100000, 150, 150, 150, 29, 150, 150, 150, 88])]:
+    lens = lens.astype(np.int64)
+    ends = np.cumsum(lens); starts = ends - lens
+    codes = rng.integers(0, 4, int(ends[-1]), dtype=np.uint8)
+    for c, k in ((200, 31), (50, 21), (2, 17)):
+        r1, h1 = seed_concat_native(codes, starts, ends, c, k)
+        r2, h2 = fmh_seeds_concat_np(codes, starts, ends, c, k)
+        assert np.array_equal(r1, r2) and np.array_equal(h1, h2), (c, k)
+print("OK")
+"""
+    import os
+    for env_extra in ({}, {"SYLPH_NO_AVX512": "1"}):
+        env = dict(os.environ, **env_extra)
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr
+        assert "OK" in out.stdout
