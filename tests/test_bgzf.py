@@ -116,3 +116,37 @@ def test_scan_rejects_corrupt():
     assert bgzf.scan(buf.getvalue()) is None          # no BC subfield
     assert bgzf.scan(b"\x1f\x8b\x08\x04" + b"\x00" * 20) is None
     assert bgzf.scan(zlib.compress(raw)) is None      # not gzip at all
+
+
+def test_record_cut_fast_matches_exact():
+    """The memchr-speed fastq cut equals the exact numpy cut whenever it
+    engages ('@'-quality lines, CRLF and blank-line abstention fuzzed)."""
+    import numpy as np
+
+    from sylph_tpu.io.fastx import _record_cut, _record_cut_fast_fastq
+
+    rng = np.random.default_rng(3)
+
+    def mkfq(n, lens, qat=False, crlf=False, blank=False):
+        recs = []
+        for i in range(n):
+            L = int(lens[i])
+            seq = bytes(rng.integers(65, 69, L).astype(np.uint8))
+            q = b"@" * L if qat else b"I" * L
+            nl = b"\r\n" if crlf else b"\n"
+            recs.append(b"@r%d" % i + nl + seq + nl + b"+" + nl + q + nl)
+            if blank and i % 7 == 3:
+                recs.append(b"\n")
+        return b"".join(recs)
+
+    for case in range(300):
+        n = int(rng.integers(1, 30))
+        lens = rng.integers(1, 200, n)
+        data = mkfq(n, lens, qat=bool(rng.integers(0, 2)),
+                    crlf=rng.integers(0, 4) == 0,
+                    blank=rng.integers(0, 4) == 0)
+        e = int(rng.integers(1, len(data) + 1))
+        fast = _record_cut_fast_fastq(data, 0, e)
+        exact = _record_cut(np.frombuffer(data[:e], np.uint8), True)
+        if fast is not None:
+            assert fast == exact, (case, fast, exact)
