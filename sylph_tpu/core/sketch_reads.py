@@ -479,18 +479,56 @@ def _sketch_pair_streaming(read_file1: str, read_file2: str, c: int,
             got = fmh_seeds_concat_np(px.codes, px.starts, px.ends, c, k)
         return got
 
+    import queue
+    import threading
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    q: "queue.Queue" = queue.Queue(maxsize=3)
+    err = []
+
+    def producer():                  # decode + parse both mates, in order
+        try:
+            for pair in stream_fastx_pairs(read_file1, read_file2):
+                q.put(pair)
+        except Exception as e:
+            err.append(e)
+        finally:
+            q.put(None)
+
+    def prepare(pair):               # seed + interleave (GIL-releasing)
+        px1, px2 = pair
+        rids1, h1 = seed(px1)
+        rids2, h2 = seed(px2)
+        return px1.lengths, _paired_fold_arrays(px1, px2, rids1, h1,
+                                                rids2, h2, no_dedup)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
     fold = StreamingFold(no_dedup, None, fpr=0.0 if no_dedup else fpr)
     lens1 = []
     try:
-        for px1, px2 in stream_fastx_pairs(read_file1, read_file2):
-            lens1.append(px1.lengths)
-            rids1, h1 = seed(px1)
-            rids2, h2 = seed(px2)
-            built = _paired_fold_arrays(px1, px2, rids1, h1, rids2, h2,
-                                        no_dedup)
-            if built is not None:
-                fold.push(built[0], built[1], built[2], built[3],
-                          built[4])
+        nw = _ingest_workers()
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            futs = deque()
+            done = False
+            while futs or not done:
+                while not done and len(futs) < nw + 1:
+                    pair = q.get()
+                    if pair is None:
+                        done = True
+                        break
+                    futs.append(pool.submit(prepare, pair))
+                if not futs:
+                    break
+                lengths, built = futs.popleft().result()
+                lens1.append(lengths)
+                if built is not None:
+                    fold.push(built[0], built[1], built[2], built[3],
+                              built[4])
+        t.join()
+        if err:
+            raise err[0]
         ks, cs, ndup = fold.finish()
     finally:
         fold.close()
