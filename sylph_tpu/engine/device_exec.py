@@ -109,16 +109,21 @@ class DeviceContainment:
                 [g.genome_kmers.size for g in genome_sketches])
             gidx = build_grange_index(kmers, gids, len(genome_sketches))
             del kmers, gids
-            self._grange = GRangeEngine(gidx, devices=self._devices)
+            max_res = self._grange_residency(gidx)
+            self._grange = GRangeEngine(gidx, devices=self._devices,
+                                        max_resident_chunks=max_res)
             log.debug(
                 "Device index (grange): %d genomes, %d k-mers, %d chunks "
-                "of [%d, %d] buckets, %d spilled, over %d device(s)",
+                "of [%d, %d] buckets (%s resident), %d spilled, over %d "
+                "device(s)",
                 len(genome_sketches), total, len(gidx.chunk_hi), gidx.B,
-                gidx.CI, gidx.spill_kmers.size, len(self._devices))
+                gidx.CI, "all" if max_res is None else max_res,
+                gidx.spill_kmers.size, len(self._devices))
             return
         if len(self._devices) > 1:
             self._init_sharded(jax, genome_sketches)
             return
+        # (below: sub-GRANGE_MIN single-device regimes)
         # pad to the next power of two (>=1024) so compile shapes are
         # bounded: one program per distinct (chunk, sample) shape pair
         m = 1024
@@ -160,6 +165,31 @@ class DeviceContainment:
                   else len(self._chunks),
                   "bucketed" if self._use_buckets else "merge-join",
                   len(self._devices))
+
+    def _grange_residency(self, gidx):
+        """Resident-chunk cap when the index exceeds the HBM budget.
+
+        None = everything fits (the common case: GTDB-R220 ~ 10.6 GB on a
+        16 GB chip). Budget = 70% of per-device memory (jax memory_stats
+        when exposed; SYLPH_HBM_GB overrides — some relay/plugin backends
+        report nothing), leaving headroom for the sample stream, join
+        grids and collectives. Chunks beyond the cap stream per sample
+        with async prefetch (tpu/grange.py)."""
+        import os
+        n_chunks = len(gidx.chunk_hi)
+        chunk_bytes = gidx.B * gidx.CI * 12
+        env = os.environ.get("SYLPH_HBM_GB")
+        if env:
+            budget = float(env) * 1e9
+        else:
+            try:
+                stats = self._devices[0].memory_stats()
+                budget = float(stats["bytes_limit"])
+            except Exception:
+                return None          # unknown memory: keep fast path
+        per_dev = int(0.7 * budget) // max(chunk_bytes, 1)
+        cap = per_dev * len(self._devices)
+        return None if cap >= n_chunks else max(1, cap)
 
     def _init_sharded(self, jax, genome_sketches: List[GenomeSketch]):
         """Multi-device mode: the genome index shards over a 1-D ('ip',)

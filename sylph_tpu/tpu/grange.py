@@ -346,14 +346,27 @@ def _device_slices(shi, slo, ehi_lo, elo_lo, ehi_hi, elo_hi, *, P: int):
 
 
 class GRangeEngine:
-    """Device-resident grange index serving per-sample [G, H] histograms."""
+    """Device-resident grange index serving per-sample [G, H] histograms.
 
-    def __init__(self, gidx: GRangeIndex, devices=None):
+    ``max_resident_chunks`` bounds HBM residency for databases larger
+    than device memory (e.g. >100k genomes at deep sketch sizes): the
+    first N chunks stay pinned per device, the remainder upload
+    asynchronously per sample and are released after their join — the
+    upload of chunk i+1 overlaps chunk i's compare kernel, so the extra
+    cost approaches the wire time of the non-resident tail (PCIe-class
+    links move a 472 MB chunk in tens of ms). None = everything resident
+    (the fast path when the index fits, as GTDB-R220 does on 16 GB v5e)."""
+
+    def __init__(self, gidx: GRangeIndex, devices=None,
+                 max_resident_chunks: Optional[int] = None):
         self.gidx = gidx
         devs = devices if devices is not None else jax.devices()
         self._devices = devs
+        n_res = (len(gidx.chunk_hi) if max_resident_chunks is None
+                 else max(0, min(max_resident_chunks, len(gidx.chunk_hi))))
+        self._n_resident = n_res
         self._dev_chunks = []
-        for i in range(len(gidx.chunk_hi)):
+        for i in range(n_res):
             d = devs[i % len(devs)]
             self._dev_chunks.append((
                 jax.device_put(gidx.chunk_hi[i], d),
@@ -367,6 +380,16 @@ class GRangeEngine:
             (e[:, 0] & m32).astype(np.uint32),
             (e[:, 1] >> np.uint64(32)).astype(np.uint32),
             (e[:, 1] & m32).astype(np.uint32)), self._devices[0])
+
+    def _chunk_dev(self, i: int):
+        """Device arrays for chunk i: pinned, or a per-use async upload."""
+        if i < self._n_resident:
+            return self._dev_chunks[i]
+        d = self._devices[i % len(self._devices)]
+        g = self.gidx
+        return (jax.device_put(g.chunk_hi[i], d),
+                jax.device_put(g.chunk_lo[i], d),
+                jax.device_put(g.chunk_gid[i], d))
 
     def hist_device_stream(self, shi, slo, P: Optional[int] = None,
                            n_live: Optional[int] = None,
@@ -422,12 +445,15 @@ class GRangeEngine:
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, gidx.B * gidx.CI))
         codes_parts, diag = [], []
+        nxt = self._chunk_dev(0) if n_chunks else None
         for i in range(n_chunks):
+            cur = nxt                # prefetch overlaps the previous join
+            nxt = self._chunk_dev(i + 1) if i + 1 < n_chunks else None
             s = starts[i]
             c_hi = jax.lax.dynamic_slice_in_dim(shi, s, P)
             c_lo = jax.lax.dynamic_slice_in_dim(slo, s, P)
             c_w = jax.lax.dynamic_slice_in_dim(w, s, P)
-            ihi, ilo, gidg = self._dev_chunks[i]
+            ihi, ilo, gidg = cur
             base = jnp.uint32(gidx.bases[i])
             cod, nl, nc, wlost = _chunk_codes(
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
@@ -461,15 +487,19 @@ class GRangeEngine:
         CS = sample_cs(P, gidx.B, granularity=8)
         density = min(1.0, 4.0 * P / max(1, gidx.B * gidx.CI))
 
-        # dispatch every chunk asynchronously; retain per-chunk handles so
-        # a failed conservation check can be patched without re-running the
-        # good chunks
-        parts = []          # (dev_i, codes_dev, nl-nc diff, chunk_args)
+        # dispatch every chunk asynchronously; retain the (small) sample
+        # slices so a failed conservation check can be patched without
+        # re-running the good chunks (non-resident index chunks re-upload
+        # on that astronomically rare path rather than pinning HBM here)
+        parts = []          # (dev_i, codes_dev, nl-nc diff, (i, smp, base))
+        nxt = self._chunk_dev(0) if slices else None
         for i, (s, e) in enumerate(slices):
+            cur = nxt
+            nxt = self._chunk_dev(i + 1) if i + 1 < len(slices) else None
             ph, plo, pw = _pad_slice(shi, slo, sw, s, e, P)
             di = i % len(self._devices)
             smp = jax.device_put((ph, plo, pw), self._devices[di])
-            ihi, ilo, gidg = self._dev_chunks[i]
+            ihi, ilo, gidg = cur
             base = jax.device_put(np.uint32(gidx.bases[i]),
                                   self._devices[di])
             cod, nl, nc, wlost = _chunk_codes(
@@ -477,7 +507,7 @@ class GRangeEngine:
                 CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas)
             parts.append((di, cod, jnp.abs(nl - nc) + wlost,
-                          (ihi, ilo, gidg, smp, base)))
+                          (i, smp, base)))
 
         # one small fetch per device for all conservation checks
         by_dev = {}
@@ -504,7 +534,8 @@ class GRangeEngine:
         for idx in bad:
             # compaction or bucket-capacity overflow (astronomically
             # rare): lossless redo at 4x the sample capacity
-            di, _c, _d, (ihi, ilo, gidg, smp, base) = parts[idx]
+            di, _c, _d, (ci, smp, base) = parts[idx]
+            ihi, ilo, gidg = self._chunk_dev(ci)
             h = _chunk_hist_lossless(
                 ihi, ilo, gidg, *smp, base, width=gidx.width,
                 B=gidx.B, CS=4 * CS, n_genomes=G,

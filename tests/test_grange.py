@@ -182,3 +182,38 @@ def test_hist_device_stream_matches_oracle():
     if gidx.spill_kmers.size:
         pytest.skip("spill present; device-stream path excludes spill")
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("max_resident", [0, 1, 3])
+def test_grange_bounded_residency_matches(max_resident):
+    """max_resident_chunks (HBM-overflow streaming mode) is output-
+    identical to the fully resident engine in both entry points."""
+    kmers, gids, sk, sc = _world(7, m=120_000, G=40, t=4_000)
+    order = np.argsort(kmers, kind="stable")
+    gidx = build_grange_index(kmers[order], gids[order], 40,
+                              chunk_slots=1 << 15, target_mean=128,
+                              presorted=True)
+    assert len(gidx.chunk_hi) > 3
+    full = GRangeEngine(gidx)
+    part = GRangeEngine(gidx, max_resident_chunks=max_resident)
+    assert np.array_equal(full.hists(sk, sc), part.hists(sk, sc))
+
+    import jax
+    import jax.numpy as jnp
+
+    from sylph_tpu.tpu import u64
+
+    # the stream entry point is single-device by contract
+    dev = [jax.devices()[0]]
+    full1 = GRangeEngine(gidx, devices=dev)
+    part1 = GRangeEngine(gidx, devices=dev,
+                         max_resident_chunks=max_resident)
+    shi, slo = u64.from_u64_np(np.repeat(sk, sc.astype(np.int64)))
+    shi, slo = jax.lax.sort((jnp.asarray(shi), jnp.asarray(slo)),
+                            num_keys=2)
+    h1, c1 = full1.hist_device_stream(shi, slo, n_live=int(sc.sum()),
+                                      n_unique=sk.size)
+    h2, c2 = part1.hist_device_stream(shi, slo, n_live=int(sc.sum()),
+                                      n_unique=sk.size)
+    assert c1() and c2()
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
