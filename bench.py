@@ -366,7 +366,9 @@ def main():
                           "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))
         return
     if config == "gtdb":
-        gbps = _bench_gtdb(jax, jnp)
+        ng = (int(sys.argv[sys.argv.index("--genomes") + 1])
+              if "--genomes" in sys.argv else 100_000)
+        gbps = _bench_gtdb(jax, jnp, n_genomes=ng)
         print(json.dumps({"metric": "gtdb_profile_throughput",
                           "value": round(gbps, 4), "unit": "Gbp/s",
                           "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))
