@@ -312,6 +312,77 @@ def _grid_from_buckets(ihi, ilo, dh, dl, dw, *, use_pallas):
     )(ihi, ilo, dh, dl, dw)
 
 
+def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas):
+    """S-sample compare: [S, B, CS] buckets vs ONE [B, CI] chunk -> [S, B, CI].
+
+    The Pallas grid is (B/TB, S) with the sample axis fastest, so each
+    index block is loaded into VMEM once and reused across all S samples
+    — the index HBM traffic (the dominant stream at database scale) is
+    amortized S-fold versus S independent joins."""
+    if not use_pallas:
+        from .bucket_join import _join_xla
+        return jax.vmap(
+            lambda a, b, c: _join_xla(ihi, ilo, a, b, c))(dh, dl, dw)
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .bucket_join import _join_kernel
+    B, CI = ihi.shape
+    S, _, CS = dh.shape
+    TB = max(1, min(64, B))
+    if B % TB != 0:
+        TB = 1
+    kern = ft.partial(_join_kernel, CS=CS)
+    spec_i = pl.BlockSpec((TB, CI), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((None, TB, CS), lambda i, s: (s, i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB, S),
+        in_specs=[spec_i, spec_i, spec_s, spec_s, spec_s],
+        out_specs=pl.BlockSpec((None, TB, CI), lambda i, s: (s, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, B, CI), jnp.int32),
+    )(ihi, ilo, dh, dl, dw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "B", "CS", "n_genomes", "density", "use_pallas"))
+def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
+                         width: int, B: int, CS: int, n_genomes: int,
+                         density: float, use_pallas: bool):
+    """S samples x one chunk -> one compacted code stream.
+
+    Codes are sample-tagged: s*(G*H) + gid*H + mult, so ONE compaction +
+    ONE bincount serve the whole batch. Callers verify the summed
+    conservation scalars exactly as in _chunk_codes."""
+    from .bucket_join import _sample_to_buckets
+    dh, dl, dw = jax.vmap(lambda a, b, c: _sample_to_buckets(
+        a, b, c, width=width, B=B, CS=CS, base=base))(shi_s, slo_s, sw_s)
+    raw = (shi_s - base) // jnp.uint32(width)
+    w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw_s, 0))
+    grid = _grid_from_buckets_batched(ihi, ilo, dh, dl, dw,
+                                      use_pallas=use_pallas)
+    G, H = n_genomes, HIST_H
+    S = shi_s.shape[0]
+    live = (grid > 0) & (gid_grid[None, :, :] < G)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    sid = jax.lax.broadcasted_iota(jnp.uint32, grid.shape, 0)
+    codes = jnp.where(
+        live,
+        (sid * np.uint32(G * H)
+         + gid_grid[None, :, :].astype(jnp.uint32) * np.uint32(H)
+         + jnp.minimum(grid, H - 1).astype(jnp.uint32)),
+        SENT)
+    if use_pallas:
+        codes = _compact_codes(codes.reshape(-1), density)
+    n_comp = jnp.sum((codes != SENT).astype(jnp.int32))
+    return codes.reshape(-1), n_live, n_comp, jnp.abs(w_in - jnp.sum(dw))
+
+
 def _bound_positions(shi, slo, qhi, qlo, upper: bool):
     """Vectorized binary search of queries into a sorted (hi, lo) stream.
 
@@ -471,6 +542,68 @@ class GRangeEngine:
             return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
                     and int(np.asarray(ml)) <= P)
         return hist, check
+
+    def hist_device_stream_batched(self, shi_s, slo_s,
+                                   P: Optional[int] = None,
+                                   n_live: Optional[int] = None,
+                                   n_unique: Optional[int] = None):
+        """S-sample batched form of hist_device_stream: [S, T] sorted
+        streams -> ([S, G*H] i32, check). One index sweep serves the whole
+        batch — per-chunk dispatch cost and index HBM reads amortize
+        S-fold (the production cohort-profiling shape). ``n_live`` /
+        ``n_unique`` are per-sample maxima when known."""
+        gidx = self.gidx
+        G = gidx.n_genomes
+        S, t = int(shi_s.shape[0]), int(shi_s.shape[1])
+        n_chunks = len(gidx.chunk_hi)
+        assert S * G * HIST_H + 1 < (1 << 31), "sample-tag code overflow"
+        if n_live is None:
+            n_live = t
+        if P is None:
+            mean = n_live / n_chunks
+            P = 1 << max(10, int(np.ceil(np.log2(max(
+                1.0, 1.3 * mean + 6.0 * np.sqrt(mean) + 64)))))
+            P = min(P, t)
+        lo_hi, lo_lo, hi_hi, hi_lo = self._edges_dev
+        starts_s, max_len_s = jax.vmap(
+            lambda a, b: _device_slices(a, b, lo_hi, lo_lo, hi_hi, hi_lo,
+                                        P=P))(shi_s, slo_s)
+        shi_s, slo_s, w_s = jax.vmap(_fold_weights)(shi_s, slo_s)
+        from .bucket_join import sample_cs
+        CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
+                       gidx.B, granularity=8)
+        est_codes = 2.0 * S * (n_unique if n_unique else n_live) / n_chunks
+        density = min(1.0, max(est_codes, 512.0)
+                      / max(1, S * gidx.B * gidx.CI))
+        codes_parts, diag = [], []
+        nxt = self._chunk_dev(0) if n_chunks else None
+        slc = jax.vmap(
+            lambda x, s: jax.lax.dynamic_slice_in_dim(x, s, P))
+        for i in range(n_chunks):
+            cur = nxt
+            nxt = self._chunk_dev(i + 1) if i + 1 < n_chunks else None
+            c_hi = slc(shi_s, starts_s[:, i])
+            c_lo = slc(slo_s, starts_s[:, i])
+            c_w = slc(w_s, starts_s[:, i])
+            ihi, ilo, gidg = cur
+            base = jnp.uint32(gidx.bases[i])
+            cod, nl, nc, wlost = _chunk_codes_batched(
+                ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
+                B=gidx.B, CS=CS, n_genomes=G, density=density,
+                use_pallas=self._use_pallas)
+            codes_parts.append(cod)
+            diag.append(jnp.abs(nl - nc) + wlost)
+        # codes are (s*G + gid)*H + mult — one bincount over S*G bins
+        hist = hist_from_codes(
+            jnp.concatenate(codes_parts) if len(codes_parts) > 1
+            else codes_parts[0], n_genomes=S * G)
+        diag_v = jnp.stack(diag)
+        ml = jnp.max(max_len_s)
+
+        def check() -> bool:
+            return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
+                    and int(np.asarray(ml)) <= P)
+        return hist[:S * G * HIST_H].reshape(S, G * HIST_H), check
 
     def hists(self, skmers_u64: np.ndarray, scounts: np.ndarray
               ) -> np.ndarray:

@@ -217,3 +217,49 @@ def test_grange_bounded_residency_matches(max_resident):
                                       n_unique=sk.size)
     assert c1() and c2()
     assert np.array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_hist_device_stream_batched_matches_serial():
+    """S-sample batched joins == per-sample hist_device_stream exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sylph_tpu.tpu import u64
+
+    kmers, gids, _, _ = _world(13, m=150_000, G=30)
+    order = np.argsort(kmers, kind="stable")
+    gidx = build_grange_index(kmers[order], gids[order], 30,
+                              chunk_slots=1 << 15, target_mean=128,
+                              presorted=True)
+    eng = GRangeEngine(gidx, devices=[jax.devices()[0]])
+    rng = np.random.default_rng(4)
+    S, T = 5, 8192
+    streams = []
+    max_live = max_uniq = 0
+    for s in range(S):
+        t_s = int(rng.integers(T // 2, T))
+        half = rng.choice(kmers, size=t_s // 2)
+        rest = rng.integers(0, ((1 << 64) - 1) // 20, size=t_s - half.size,
+                            dtype=np.uint64)
+        occ = np.sort(np.concatenate([half, rest]))
+        max_live = max(max_live, occ.size)
+        max_uniq = max(max_uniq, np.unique(occ).size)
+        hi, lo = u64.from_u64_np(occ)
+        ph = np.full(T, 0xFFFFFFFF, np.uint32)
+        pl_ = np.full(T, 0xFFFFFFFF, np.uint32)
+        ph[:occ.size] = hi
+        pl_[:occ.size] = lo
+        streams.append((ph, pl_))
+    shi_s = jnp.asarray(np.stack([a for a, _ in streams]))
+    slo_s = jnp.asarray(np.stack([b for _, b in streams]))
+    hb, cb = eng.hist_device_stream_batched(shi_s, slo_s,
+                                            n_live=max_live,
+                                            n_unique=max_uniq)
+    assert cb()
+    hb = np.asarray(hb)
+    for s in range(S):
+        h1, c1 = eng.hist_device_stream(shi_s[s], slo_s[s],
+                                        n_live=max_live,
+                                        n_unique=max_uniq)
+        assert c1()
+        assert np.array_equal(np.asarray(h1)[:hb.shape[1]], hb[s]), s
