@@ -14,6 +14,7 @@ lives in device HBM across samples; each sample costs one sort-merge join.
 """
 
 import logging
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -95,10 +96,14 @@ class DeviceContainment:
         self._sharded = None
         self._devices = list(devices) if devices is not None \
             else jax.devices()
+        env_nd = os.environ.get("SYLPH_TPU_DEVICES")
+        if devices is None and env_nd:
+            self._devices = self._devices[:max(1, int(env_nd))]
         # per-sample counts cache: id(sample) -> (strong ref, counts).
         # Strong refs prevent id reuse aliasing; bounded so multi-sample
         # prefetch batches fit without unbounded growth.
         self._cache = {}
+        self._hists_cache = {}      # grange regime: id -> (ref, [G,64])
         self._cache_cap = 16
         if total >= self.GRANGE_MIN:
             from ..tpu.grange import GRangeEngine, build_grange_index
@@ -259,8 +264,27 @@ class DeviceContainment:
         src/contain.rs:266-307). Counts land in the per-sample cache;
         regimes without a batched path (bucket, grange) are served
         per-sample on demand instead."""
+        if self._grange is not None:
+            # database-scale regime: batch the per-sample histogram sweeps
+            # (single-device engines only — the stream path keeps the
+            # whole batch on one chip)
+            todo = [s for s in samples if id(s) not in self._hists_cache]
+            if len(todo) < 2 or len(self._devices) != 1:
+                return
+            from ..utils.timing import stage_timer
+            tables = [s.sorted_view() for s in todo]
+            with stage_timer(
+                    f"batched grange hists ({self._grange.gidx.m} k-mers "
+                    f"x {len(todo)} samples)"):
+                hs = self._grange.hists_batched(tables)
+            for si, s in enumerate(todo):
+                self._hists_cache[id(s)] = (s, hs[si])
+                while len(self._hists_cache) > max(self._cache_cap,
+                                                   len(todo) + 2):
+                    self._hists_cache.pop(next(iter(self._hists_cache)))
+            return
         todo = [s for s in samples if id(s) not in self._cache]
-        if len(todo) < 2 or self._grange is not None or \
+        if len(todo) < 2 or \
                 (self._sharded is None and self._use_buckets):
             return
         import jax
@@ -361,6 +385,9 @@ class DeviceContainment:
         """[G, 64] per-genome multiplicity histograms for the batched
         prefilter — the device replacement for probing every genome."""
         if self._grange is not None:
+            hit = self._hists_cache.get(id(sample))
+            if hit is not None and hit[0] is sample:
+                return hit[1]
             skmers, scounts = sample.sorted_view()
             from ..utils.timing import stage_timer
             with stage_timer(

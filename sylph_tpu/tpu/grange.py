@@ -546,12 +546,16 @@ class GRangeEngine:
     def hist_device_stream_batched(self, shi_s, slo_s,
                                    P: Optional[int] = None,
                                    n_live: Optional[int] = None,
-                                   n_unique: Optional[int] = None):
+                                   n_unique: Optional[int] = None,
+                                   w_s=None):
         """S-sample batched form of hist_device_stream: [S, T] sorted
         streams -> ([S, G*H] i32, check). One index sweep serves the whole
         batch — per-chunk dispatch cost and index HBM reads amortize
         S-fold (the production cohort-profiling shape). ``n_live`` /
-        ``n_unique`` are per-sample maxima when known."""
+        ``n_unique`` are per-sample maxima when known. ``w_s`` supplies
+        pre-folded per-entry multiplicities ([S, T] i32, 0 on padding) for
+        already-unique sorted tables (the CLI sketch form), skipping the
+        duplicate-run fold."""
         gidx = self.gidx
         G = gidx.n_genomes
         S, t = int(shi_s.shape[0]), int(shi_s.shape[1])
@@ -568,7 +572,8 @@ class GRangeEngine:
         starts_s, max_len_s = jax.vmap(
             lambda a, b: _device_slices(a, b, lo_hi, lo_lo, hi_hi, hi_lo,
                                         P=P))(shi_s, slo_s)
-        shi_s, slo_s, w_s = jax.vmap(_fold_weights)(shi_s, slo_s)
+        if w_s is None:
+            shi_s, slo_s, w_s = jax.vmap(_fold_weights)(shi_s, slo_s)
         from .bucket_join import sample_cs
         CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                        gidx.B, granularity=8)
@@ -604,6 +609,58 @@ class GRangeEngine:
             return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
                     and int(np.asarray(ml)) <= P)
         return hist[:S * G * HIST_H].reshape(S, G * HIST_H), check
+
+    def hists_batched(self, tables) -> np.ndarray:
+        """[S, G, HIST_H] histograms for S (sorted_kmers, counts) tables
+        via ONE batched index sweep (hist_device_stream_batched with
+        pre-folded weights). Spill slots probe host-side per sample; a
+        failed conservation check falls back to the per-sample path."""
+        from . import u64 as u64mod
+        G, H = self.gidx.n_genomes, HIST_H
+        S = len(tables)
+        T = max(1024, 1 << int(np.ceil(np.log2(max(
+            max(k.size for k, _ in tables), 1)))))
+        shi = np.full((S, T), SENT, np.uint32)
+        slo = np.full((S, T), SENT, np.uint32)
+        w = np.zeros((S, T), np.int32)
+        for s, (k, c) in enumerate(tables):
+            hi, lo = u64mod.from_u64_np(k.astype(np.uint64))
+            shi[s, :k.size] = hi
+            slo[s, :k.size] = lo
+            w[s, :k.size] = np.minimum(c, np.iinfo(np.int32).max)
+        n_live = max((k.size for k, _ in tables), default=1)
+        hist_d, check = self.hist_device_stream_batched(
+            jnp.asarray(shi), jnp.asarray(slo), n_live=max(n_live, 1),
+            n_unique=max(n_live, 1), w_s=jnp.asarray(w))
+        if not check():
+            return np.stack([self.hists(k.astype(np.uint64),
+                                        c.astype(np.uint32))
+                             for k, c in tables])
+        out = np.asarray(hist_d).astype(np.int64)[:, :G * H]
+        out = out.reshape(S, G, H)
+        if self.gidx.spill_kmers.size:
+            for s, (k, c) in enumerate(tables):
+                out[s] += self._spill_hist(k.astype(np.uint64),
+                                           c.astype(np.uint32))
+        return out
+
+    def _spill_hist(self, skmers_u64: np.ndarray,
+                    scounts: np.ndarray) -> np.ndarray:
+        """[G, H] contribution of the (tiny) host-side spill list."""
+        gidx = self.gidx
+        G, H = gidx.n_genomes, HIST_H
+        out = np.zeros((G, H), np.int64)
+        idx = np.searchsorted(skmers_u64, gidx.spill_kmers)
+        idxc = np.minimum(idx, max(skmers_u64.size - 1, 0))
+        found = (skmers_u64.size > 0) & (idx < skmers_u64.size)
+        found = found & (skmers_u64[idxc] == gidx.spill_kmers)
+        cts = np.where(found, scounts[idxc], 0).astype(np.int64)
+        live = cts > 0
+        if live.any():
+            seg = (gidx.spill_gids[live].astype(np.int64) * H
+                   + np.minimum(cts[live], H - 1))
+            out += np.bincount(seg, minlength=G * H).reshape(G, H)
+        return out
 
     def hists(self, skmers_u64: np.ndarray, scounts: np.ndarray
               ) -> np.ndarray:
@@ -678,14 +735,5 @@ class GRangeEngine:
 
         # spilled (over-capacity) slots: host probe of the tiny overflow
         if gidx.spill_kmers.size:
-            idx = np.searchsorted(skmers_u64, gidx.spill_kmers)
-            idxc = np.minimum(idx, max(skmers_u64.size - 1, 0))
-            found = (skmers_u64.size > 0) & (idx < skmers_u64.size)
-            found = found & (skmers_u64[idxc] == gidx.spill_kmers)
-            cts = np.where(found, scounts[idxc], 0).astype(np.int64)
-            live = cts > 0
-            if live.any():
-                seg = (gidx.spill_gids[live].astype(np.int64) * H
-                       + np.minimum(cts[live], H - 1))
-                out += np.bincount(seg, minlength=G * H).reshape(G, H)
+            out += self._spill_hist(skmers_u64, scounts)
         return out

@@ -263,3 +263,85 @@ def test_hist_device_stream_batched_matches_serial():
                                         n_unique=max_uniq)
         assert c1()
         assert np.array_equal(np.asarray(h1)[:hb.shape[1]], hb[s]), s
+
+
+def test_hists_batched_matches_serial_including_spill():
+    import jax
+
+    kmers, gids, _, _ = _world(17, m=80_000, G=25, dup_frac=0.4)
+    gidx = build_grange_index(kmers, gids, 25, chunk_slots=1 << 14,
+                              target_mean=256, ci_cap=8)
+    assert gidx.spill_kmers.size > 0
+    eng = GRangeEngine(gidx, devices=[jax.devices()[0]])
+    rng = np.random.default_rng(2)
+    tables = []
+    for s in range(4):
+        t_s = int(rng.integers(500, 3000))
+        sk = np.unique(np.concatenate([
+            rng.choice(kmers, size=t_s),
+            rng.integers(0, ((1 << 64) - 1) // 20, size=t_s,
+                         dtype=np.uint64)]))
+        sc = rng.integers(1, 90, size=sk.size).astype(np.uint32)
+        tables.append((sk, sc))
+    hb = eng.hists_batched(tables)
+    for s, (sk, sc) in enumerate(tables):
+        assert np.array_equal(hb[s], eng.hists(sk, sc)), s
+
+
+def test_grange_cli_multisample_parity(tmp_path, monkeypatch):
+    """profile --tpu, grange forced, >1 sample: batched prefetch TSVs
+    byte-identical to the host engine."""
+    import gzip
+    import io
+
+    from sylph_tpu.engine.device_exec import DeviceContainment
+    from sylph_tpu.engine.runner import ContainOptions, contain
+    from sylph_tpu.engine.sketch_cmd import SketchOptions, sketch
+
+    rng = np.random.default_rng(31)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_genomes, glen = 40, 12_000
+    genomes, paths = [], []
+    for g in range(n_genomes):
+        seq = rng.integers(0, 4, size=glen).astype(np.uint8)
+        genomes.append(seq)
+        p = tmp_path / f"g{g:03d}.fa.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(b">genome%03d\n" % g + BASES[seq].tobytes() + b"\n")
+        paths.append(str(p))
+    rfs = []
+    for si, picks in enumerate([(2, 9), (17, 30), (9, 35)]):
+        reads = []
+        for t in picks:
+            src = genomes[t]
+            for s in rng.integers(0, glen - 150, size=160):
+                reads.append(src[s:s + 150].copy())
+        rf = tmp_path / f"sample{si}.fq"
+        with open(rf, "wb") as f:
+            for i in rng.permutation(len(reads)):
+                f.write(b"@r%d\n" % i + BASES[reads[i]].tobytes()
+                        + b"\n+\n" + b"I" * 150 + b"\n")
+        rfs.append(str(rf))
+    sketch(SketchOptions(files=[], genomes=paths, reads=rfs,
+                         db_out_name=str(tmp_path / "db"),
+                         sample_output_dir=str(tmp_path), c=25, k=31,
+                         threads=4))
+    sylsps = [str(tmp_path / f"sample{si}.fq.sylsp") for si in range(3)]
+
+    def run(tpu):
+        out = io.StringIO()
+        contain(ContainOptions(
+            files=[str(tmp_path / "db.syldb")] + sylsps, tpu=tpu),
+            pseudotax=True, out=out)
+        return out.getvalue()
+
+    host = run(tpu=False)
+    monkeypatch.setattr(DeviceContainment, "GRANGE_MIN", 0)
+    # single device engages the batched grange prefetch (hists_batched)
+    monkeypatch.setenv("SYLPH_TPU_DEVICES", "1")
+    dev = run(tpu=True)
+    assert dev == host
+    assert len(host.strip().splitlines()) > 3
+    monkeypatch.setenv("SYLPH_TPU_DEVICES", "8")
+    dev8 = run(tpu=True)                 # serial multi-device path
+    assert dev8 == host
