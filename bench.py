@@ -274,8 +274,10 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     print(f"# warmup: {_t.perf_counter() - t0:.1f}s exact={ok}", flush=True)
 
     if "--stages" in sys.argv:
-        # sync-chained stage split (diagnostic: syncs inflate totals, so
-        # per-stage rates are upper bounds on cost, not additive walls)
+        # sync-chained stage split. UNRELIABLE through the axon relay:
+        # partial-pipeline syncs have measured LONGER than the full run
+        # (first-use sync programs + relay round trips dominate) — treat
+        # these as qualitative only; the timed runs below are the truth.
         def sync(x):
             return float(np.asarray(x.reshape(-1)[:1].astype(jnp.int32)
                                     .sum()))

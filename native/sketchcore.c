@@ -455,11 +455,13 @@ static inline int vec_reserve(Vec *v, size_t extra) {
 /* scalar seeding of codes[s:e) from roll state (f, rc), starting at the
  * window whose last base is index s + done (done >= 0 bases already
  * consumed). Appends survivor hashes to hv (and rid to rv when rv is
- * non-NULL). Returns 0 on allocation failure. */
+ * non-NULL; and position pos_base + (i - s) to pv when pv is non-NULL).
+ * Returns 0 on allocation failure. */
 static int sx_seed_tail(const uint8_t *codes, int64_t s, int64_t e,
                         int64_t done, uint64_t f, uint64_t rc,
                         uint64_t thr, uint64_t mask, uint64_t rev_mask,
-                        int rshift, int k, Vec *rv, Vec *hv, int64_t rid) {
+                        int rshift, int k, Vec *rv, Vec *pv, Vec *hv,
+                        int64_t rid, int64_t pos_base) {
     int64_t i = s + done;
     for (; i < s + k - 1; i++) {            /* still warming up */
         uint64_t nf = codes[i];
@@ -475,7 +477,9 @@ static int sx_seed_tail(const uint8_t *codes, int64_t s, int64_t e,
         if (h < thr) {
             if (!vec_reserve(&hv[0], 1)) return 0;
             if (rv && !vec_reserve(&rv[0], 1)) return 0;
+            if (pv && !vec_reserve(&pv[0], 1)) return 0;
             if (rv) ((int64_t *)rv->p)[rv->n++] = rid;
+            if (pv) ((int64_t *)pv->p)[pv->n++] = pos_base + (i - s);
             ((uint64_t *)hv->p)[hv->n++] = h;
         }
     }
@@ -583,7 +587,8 @@ static int sx_seed_quad_avx2(const uint8_t *codes, const int64_t *starts,
         if (ends[l] - starts[l] < (int64_t)k) continue;
         if (!sx_seed_tail(codes, starts[l], ends[l], j,
                           fs[l] & mask, rcs[l], thr, mask, rev_mask,
-                          rshift, k, rv, hv, rids[l])) return -1;
+                          rshift, k, rv, NULL, hv, rids[l], 0))
+            return -1;
     }
     return 1;
 }
@@ -610,17 +615,22 @@ static inline __m512i sx_hash8(__m512i key) {
     return key;
 }
 
-/* 8 independent reads per zmm lane; same structure as the AVX2 quad
+/* 8 independent sequences per zmm lane; same structure as the AVX2 quad
  * (lockstep vector phase + scalar tails), with native unsigned compares
  * (_mm512_cmplt_epu64_mask), min_epu64 canonicalization and mask-register
- * survivor extraction. */
+ * survivor extraction. Lanes are whole reads (reads path: pv == NULL) or
+ * halo'd stripes of one record (genome-positions path: pv != NULL,
+ * pos_base[l] maps a lane-local window-end index to the in-record
+ * position). */
 __attribute__((target("avx512f")))
 static int sx_seed_oct_avx512(const uint8_t *codes, const int64_t *starts,
                               const int64_t *ends, const int64_t *rids,
                               uint64_t c, int k, uint64_t thr,
                               uint64_t mask, uint64_t rev_mask, int rshift,
-                              Vec *rv, Vec *hv,
-                              uint64_t (*hbuf)[SX_LANE_CAP]) {
+                              Vec *rv, Vec *pv, Vec *hv,
+                              uint64_t (*hbuf)[SX_LANE_CAP],
+                              uint32_t (*pbuf)[SX_LANE_CAP],
+                              const int64_t *pos_base) {
     int64_t minlen = ends[0] - starts[0];
     for (int l = 1; l < 8; l++) {
         int64_t len = ends[l] - starts[l];
@@ -654,6 +664,7 @@ static int sx_seed_oct_avx512(const uint8_t *codes, const int64_t *starts,
                 for (int l = 0; l < 8; l++) {
                     if ((mm >> l) & 1) {
                         if (n_l[l] >= SX_LANE_CAP) return 0;
+                        if (pbuf) pbuf[l][n_l[l]] = (uint32_t)(j + t);
                         hbuf[l][n_l[l]++] = hs[l];
                     }
                 }
@@ -665,15 +676,21 @@ static int sx_seed_oct_avx512(const uint8_t *codes, const int64_t *starts,
     _mm512_storeu_si512((void *)rcs, rc);
     for (int l = 0; l < 8; l++) {
         if (!vec_reserve(rv, (size_t)n_l[l] + 1)
-                || !vec_reserve(hv, (size_t)n_l[l] + 1)) return -1;
+                || !vec_reserve(hv, (size_t)n_l[l] + 1)
+                || (pv && !vec_reserve(pv, (size_t)n_l[l] + 1)))
+            return -1;
         for (int i = 0; i < n_l[l]; i++) {
             ((int64_t *)rv->p)[rv->n++] = rids[l];
+            if (pv)
+                ((int64_t *)pv->p)[pv->n++] = pos_base[l]
+                    + (int64_t)pbuf[l][i];
             ((uint64_t *)hv->p)[hv->n++] = hbuf[l][i];
         }
         if (ends[l] - starts[l] < (int64_t)k) continue;
         if (!sx_seed_tail(codes, starts[l], ends[l], j,
                           fs[l] & mask, rcs[l], thr, mask, rev_mask,
-                          rshift, k, rv, hv, rids[l])) return -1;
+                          rshift, k, rv, pv, hv, rids[l],
+                          pos_base ? pos_base[l] : 0)) return -1;
     }
     return 1;
 }
@@ -725,7 +742,8 @@ int64_t sx_seed_concat(const uint8_t *codes, const int64_t *starts,
                 rcq = W == 8
                     ? sx_seed_oct_avx512(codes, starts + r, ends + r,
                                          rids_w, c, k, thr, mask,
-                                         rev_mask, rshift, &rv, &hv, hbuf)
+                                         rev_mask, rshift, &rv, NULL,
+                                         &hv, hbuf, NULL, NULL)
                     : sx_seed_quad_avx2(codes, starts + r, ends + r,
                                         rids_w, c, k, thr, mask, rev_mask,
                                         rshift, &rv, &hv, hbuf);
@@ -737,7 +755,8 @@ int64_t sx_seed_concat(const uint8_t *codes, const int64_t *starts,
                     if (ends[r + l] - starts[r + l] < (int64_t)k) continue;
                     if (!sx_seed_tail(codes, starts[r + l], ends[r + l],
                                       0, 0, 0, thr, mask, rev_mask,
-                                      rshift, k, &rv, &hv, r + l)) {
+                                      rshift, k, &rv, NULL, &hv, r + l,
+                                      0)) {
                         free(rv.p); free(hv.p); return -1;
                     }
                 }
@@ -749,7 +768,7 @@ int64_t sx_seed_concat(const uint8_t *codes, const int64_t *starts,
         int64_t s = starts[r], e = ends[r];
         if (e - s < (int64_t)k) continue;
         if (!sx_seed_tail(codes, s, e, 0, 0, 0, thr, mask, rev_mask,
-                          rshift, k, &rv, &hv, r)) {
+                          rshift, k, &rv, NULL, &hv, r, 0)) {
             free(rv.p); free(hv.p); return -1;
         }
     }
@@ -779,26 +798,58 @@ int64_t sx_seed_positions(const uint8_t *codes, const int64_t *starts,
     for (int64_t r = 0; r < n_rec; r++) {
         int64_t s = starts[r], e = ends[r];
         if (e - s < (int64_t)k) continue;
-        uint64_t f = 0, rc = 0;
-        for (int64_t i = s; i < s + k - 1; i++) {
-            uint64_t nf = codes[i];
-            f = (f << 2) | nf;
-            rc = (rc >> 2) | ((3 - nf) << rshift);
-        }
-        for (int64_t i = s + k - 1; i < e; i++) {
-            uint64_t nf = codes[i];
-            f = ((f << 2) | nf) & mask;
-            rc = ((rc >> 2) & rev_mask) | ((3 - nf) << rshift);
-            uint64_t canon = f < rc ? f : rc;
-            uint64_t h = sx_hash64(canon);
-            if (h < thr) {
-                if (!vec_reserve(&cv, 1) || !vec_reserve(&pv, 1)
-                    || !vec_reserve(&hv, 1)) {
-                    free(cv.p); free(pv.p); free(hv.p); return -1;
+        int64_t done_w = 0;              /* window ordinals emitted so far */
+        int64_t nwin = (e - s) - (int64_t)k + 1;
+#ifdef SX_HAVE_AVX2_BUILD
+        /* long contigs: 8 halo'd stripes of SEGWIN windows per oct call
+         * (each stripe re-reads its (k-1)-base halo — the same seam
+         * treatment as the device Pallas genome scan). Positions come
+         * back exact, so output order matches the scalar loop. */
+        if (sx_avx512_ok()) {
+            static __thread uint64_t hbuf[8][SX_LANE_CAP];
+            static __thread uint32_t pbuf[8][SX_LANE_CAP];
+            const int64_t SEGWIN = 4096;
+            /* stripe survivors are binomial(SEGWIN + k, 1/c): cap safe
+             * unless c is tiny or the data is adversarial — the kernel
+             * reports overflow and the stripe group redoes scalar */
+            if ((SEGWIN + (int64_t)k) / (int64_t)c + 64 < SX_LANE_CAP) {
+                while (nwin - done_w >= 8 * SEGWIN) {
+                    int64_t st[8], en[8], rid8[8], pb[8];
+                    for (int l = 0; l < 8; l++) {
+                        int64_t w0 = done_w + l * SEGWIN;
+                        st[l] = s + w0;
+                        en[l] = s + w0 + SEGWIN + (int64_t)k - 1;
+                        rid8[l] = r;
+                        pb[l] = w0;       /* pos = w0 + lane-local index */
+                    }
+                    size_t cn = cv.n, pn = pv.n, hn = hv.n;
+                    int rcq = sx_seed_oct_avx512(
+                        codes, st, en, rid8, c, k, thr, mask, rev_mask,
+                        rshift, &cv, &pv, &hv, hbuf, pbuf, pb);
+                    if (rcq < 0) {
+                        free(cv.p); free(pv.p); free(hv.p); return -1;
+                    }
+                    if (rcq == 0) {       /* lane overflow: scalar redo */
+                        cv.n = cn; pv.n = pn; hv.n = hn;
+                        if (!sx_seed_tail(codes, s + done_w, en[7], 0,
+                                          0, 0, thr, mask, rev_mask,
+                                          rshift, k, &cv, &pv, &hv, r,
+                                          done_w)) {
+                            free(cv.p); free(pv.p); free(hv.p);
+                            return -1;
+                        }
+                    }
+                    done_w += 8 * SEGWIN;
                 }
-                ((int64_t *)cv.p)[cv.n++] = r;
-                ((int64_t *)pv.p)[pv.n++] = i - s;  /* in-record index */
-                ((uint64_t *)hv.p)[hv.n++] = h;
+            }
+        }
+#endif
+        /* scalar remainder (whole record when SIMD is unavailable) */
+        if (done_w < nwin) {
+            if (!sx_seed_tail(codes, s + done_w, e, 0, 0, 0, thr, mask,
+                              rev_mask, rshift, k, &cv, &pv, &hv, r,
+                              done_w)) {
+                free(cv.p); free(pv.p); free(hv.p); return -1;
             }
         }
     }

@@ -158,3 +158,42 @@ print("OK")
                              capture_output=True, text=True, timeout=300)
         assert out.returncode == 0, out.stderr
         assert "OK" in out.stdout
+
+
+def test_simd_positions_parity(lib_available):
+    """Striped AVX-512 genome seeding (positions) bit-matches the numpy
+    oracle on stripe-boundary-adversarial contig lengths."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import numpy as np
+from sylph_tpu.core.native_core import seed_positions_native
+from sylph_tpu.kmer.seeding import fmh_seeds_positions_np
+rng = np.random.default_rng(7)
+def oracle(codes, starts, ends, c, k):
+    cs, ps, hs = [], [], []
+    for r in range(len(starts)):
+        h, p = fmh_seeds_positions_np(codes[starts[r]:ends[r]], c, k)
+        cs.append(np.full(h.size, r)); ps.append(p); hs.append(h)
+    z = lambda a: np.concatenate(a) if a else np.empty(0)
+    return z(cs), z(ps), z(hs)
+for lens in [np.array([4096*8+30, 4096*8+31, 4096*8+29, 100, 30, 31,
+                       4096*16+500]),
+             rng.integers(25, 100_000, 30)]:
+    lens = lens.astype(np.int64)
+    ends = np.cumsum(lens); starts = ends - lens
+    codes = rng.integers(0, 4, int(ends[-1]), dtype=np.uint8)
+    for c, k in ((200, 31), (20, 21)):
+        got = seed_positions_native(codes, starts, ends, c, k)
+        want = oracle(codes, starts, ends, c, k)
+        assert all(np.array_equal(a, b) for a, b in zip(got, want)), (c, k)
+print("OK")
+"""
+    for env_extra in ({}, {"SYLPH_NO_AVX512": "1"}):
+        env = dict(os.environ, **env_extra)
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr
+        assert "OK" in out.stdout
