@@ -40,10 +40,15 @@ def _ingest_workers() -> int:
 
     Measured on a 4-core host: 2 parse+seed + 2 inflate workers saturate;
     oversubscribing (3+3) degrades ~2x (cache thrash + first-touch fault
-    contention). Defaults scale with the core count."""
+    contention). Defaults scale with the core count, capped by the CLI's
+    -t budget (utils/threads)."""
     import os
+
+    from ..utils.threads import cap_workers
     env = os.environ.get("SYLPH_INGEST_WORKERS")
-    return int(env) if env else max(2, min(12, (os.cpu_count() or 4) // 2))
+    if env:
+        return int(env)
+    return cap_workers(max(2, min(12, (os.cpu_count() or 4) // 2)))
 
 
 def _mean_fold(lengths: np.ndarray) -> float:

@@ -347,6 +347,8 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
 def contain(opts: ContainOptions, pseudotax: bool,
             out: Optional[TextIO] = None):
     """Entry point for query (pseudotax=False) / profile (pseudotax=True)."""
+    from ..utils.threads import set_thread_budget
+    set_thread_budget(opts.threads)
     if pseudotax:
         opts.pseudotax = True
     close_out = False

@@ -103,6 +103,8 @@ def _check_args_valid(o: SketchOptions):
 
 
 def sketch(o: SketchOptions):
+    from ..utils.threads import set_thread_budget
+    set_thread_budget(o.threads)
     read_inputs: List[str] = []
     genome_inputs: List[str] = []
     first_pairs: List[str] = []

@@ -98,9 +98,14 @@ def iter_decompressed(data, blocks: List[Tuple[int, int, int]],
     if workers is None:
         env = os.environ.get("SYLPH_INFLATE_WORKERS")
         # inflate shares cores with the parse+seed pool downstream; ~1:3
-        # work ratio, so give it about half the cores, capped
-        workers = int(env) if env else max(
-            1, min(6, (os.cpu_count() or 2) // 2))
+        # work ratio, so give it about half the cores, capped (and never
+        # more than the CLI's -t budget)
+        if env:
+            workers = int(env)
+        else:
+            from ..utils.threads import cap_workers
+            workers = cap_workers(max(
+                1, min(6, (os.cpu_count() or 2) // 2)))
     groups: List[Tuple[int, int]] = []
     acc, s = 0, 0
     for i, (_off, _blen, isize) in enumerate(blocks):
