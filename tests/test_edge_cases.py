@@ -86,3 +86,36 @@ def test_genome_with_crlf_and_multiline(tmp_path):
     assert px.n_records == 1
     assert int(px.lengths[0]) == 3000
     assert px.names == ["contig x"]
+
+
+def test_truncated_bgzf_and_fastq_fuzz(tmp_path):
+    """Random truncations/corruptions of a BGZF fastq either sketch the
+    readable prefix or skip gracefully (None) — never raise."""
+    import numpy as np
+
+    from sylph_tpu.core.sketch_reads import sketch_sequences
+    from sylph_tpu.io import bgzf
+
+    rng = np.random.default_rng(1)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    recs = []
+    for i in range(4000):
+        seq = BASES[rng.integers(0, 4, 120)].tobytes()
+        recs.append(b"@r%d\n" % i + seq + b"\n+\n" + b"J" * 120 + b"\n")
+    raw = b"".join(recs)
+    p = tmp_path / "ok.fastq.gz"
+    bgzf.write(str(p), [raw])
+    full = sketch_sequences(str(p), 20, 21)
+    assert full is not None and full.kmers.size > 0
+
+    data = p.read_bytes()
+    for case in range(12):
+        cut = int(rng.integers(1, len(data)))
+        blob = bytearray(data[:cut])
+        if case % 3 == 2 and len(blob) > 100:   # also flip a byte
+            blob[int(rng.integers(50, len(blob)))] ^= 0xFF
+        q = tmp_path / f"bad{case}.fastq.gz"
+        q.write_bytes(bytes(blob))
+        got = sketch_sequences(str(q), 20, 21)   # must not raise
+        if got is not None:
+            assert got.kmers.size <= full.kmers.size * 1.01
