@@ -322,11 +322,13 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     return total_bases / best / 1e9
 
 
-def _bench_e2e(jax):
-    """True end-to-end: gzip fastq file -> profile TSV through the real
+def _bench_e2e(jax, paired=False):
+    """True end-to-end: gzip fastq file(s) -> profile TSV through the real
     engine (parse + seed + dedup + containment + stats + formatting),
     1.07 Gbp against the 64-genome fixture db. Requires
-    scripts/gen_e2e_fixture.py to have been run once."""
+    scripts/gen_e2e_fixture.py to have been run once (--paired for the
+    mate-pair fixture, which additionally drives the pair-fingerprint
+    bloom dedup)."""
     import io as _io
     import os
     import time as _t
@@ -336,15 +338,25 @@ def _bench_e2e(jax):
     root = os.path.dirname(os.path.abspath(__file__))
     db = os.path.join(root, ".bench_data", "e2e", "db.syldb")
     reads = os.path.join(root, ".bench_data", "e2e", "reads.fastq.gz")
-    if not (os.path.exists(db) and os.path.exists(reads)):
-        raise SystemExit("run scripts/gen_e2e_fixture.py first")
-    total_bp = 1_073_741_700        # 7,158,278 reads x 150 bp
+    r1 = os.path.join(root, ".bench_data", "e2e", "reads_R1.fastq.gz")
+    r2 = os.path.join(root, ".bench_data", "e2e", "reads_R2.fastq.gz")
+    need = [db, r1, r2] if paired else [db, reads]
+    if not all(os.path.exists(p) for p in need):
+        raise SystemExit("run scripts/gen_e2e_fixture.py"
+                         + (" --paired" if paired else "") + " first")
+    total_bp = (2 * (1_073_741_824 // 300) * 150 if paired
+                else 1_073_741_700)
 
     def run():
         out = _io.StringIO()
         t0 = _t.perf_counter()
-        contain(ContainOptions(files=[db, reads], tpu=True, threads=4),
-                pseudotax=True, out=out)
+        if paired:
+            contain(ContainOptions(files=[db], first_pair=[r1],
+                                   second_pair=[r2], tpu=True, threads=4),
+                    pseudotax=True, out=out)
+        else:
+            contain(ContainOptions(files=[db, reads], tpu=True,
+                                   threads=4), pseudotax=True, out=out)
         dt = _t.perf_counter() - t0
         tsv = out.getvalue()
         assert len(tsv.strip().splitlines()) >= 4, tsv  # header + hits
@@ -358,7 +370,7 @@ def _bench_e2e(jax):
     # the timed runs so it doesn't perturb nor flatter them)
     from sylph_tpu.io.fastx import stream_blocks
     t0 = _t.perf_counter()
-    nbytes = sum(len(b) for b in stream_blocks(reads))
+    nbytes = sum(len(b) for b in stream_blocks(r1 if paired else reads))
     t_io = _t.perf_counter() - t0
     print(f"# e2e timed runs: {[round(x, 1) for x in times]} "
           f"(decode-only floor {t_io:.1f}s, "
@@ -427,9 +439,9 @@ def main():
                           "value": round(gbps, 4), "unit": "Gbp/s",
                           "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))
         return
-    if config == "e2e":
-        gbps = _bench_e2e(jax)
-        print(json.dumps({"metric": "e2e_file_to_tsv_throughput",
+    if config in ("e2e", "e2e_paired"):
+        gbps = _bench_e2e(jax, paired=config == "e2e_paired")
+        print(json.dumps({"metric": f"{config}_file_to_tsv_throughput",
                           "value": round(gbps, 4), "unit": "Gbp/s",
                           "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))
         return

@@ -63,7 +63,9 @@ def main():
 
     rf = os.path.join(OUT, "reads.fastq.gz")
     if os.path.exists(rf):
-        print("reads.fastq.gz exists; done")
+        print("reads.fastq.gz exists")
+        if "--paired" in sys.argv:
+            gen_paired(genomes, rng, t0)
         return
     n_reads = TOTAL_BP // READ_LEN
     # 8 source genomes at staggered coverage shares; 20% background noise
@@ -118,6 +120,73 @@ def main():
     print(f"[{time.perf_counter() - t0:.0f}s] DONE: {rid} reads, "
           f"{rid * READ_LEN / 1e9:.2f} Gbp raw, "
           f"{os.path.getsize(rf) / 1e9:.2f} GB gz", flush=True)
+
+    if "--paired" in sys.argv:
+        gen_paired(genomes, rng, t0)
+
+
+def gen_paired(genomes, rng, t0):
+    """R1/R2 mate files (~0.54 Gbp each): fragments of ~300 bp from the
+    same 8 source genomes; R1 = fragment head, R2 = fragment tail. The
+    paired e2e bench (bench.py --config e2e_paired) drives the pair
+    fingerprint dedup + bloom filter path at the 1 Gbp scale."""
+    import time as _t
+
+    r1 = os.path.join(OUT, "reads_R1.fastq.gz")
+    r2 = os.path.join(OUT, "reads_R2.fastq.gz")
+    if os.path.exists(r1) and os.path.exists(r2):
+        print("paired fixture exists; done")
+        return
+    n_pairs = TOTAL_BP // (2 * READ_LEN)
+    shares = np.array([28, 17, 11, 8, 6, 5, 3, 2], np.float64)
+    shares = shares / shares.sum() * 0.8
+    src_counts = (shares * n_pairs).astype(np.int64)
+    n_noise = n_pairs - int(src_counts.sum())
+    qual = b"I" * READ_LEN
+    tmpl_mid = b"\n+\n" + qual + b"\n"
+    CHUNK = 65536
+    FRAG = 300
+
+    def chunks(mate):
+        rid = 0
+        for src, cnt in enumerate(src_counts.tolist()):
+            codes = genomes[src]
+            g = np.random.default_rng(1000 + src)   # same frags per mate
+            done = 0
+            while done < cnt:
+                b = min(CHUNK, cnt - done)
+                fs = g.integers(0, GLEN - FRAG, size=b)
+                starts = fs if mate == 1 else fs + FRAG - READ_LEN
+                idx = starts[:, None] + np.arange(READ_LEN)[None, :]
+                seqs = BASES[codes[idx]]
+                parts = []
+                for i in range(b):
+                    parts.append(b"@p%d/%d\n" % (rid + i, mate))
+                    parts.append(seqs[i].tobytes())
+                    parts.append(tmpl_mid)
+                yield b"".join(parts)
+                rid += b
+                done += b
+        g = np.random.default_rng(2000 + mate)
+        done = 0
+        while done < n_noise:
+            b = min(CHUNK, n_noise - done)
+            seqs = BASES[g.integers(0, 4, size=(b, READ_LEN),
+                                    dtype=np.uint8)]
+            parts = []
+            for i in range(b):
+                parts.append(b"@q%d/%d\n" % (rid + i, mate))
+                parts.append(seqs[i].tobytes())
+                parts.append(tmpl_mid)
+            yield b"".join(parts)
+            rid += b
+            done += b
+
+    from sylph_tpu.io import bgzf
+    for mate, path in ((1, r1), (2, r2)):
+        bgzf.write(path, chunks(mate), level=1)
+        print(f"[{_t.perf_counter() - t0:.0f}s] {path}: "
+              f"{os.path.getsize(path) / 1e9:.2f} GB gz", flush=True)
 
 
 if __name__ == "__main__":
