@@ -378,6 +378,50 @@ def _bench_e2e(jax, paired=False):
     return total_bp / min(times) / 1e9
 
 
+def _bench_sketchdb():
+    """Database build: `sylph sketch` over ~1.07 Gbp of genome fasta
+    (107 x 10 Mbp synthetic) -> .syldb, timed end-to-end on the host
+    (parse + striped SIMD seeding + dup-drop + spacing + bincode write).
+    The reference counterpart is sketching a GTDB slice."""
+    import os
+    import shutil
+    import time as _t
+
+    from sylph_tpu.engine.sketch_cmd import SketchOptions, sketch
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    gdir = os.path.join(root, ".bench_data", "sketchdb")
+    os.makedirs(gdir, exist_ok=True)
+    NG, GLEN = 107, 10_000_000
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    paths = []
+    t0 = _t.perf_counter()
+    for g in range(NG):
+        p = os.path.join(gdir, f"g{g:03d}.fa")
+        paths.append(p)
+        if not os.path.exists(p) or os.path.getsize(p) < GLEN:
+            with open(p, "wb") as f:
+                f.write(b">g%03d\n" % g)
+                f.write(BASES[rng.integers(0, 4, GLEN,
+                                           dtype=np.uint8)].tobytes())
+                f.write(b"\n")
+    print(f"# genome fixture: {_t.perf_counter() - t0:.0f}s "
+          f"({NG * GLEN / 1e9:.2f} Gbp)", flush=True)
+
+    times = []
+    for rep in range(3):
+        out = os.path.join(gdir, "bench_db")
+        if os.path.exists(out + ".syldb"):
+            os.unlink(out + ".syldb")
+        t0 = _t.perf_counter()
+        sketch(SketchOptions(files=[], genomes=paths, db_out_name=out,
+                             threads=4))
+        times.append(_t.perf_counter() - t0)
+        print(f"# sketch run {rep}: {times[-1]:.1f}s", flush=True)
+    return NG * GLEN / min(times) / 1e9
+
+
 def main():
     import jax
 
@@ -444,6 +488,12 @@ def main():
         print(json.dumps({"metric": f"{config}_file_to_tsv_throughput",
                           "value": round(gbps, 4), "unit": "Gbp/s",
                           "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))
+        return
+    if config == "sketchdb":
+        gbps = _bench_sketchdb()
+        print(json.dumps({"metric": "sketch_db_build_throughput",
+                          "value": round(gbps, 4), "unit": "Gbp/s",
+                          "vs_baseline": None}))
         return
     if config == "multisample":
         sps = _bench_multisample(jax, jnp, (bases, lengths), idx_dev)
