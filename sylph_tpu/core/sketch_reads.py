@@ -179,13 +179,27 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
     if use_device:
         from ..engine.device_sketch import read_survivor_arrays
 
+    from ..utils.timing import PhaseAcc
+    acc = PhaseAcc() if log.isEnabledFor(logging.DEBUG) else None
+    t_wall = __import__("time").perf_counter
+
     q: "queue.Queue" = queue.Queue(maxsize=3)
     err = []
 
     def producer():
         try:
-            for block in stream_blocks(read_file):
+            it = stream_blocks(read_file)
+            while True:
+                t0 = t_wall()
+                block = next(it, None)
+                if acc:
+                    acc.add("decode", t_wall() - t0)
+                if block is None:
+                    break
+                t0 = t_wall()
                 q.put(block)
+                if acc:
+                    acc.add("decode_stall", t_wall() - t0)
         except Exception as e:      # re-raised on the consumer side
             err.append(e)
         finally:
@@ -194,7 +208,11 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
     def prepare(block: bytes):
         """block -> (lengths, hashes, seg_starts, fps, valid); parse +
         seed + fingerprint, all GIL-releasing (runs in the pool)."""
+        t0 = t_wall()
         px = parse_block(block, read_file, skip_names=True)
+        if acc:
+            acc.add("parse", t_wall() - t0)
+            t0 = t_wall()
         if use_device:
             rids, hashes = read_survivor_arrays(px, c, k)
         else:
@@ -205,6 +223,9 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
                 seeded = fmh_seeds_concat_np(px.codes, px.starts,
                                              px.ends, c, k)
             rids, hashes = seeded
+        if acc:
+            acc.add("seed", t_wall() - t0)
+            t0 = t_wall()
         if rids.size == 0:
             return px.lengths, hashes, None, None, None
         boundaries = np.flatnonzero(np.diff(rids)) + 1
@@ -215,8 +236,11 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
             valid = np.zeros(seg_starts.size, np.uint8)
         else:
             fps, valid = _fp_single_arrays(px, seg_rids)
+        if acc:
+            acc.add("fp", t_wall() - t0)
         return px.lengths, hashes, seg_starts, fps, valid
 
+    t_start = t_wall()
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     fold = StreamingFold(no_dedup, MAX_DEDUP_COUNT)
@@ -235,17 +259,27 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
                     futs.append(pool.submit(prepare, block))
                 if not futs:
                     break
+                t0 = t_wall()
                 lengths, hashes, seg_starts, fps, valid = \
                     futs.popleft().result()
+                if acc:
+                    acc.add("wait", t_wall() - t0)
                 lens_parts.append(lengths)
                 if seg_starts is not None:
+                    t0 = t_wall()
                     fold.push(hashes, seg_starts, fps, valid, None)
+                    if acc:
+                        acc.add("fold", t_wall() - t0)
         t.join()
         if err:
             raise err[0]
         if not lens_parts:
             raise FastxParseError(f"{read_file}: empty file")
+        t0 = t_wall()
         ks, cs, ndup = fold.finish()
+        if acc:
+            acc.add("finish", t_wall() - t0)
+            acc.log_summary(read_file, t_wall() - t_start)
     finally:
         fold.close()
     total = int(cs.sum()) + ndup

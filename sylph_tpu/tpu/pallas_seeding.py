@@ -339,6 +339,135 @@ def repack_pallas(hi, lo, *, row: int, cap: int, interpret: bool = False):
     return out_hi, out_lo
 
 
+def _roll_u(x, m):
+    """x[j, .] <- x[j+m, .] (upward shift along rows/sublanes, wraps)."""
+    return pltpu.roll(x, -m % x.shape[0], axis=0)
+
+
+def _mers16_tile_t(bases):
+    """Transposed _mers16_tile: [W, R] tiles, window axis along ROWS.
+
+    Row(sublane)-axis rolls measure ~5x cheaper than 256-lane rolls on
+    v5e (scripts/kbench.py), which is why this layout exists."""
+    f = bases
+    r = np.uint32(3) - bases
+    for p in (1, 2, 4, 8):
+        fs = _roll_u(f, p)
+        rs = _roll_u(r, p)
+        f = (f << np.uint32(2 * p)) | fs
+        r = r | (rs << np.uint32(2 * p))
+    return f, r
+
+
+def _prefix_sum_rows(x):
+    """Inclusive prefix sum along rows via log2(W) sublane shift-adds."""
+    W = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    p = 1
+    while p < W:
+        sh = pltpu.roll(x, p, axis=0)          # sh[j] = x[j - p] (wraps)
+        x = x + jnp.where(rows >= p, sh, 0)
+        p *= 2
+    return x
+
+
+def _butterfly_route_t(vhi, vlo, keep, rows):
+    """_butterfly_route along the ROW axis: survivors pack to the TOP of
+    each column. Same monotone-displacement argument, sublane rolls."""
+    W = vhi.shape[0]
+    rank = _prefix_sum_rows(keep.astype(jnp.int32))
+    drem = jnp.where(keep, rows - (rank - 1), 0)
+    act = keep
+    b = 1
+    while b < W:
+        move = act & ((drem & b) != 0)
+        inc = (_roll_u(move.astype(jnp.int32), b) != 0) & (rows < W - b)
+        vhi = jnp.where(inc, _roll_u(vhi, b), vhi)
+        vlo = jnp.where(inc, _roll_u(vlo, b), vlo)
+        drem = jnp.where(inc, _roll_u(drem, b) - b, drem)
+        act = (act & ~move) | inc
+        b *= 2
+    return vhi, vlo, act
+
+
+def _butterfly_pack_t_kernel(bases_ref, len_ref, hi_ref, lo_ref, *,
+                             k, thr_hi, thr_lo, cap_rows):
+    """Transposed fused seeding + butterfly compaction.
+
+    bases_ref: [W, R] — read r is COLUMN r, window j is row j. Every
+    neighbor access and the whole compaction network run along the row
+    (sublane) axis, avoiding the expensive multi-vreg lane rotates of
+    _butterfly_pack_kernel. Output: survivor hash pairs packed to the
+    top cap_rows of each column (sentinel-padded)."""
+    bases = bases_ref[...]
+    W, R = bases.shape
+    hi_len = k - 16
+    f16, r16 = _mers16_tile_t(bases)
+    fh = f16 >> np.uint32(2 * (16 - hi_len))
+    rh = r16 & np.uint32((1 << (2 * hi_len)) - 1)
+    fhi = fh
+    flo = _roll_u(f16, hi_len)
+    rhi = _roll_u(rh, 16)
+    rlo = r16
+    is_fwd = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
+    chi = jnp.where(is_fwd, fhi, rhi)
+    clo = jnp.where(is_fwd, flo, rlo)
+    vhi, vlo = _mm_hash64_tile(chi, clo)
+    keep = (vhi < thr_hi) | ((vhi == thr_hi) & (vlo < thr_lo))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    keep &= rows + k <= len_ref[...]           # window inside the read
+
+    vhi, vlo, act = _butterfly_route_t(vhi, vlo, keep, rows)
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi_ref[...] = jnp.where(act[:cap_rows, :], vhi[:cap_rows, :], sent)
+    lo_ref[...] = jnp.where(act[:cap_rows, :], vlo[:cap_rows, :], sent)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "k", "lanes", "interpret"))
+def seed_pack_pallas_t(bases_t, lengths, *, c: int, k: int,
+                       lanes: int = 512, interpret: bool = False):
+    """Transposed fused seed + compact: [L, N] codes (read-per-COLUMN) ->
+    (hi, lo) [cap_rows, N] survivors per column, window order, sentinel
+    padded.
+
+    The transposed layout turns all ~50 per-tile rolls of the lane-major
+    kernel into sublane rolls (~5x cheaper on v5e, scripts/kbench.py).
+    Requires 16 < k <= 31, L % 8 == 0, N % lanes == 0 (or N < lanes),
+    c >= 2. Per-read capacity is ceil((4L/c + 8)/8)*8 rows; overflow
+    drops the bottom-most extras like seed_pack_pallas.
+    """
+    L, N = bases_t.shape
+    if L % 8 != 0:
+        raise ValueError(f"L must be a multiple of 8, got {L}")
+    if not 16 < k <= 31:
+        raise ValueError(f"butterfly kernel needs 16 < k <= 31, got {k}")
+    tl = min(lanes, N)
+    if N % tl != 0:
+        raise ValueError(f"N ({N}) must be a multiple of {tl}")
+    cap_rows = min(L, -(-(4 * L // c + 8) // 8) * 8)
+    thr = ((1 << 64) - 1) // c
+    kern = functools.partial(_butterfly_pack_t_kernel, k=k,
+                             thr_hi=np.uint32(thr >> 32),
+                             thr_lo=np.uint32(thr & 0xFFFFFFFF),
+                             cap_rows=cap_rows)
+    grid = (N // tl,)
+    in_spec = pl.BlockSpec((L, tl), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((1, tl), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((cap_rows, tl), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[in_spec, len_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((cap_rows, N), jnp.uint32),
+                   jax.ShapeDtypeStruct((cap_rows, N), jnp.uint32)),
+        interpret=interpret,
+    )(bases_t, lengths.reshape(1, N).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("c", "k", "interpret"))
 def seed_pack_pallas(bases, lengths, *, c: int, k: int,
                      interpret: bool = False):

@@ -24,6 +24,7 @@ leaves HBM, and every phase is a static-shape XLA program.
 """
 
 import functools
+import os
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -38,6 +39,11 @@ from .stats import GenomeStats, stats_from_histograms
 
 DEFAULT_BUCKETS = 256  # multiplicities clamp here; stats need median < 30
 _ROW = 512             # compaction row width
+
+# transposed fused seed kernel (sublane rolls: kernel-only 2.57 ms vs
+# 3.01 ms/batch on v5e) — opt-in via SYLPH_SEED_T=1 until on-chip parity
+# and the transpose-included cost are verified on real hardware
+_USE_TRANSPOSED_SEED = os.environ.get("SYLPH_SEED_T", "0") == "1"
 
 
 def compaction_cap(c: int, row: int = _ROW) -> int:
@@ -60,18 +66,23 @@ def _seed(bases, lengths, *, c: int, k: int):
 def _sketch_compact(bases, lengths, *, c: int, k: int):
     """Read batch -> compacted survivor (hi, lo), sentinel-padded.
 
-    Production path on TPU: the fused butterfly kernel (seeding + monotone
-    bit-routing compaction, one VMEM pass — 5.9 ms vs 14.3 ms per 16.8 Mbp
-    batch for Pallas-seed + XLA row-sort on v5e; an earlier fused variant
-    with per-slot lane reductions measured 19.9 ms). Falls back to
-    seed + row-sort when the layout doesn't fit (CPU, k <= 16,
-    L % 128 != 0, c too dense for the 128-lane capacity, or c == 1 whose
-    hashes collide with the sentinel)."""
+    Production path on TPU: the TRANSPOSED fused butterfly kernel
+    (seed_pack_pallas_t): one XLA transpose puts reads on the lane axis so
+    every neighbor access and the whole compaction network run as sublane
+    rolls (~5x cheaper than 256-lane rolls on v5e, scripts/kbench.py).
+    Output is [cap_rows, N] (read-per-column) — all consumers flatten and
+    sort, so the layout change is invisible downstream. Falls back to the
+    lane-major fused kernel, then to seed + row-sort, when the layout
+    doesn't fit (CPU, k <= 16, L % 128 != 0, c too dense for the 128-lane
+    capacity, or c == 1 whose hashes collide with the sentinel)."""
     N, L = bases.shape
     cap = min(128, 4 * L // c + 8)
     if (jax.default_backend() != "cpu" and L % 128 == 0 and 16 < k <= 31
             and c >= 2 and 4 * L // c + 8 <= 128):
-        from .pallas_seeding import BLOCK_ROWS, seed_pack_pallas
+        from .pallas_seeding import (BLOCK_ROWS, seed_pack_pallas,
+                                     seed_pack_pallas_t)
+        if _USE_TRANSPOSED_SEED and (N % 512 == 0 or N < 512):
+            return seed_pack_pallas_t(bases.T, lengths, c=c, k=k)
         if N % BLOCK_ROWS == 0 or N < BLOCK_ROWS:
             chi, clo = seed_pack_pallas(bases, lengths, c=c, k=k)
             return chi[:, :cap], clo[:, :cap]

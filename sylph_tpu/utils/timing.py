@@ -29,6 +29,36 @@ def stage_timer(stage: str, bases: int = 0, items: int = 0):
         log.debug("[timing] %s: %.3f s%s", stage, dt, extra)
 
 
+class PhaseAcc:
+    """Thread-safe per-phase busy-time accumulator for pipelined stages.
+
+    Used by the streaming ingest (--debug) to attribute wall time across
+    the decode / parse / seed / fingerprint / fold threads — the numbers
+    are per-phase BUSY seconds summed over threads, not wall time, so
+    they diagnose which stage is the pipeline's critical path."""
+
+    def __init__(self):
+        import threading
+        self._t = {}
+        self._lock = threading.Lock()
+
+    def add(self, name: str, dt: float):
+        with self._lock:
+            self._t[name] = self._t.get(name, 0.0) + dt
+
+    @contextlib.contextmanager
+    def timed(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.add(name, time.perf_counter() - t0)
+
+    def log_summary(self, label: str, wall: float):
+        parts = " ".join(f"{k}={v:.2f}" for k, v in sorted(self._t.items()))
+        log.debug("[ingest] %s wall=%.2f s | busy: %s", label, wall, parts)
+
+
 @contextlib.contextmanager
 def maybe_profile(trace_dir):
     """jax.profiler.trace(trace_dir) when set; no-op otherwise."""

@@ -110,6 +110,26 @@ class TestDeviceSeeding:
             assert np.array_equal(chi[i][live], hhi[i][keep[i]][:128])
             assert np.array_equal(clo[i][live], hlo[i][keep[i]][:128])
 
+    @pytest.mark.parametrize("c,k", [(200, 31), (20, 31), (5, 21)])
+    def test_butterfly_pack_transposed_matches_xla(self, c, k):
+        """seed_pack_pallas_t (read-per-COLUMN layout) must emit the same
+        per-read survivor sequences as the row-major kernel/XLA seeding."""
+        from sylph_tpu.tpu.pallas_seeding import seed_pack_pallas_t
+        rng = np.random.default_rng(17)
+        N, L = 128, 256
+        bases = rng.integers(0, 4, size=(N, L)).astype(np.uint32)
+        lengths = rng.integers(k, L + 1, size=N).astype(np.int32)
+        hhi, hlo, keep = map(np.asarray,
+                             seed_hashes(bases, lengths, c=c, k=k))
+        chi, clo = map(np.asarray, seed_pack_pallas_t(
+            np.ascontiguousarray(bases.T), lengths, c=c, k=k,
+            interpret=True))
+        cap = chi.shape[0]
+        for i in range(N):
+            live = chi[:, i] != np.uint32(0xFFFFFFFF)
+            assert np.array_equal(chi[:, i][live], hhi[i][keep[i]][:cap])
+            assert np.array_equal(clo[:, i][live], hlo[i][keep[i]][:cap])
+
     def test_sort_based_bincount(self, monkeypatch):
         from sylph_tpu.tpu import containment
         monkeypatch.setattr(containment, "_FORCE_SORT_BINCOUNT", True)
