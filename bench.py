@@ -111,6 +111,46 @@ def _synth_sorted_index(M, G, c, seed=1):
     return kmers, gids
 
 
+def load_gtdb_index(G: int, KPG: int):
+    """Disk-cached synthetic GTDB-class grange index (shared with
+    scripts/gbench.py): G genomes x KPG k-mers, c=200 hash range."""
+    import os
+
+    from sylph_tpu.tpu.grange import build_grange_index
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_data", f"gtdb_{G}_{KPG}")
+    if os.path.exists(os.path.join(cache, "meta.npz")):
+        import sylph_tpu.tpu.grange as gr
+        meta = np.load(os.path.join(cache, "meta.npz"))
+        n_chunks = int(meta["n_chunks"])
+        return gr.GRangeIndex(
+            [np.load(os.path.join(cache, f"hi{i}.npy"))
+             for i in range(n_chunks)],
+            [np.load(os.path.join(cache, f"lo{i}.npy"))
+             for i in range(n_chunks)],
+            [np.load(os.path.join(cache, f"gid{i}.npy"))
+             for i in range(n_chunks)],
+            meta["bases"], meta["edges"], int(meta["width"]),
+            int(meta["B"]), int(meta["CI"]), meta["spill_kmers"],
+            meta["spill_gids"], int(meta["m"]), G)
+    kmers, gids = _synth_sorted_index(G * KPG, G, C, seed=1)
+    gidx = build_grange_index(kmers, gids, G, target_mean=1024,
+                              presorted=True)
+    del kmers, gids
+    os.makedirs(cache, exist_ok=True)
+    np.savez(os.path.join(cache, "meta.npz"),
+             n_chunks=len(gidx.chunk_hi), bases=gidx.bases,
+             edges=gidx.edges_u64, width=gidx.width, B=gidx.B,
+             CI=gidx.CI, spill_kmers=gidx.spill_kmers,
+             spill_gids=gidx.spill_gids, m=gidx.m)
+    for i in range(len(gidx.chunk_hi)):
+        np.save(os.path.join(cache, f"hi{i}.npy"), gidx.chunk_hi[i])
+        np.save(os.path.join(cache, f"lo{i}.npy"), gidx.chunk_lo[i])
+        np.save(os.path.join(cache, f"gid{i}.npy"), gidx.chunk_gid[i])
+    return gidx
+
+
 def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                 n_batches=N_BATCHES, n_samples=1):
     """Database-scale config: 1.07 Gbp profiled against a GTDB-class index
@@ -128,39 +168,8 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     from sylph_tpu.tpu.stats import stats_from_histograms
 
     G, KPG = n_genomes, kmers_per_genome
-    M = G * KPG
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_data", f"gtdb_{G}_{KPG}")
     t_build = _t.perf_counter()
-    if os.path.exists(os.path.join(cache, "meta.npz")):
-        import sylph_tpu.tpu.grange as gr
-        meta = np.load(os.path.join(cache, "meta.npz"))
-        n_chunks = int(meta["n_chunks"])
-        gidx = gr.GRangeIndex(
-            [np.load(os.path.join(cache, f"hi{i}.npy"))
-             for i in range(n_chunks)],
-            [np.load(os.path.join(cache, f"lo{i}.npy"))
-             for i in range(n_chunks)],
-            [np.load(os.path.join(cache, f"gid{i}.npy"))
-             for i in range(n_chunks)],
-            meta["bases"], meta["edges"], int(meta["width"]),
-            int(meta["B"]), int(meta["CI"]), meta["spill_kmers"],
-            meta["spill_gids"], int(meta["m"]), G)
-    else:
-        kmers, gids = _synth_sorted_index(M, G, C, seed=1)
-        gidx = build_grange_index(kmers, gids, G, target_mean=1024,
-                                  presorted=True)
-        del kmers, gids
-        os.makedirs(cache, exist_ok=True)
-        np.savez(os.path.join(cache, "meta.npz"),
-                 n_chunks=len(gidx.chunk_hi), bases=gidx.bases,
-                 edges=gidx.edges_u64, width=gidx.width, B=gidx.B,
-                 CI=gidx.CI, spill_kmers=gidx.spill_kmers,
-                 spill_gids=gidx.spill_gids, m=gidx.m)
-        for i in range(len(gidx.chunk_hi)):
-            np.save(os.path.join(cache, f"hi{i}.npy"), gidx.chunk_hi[i])
-            np.save(os.path.join(cache, f"lo{i}.npy"), gidx.chunk_lo[i])
-            np.save(os.path.join(cache, f"gid{i}.npy"), gidx.chunk_gid[i])
+    gidx = load_gtdb_index(G, KPG)
     print(f"# index build/load: {_t.perf_counter() - t_build:.1f}s "
           f"({len(gidx.chunk_hi)} chunks of [{gidx.B}, {gidx.CI}], "
           f"{gidx.spill_kmers.size} spilled)", flush=True)

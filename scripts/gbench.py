@@ -1,0 +1,197 @@
+"""GTDB-config stage attribution + optimization variants (dev tool).
+
+The axon relay makes intra-pipeline sync probes unreliable (first-use sync
+programs + 30 ms round trips can exceed the probed stage), so this times
+PIPELINE PREFIXES end-to-end — seed-only, +condense, +sort, full — each
+with ONE final scalar sync, min-of-reps, and attributes stages by
+differencing. Variants toggle the candidate optimizations:
+
+  prefix            seed / +condense / +sort / full
+  seed_t            full pipeline with the transposed fused kernel
+  fused<F>          seed dispatched as F-batch stacks (fewer, bigger calls)
+  joinonly          pre-built sorted stream, grange sweep alone
+
+Usage: python scripts/gbench.py [--genomes 100000] [--reps 3]
+       [variants...] (default: prefix joinonly seed_t)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
+    env = dict(os.environ, MALLOC_MMAP_THRESHOLD_="17179869184",
+               MALLOC_TRIM_THRESHOLD_="-1", MALLOC_ARENA_MAX="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+import numpy as np
+
+import jax
+if os.environ.get("SYLPH_GBENCH_CPU") == "1":     # smoke-test escape
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+
+import bench
+from bench import C, K, READ_LEN, load_gtdb_index
+from sylph_tpu.tpu.grange import GRangeEngine
+from sylph_tpu.tpu.pipeline import condense_stream, sketch_batch
+from sylph_tpu.tpu.stats import stats_from_histograms
+
+
+def sync(x):
+    return float(np.asarray(x.reshape(-1)[:1].astype(jnp.int32).sum()))
+
+
+def timeit(fn, reps):
+    fn()                        # warm (compiles persist via cache)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts), ts
+
+
+def main():
+    argv = sys.argv[1:]
+
+    def opt(name, default):
+        return (int(argv[argv.index(name) + 1]) if name in argv
+                else default)
+
+    G = opt("--genomes", 100_000)
+    reps = opt("--reps", 3)
+    N_BATCHES = opt("--batches", bench.N_BATCHES)
+    BATCH_READS = opt("--reads", bench.BATCH_READS)
+    KPG = opt("--kpg", 7168)
+    variants = [a for a in argv if not a.startswith("--")
+                and not a.isdigit()] or ["prefix", "joinonly", "seed_t"]
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    bases = jax.device_put(rng.integers(
+        0, 4, size=(BATCH_READS, READ_LEN), dtype=np.uint8
+    ).astype(np.uint32), dev)
+    lengths = jax.device_put(np.full(BATCH_READS, READ_LEN, np.int32),
+                             dev)
+    total_bp = N_BATCHES * BATCH_READS * READ_LEN
+
+    gidx = load_gtdb_index(G, KPG)
+    eng = GRangeEngine(gidx, devices=[dev])
+    n_kmers_dev = jax.device_put(np.full(G, KPG, np.int32), dev)
+    _ = sync(eng._dev_chunks[-1][0][:1, :1])
+    print(f"# index resident: {len(gidx.chunk_hi)} chunks "
+          f"[{gidx.B}, {gidx.CI}]", flush=True)
+
+    # live/unique pre-pass (identical batches => one batch's unique)
+    chi, clo, _n = sketch_batch(bases, lengths, c=C, k=K)
+    n_live = N_BATCHES * int(np.asarray(_n))
+    shi1, slo1 = jax.lax.sort((chi.reshape(-1), clo.reshape(-1)),
+                              num_keys=2)
+    f1 = (shi1[1:] != shi1[:-1]) | (slo1[1:] != slo1[:-1])
+    lv = shi1 != jnp.uint32(0xFFFFFFFF)
+    n_unique = int(np.asarray(jnp.sum((f1 & lv[1:]).astype(jnp.int32))
+                              + lv[0].astype(jnp.int32)))
+    print(f"# n_live={n_live} n_unique={n_unique}", flush=True)
+
+    def seed_chunks():
+        hs, ls = [], []
+        for _ in range(N_BATCHES):
+            a, b, _ = sketch_batch(bases, lengths, c=C, k=K)
+            hs.append(a.reshape(-1))
+            ls.append(b.reshape(-1))
+        return jnp.concatenate(hs), jnp.concatenate(ls)
+
+    def condensed():
+        all_hi, all_lo = seed_chunks()
+        live = (READ_LEN - K + 1) / C / (all_hi.size
+                                         / (N_BATCHES * BATCH_READS))
+        return condense_stream(all_hi, all_lo, live)
+
+    def sorted_stream():
+        hi, lo = condensed()
+        return jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+
+    def full():
+        shi, slo = sorted_stream()
+        hist, check = eng.hist_device_stream(shi, slo, n_live=n_live,
+                                             n_unique=n_unique)
+        h2 = hist[:G * 64].reshape(G, 64)
+        st = stats_from_histograms(h2, n_kmers_dev, k=K, min_ani=0.5)
+        assert check()
+        return st.contained
+
+    def report(name, fn):
+        best, ts = timeit(fn, reps)
+        print(f"{name:18s} {best*1e3:9.1f} ms  "
+              f"({total_bp/best/1e9:5.2f} Gbp/s)  "
+              f"runs={[round(t*1e3) for t in ts]}", flush=True)
+        return best
+
+    if "prefix" in variants:
+        t_seed = report("seed", lambda: sync(seed_chunks()[0][:1]))
+        t_cond = report("seed+condense", lambda: sync(condensed()[0][:1]))
+        t_sort = report("seed+cond+sort",
+                        lambda: sync(sorted_stream()[0][:1]))
+        t_full = report("full", lambda: sync(full()))
+        print(f"# deltas: condense {1e3*(t_cond-t_seed):.1f} ms, "
+              f"sort {1e3*(t_sort-t_cond):.1f} ms, "
+              f"join+stats {1e3*(t_full-t_sort):.1f} ms", flush=True)
+
+    if "joinonly" in variants:
+        shi, slo = sorted_stream()
+        _ = sync(shi[:1])
+
+        def join_only():
+            hist, check = eng.hist_device_stream(shi, slo, n_live=n_live,
+                                                 n_unique=n_unique)
+            return sync(hist)
+        report("joinonly", join_only)
+
+    if "seed_t" in variants:
+        import sylph_tpu.tpu.pipeline as pl_mod
+        old = pl_mod._USE_TRANSPOSED_SEED
+        pl_mod._USE_TRANSPOSED_SEED = True
+        try:
+            report("full(seed_t)", lambda: sync(full()))
+            report("seed(seed_t)", lambda: sync(seed_chunks()[0][:1]))
+        finally:
+            pl_mod._USE_TRANSPOSED_SEED = old
+
+    for v in variants:
+        if v.startswith("fused"):
+            F = int(v[len("fused"):] or 8)
+            bases_f = jnp.tile(bases, (F, 1))
+            lengths_f = jnp.tile(lengths, F)
+            _ = sync(bases_f[:1, :1])
+
+            def seed_fused():
+                hs, ls = [], []
+                for _ in range(N_BATCHES // F):
+                    a, b, _ = sketch_batch(bases_f, lengths_f, c=C, k=K)
+                    hs.append(a.reshape(-1))
+                    ls.append(b.reshape(-1))
+                return jnp.concatenate(hs), jnp.concatenate(ls)
+
+            def full_fused():
+                all_hi, all_lo = seed_fused()
+                live = (READ_LEN - K + 1) / C / (
+                    all_hi.size / (N_BATCHES * BATCH_READS))
+                hi, lo = condense_stream(all_hi, all_lo, live)
+                shi, slo = jax.lax.sort(
+                    (hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+                hist, check = eng.hist_device_stream(
+                    shi, slo, n_live=n_live, n_unique=n_unique)
+                assert check()
+                return sync(hist)
+
+            report(f"seed(x{F})", lambda: sync(seed_fused()[0][:1]))
+            report(f"full(x{F})", full_fused)
+
+
+if __name__ == "__main__":
+    main()

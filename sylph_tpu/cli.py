@@ -143,6 +143,7 @@ def build_parser():
                  "abundances and ANIs.")
     _add_contain(sub, "query", "Coverage-adjusted ANI querying between "
                  "databases and samples.")
+    ap._sub_map = dict(sub.choices)       # for intermixed parsing in main()
     _add_inspect(sub)
     return ap
 
@@ -207,7 +208,15 @@ def main(argv=None) -> int:
     if not argv:
         ap.print_help(sys.stderr)
         return 2
-    args = ap.parse_args(argv)
+    if argv[0] in ap._sub_map:
+        # clap (the reference CLI) accepts flags interleaved between
+        # positionals (`profile db.syldb -u sample.sylsp`); plain argparse
+        # subparser parsing rejects positionals after an optional, so parse
+        # the subcommand's argv intermixed (src/cmdline.rs clap semantics)
+        args = ap._sub_map[argv[0]].parse_intermixed_args(argv[1:])
+        args.mode = argv[0]
+    else:
+        args = ap.parse_args(argv)
     if args.mode is None:
         ap.print_help(sys.stderr)
         return 2

@@ -249,3 +249,24 @@ def test_query_profile_no_genomes():
     assert r.returncode == 1
     r = run(["query", tf("e.coli-EC590.fasta.gz")])
     assert r.returncode == 1
+
+
+def test_flags_interleave_with_positionals(d):
+    """clap accepts options between positionals (`profile db -u sample`);
+    our argparse front end must too (parse_intermixed_args in cli.main)."""
+    r = run(["sketch", tf("e.coli-o157.fasta.gz"),
+             tf("o157_reads.fastq.gz"), "-o", os.path.join(d, "db"),
+             "-d", d])
+    assert r.returncode == 0, r.stderr
+    sylsp = os.path.join(d, "o157_reads.fastq.gz.sylsp")
+    inter = run(["profile", os.path.join(d, "db.syldb"), "-u", sylsp])
+    assert inter.returncode == 0, inter.stderr
+    assert "True_cov" in inter.stdout.splitlines()[0]
+    canon = run(["profile", "-u", os.path.join(d, "db.syldb"), sylsp])
+    assert inter.stdout == canon.stdout
+    # trailing-flag form and interleaved sketch form
+    trail = run(["profile", os.path.join(d, "db.syldb"), sylsp, "-u"])
+    assert trail.stdout == canon.stdout
+    r = run(["sketch", tf("e.coli-o157.fasta.gz"), "-o",
+             os.path.join(d, "db2"), tf("o157_reads.fastq.gz"), "-d", d])
+    assert r.returncode == 0, r.stderr
