@@ -152,6 +152,23 @@ def main():
             return sync(hist)
         report("joinonly", join_only)
 
+    if "fill" in variants:
+        import sylph_tpu.tpu.grange as gr_mod
+        old = gr_mod._USE_BUCKET_FILL
+        gr_mod._USE_BUCKET_FILL = True
+        try:
+            shi, slo = sorted_stream()
+            _ = sync(shi[:1])
+
+            def join_fill():
+                hist, check = eng.hist_device_stream(
+                    shi, slo, n_live=n_live, n_unique=n_unique)
+                return sync(hist)
+            report("joinonly(fill)", join_fill)
+            report("full(fill)", lambda: sync(full()))
+        finally:
+            gr_mod._USE_BUCKET_FILL = old
+
     if "seed_t" in variants:
         import sylph_tpu.tpu.pipeline as pl_mod
         old = pl_mod._USE_TRANSPOSED_SEED

@@ -1,0 +1,282 @@
+"""Scatter-free bucket-grid fill: butterfly routing of a sorted sample.
+
+`bucket_join._sample_to_buckets` lays a hash-sorted sample slice out as a
+dense [B, CS] bucket grid with an XLA scatter — ~8 ns/element on this
+hardware, which made the grid fill (3 arrays x P slots x n_chunks) the
+dominant cost of the database-scale grange join (measured ~18 ms/chunk at
+GTDB scale, docs/BENCHMARKS.md).
+
+This module replaces the scatter with a Pallas butterfly route. The input
+slice is sorted, so bucket ids are nondecreasing and the map
+``source position -> bucket*CS + rank`` is monotone. Monotone routes are
+congestion-free on a butterfly network in two passes:
+
+  compact (LSB-first, leftward):  position -> kept-rank
+  expand  (MSB-first, rightward): kept-rank -> bucket*CS + rank
+
+since kept-rank <= target (dropping over-capacity entries only shrinks
+targets) and both passes have nondecreasing displacements. Each grid step
+routes one output window of TBK buckets x CS slots; its input window (two
+block-quantized fetches via scalar-prefetch index maps) covers the slice
+range of those buckets. All ops are lane/sublane rolls + selects on
+[rows, 256] tiles in "flat order" (position = row*256 + lane) — no
+scatters, no gathers.
+
+Entries whose input window does not cover them (pathological occupancy)
+are silently dropped — callers MUST verify the grange conservation scalars
+(w_in == sum(dw), as `grange._chunk_codes` already does) and fall back to
+the lossless path on mismatch, exactly like compaction overflow.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENT = np.uint32(0xFFFFFFFF)
+_LANES = 256
+
+
+def _iota(shape, axis):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+
+
+def _flat_pos(shape):
+    return _iota(shape, 0) * shape[1] + _iota(shape, 1)
+
+
+def _flat_roll_r(x, m):
+    """y[p] = x[p - m] in flat (row*LANES + lane) order, wrapping."""
+    rb, L = x.shape
+    s, q = m % L, m // L
+    t = pltpu.roll(x, s, axis=1) if s else x
+    a = pltpu.roll(t, q % rb, axis=0) if q % rb else t
+    if s == 0:
+        return a
+    b = pltpu.roll(t, (q + 1) % rb, axis=0)
+    return jnp.where(_iota(x.shape, 1) >= s, a, b)
+
+
+def _flat_roll_l(x, m):
+    """y[p] = x[p + m] in flat order, wrapping."""
+    rb, L = x.shape
+    s, q = m % L, m // L
+    t = pltpu.roll(x, (-s) % L, axis=1) if s else x
+    a = pltpu.roll(t, (-q) % rb, axis=0) if q % rb else t
+    if s == 0:
+        return a
+    b = pltpu.roll(t, (-(q + 1)) % rb, axis=0)
+    return jnp.where(_iota(x.shape, 1) < L - s, a, b)
+
+
+def _flat_prefix_sum(x):
+    """Inclusive prefix sum of an i32 tile in flat order."""
+    rb, L = x.shape
+    lane = _iota(x.shape, 1)
+    p = 1
+    while p < L:
+        x = x + jnp.where(lane >= p, pltpu.roll(x, p, axis=1), 0)
+        p *= 2
+    if rb == 1:
+        return x
+    row = _iota(x.shape, 0)
+    tot = jnp.sum(jnp.where(lane == L - 1, x, 0), axis=1, keepdims=True)
+    rp = tot
+    p = 1
+    while p < rb:
+        rp = rp + jnp.where(row[:, :1] >= p, pltpu.roll(rp, p, axis=0), 0)
+        p *= 2
+    return x + (rp - tot)        # + exclusive row prefix, broadcast
+
+
+def _flat_cummax(x):
+    """Inclusive running max of an i32 tile in flat order."""
+    rb, L = x.shape
+    lane = _iota(x.shape, 1)
+    NEG = jnp.int32(-(1 << 30))
+    p = 1
+    while p < L:
+        sh = pltpu.roll(x, p, axis=1)
+        x = jnp.maximum(x, jnp.where(lane >= p, sh, NEG))
+        p *= 2
+    if rb == 1:
+        return x
+    row = _iota(x.shape, 0)
+    rm = jnp.sum(jnp.where(lane == L - 1, x, 0), axis=1, keepdims=True)
+    p = 1
+    while p < rb:
+        sh = pltpu.roll(rm, p, axis=0)
+        rm = jnp.maximum(rm, jnp.where(row[:, :1] >= p, sh, NEG))
+        p *= 2
+    excl = jnp.where(row[:, :1] >= 1, pltpu.roll(rm, 1, axis=0), NEG)
+    return jnp.maximum(x, excl)
+
+
+def _route_left(vals, keep):
+    """Compact kept entries to ranks (LSB-first butterfly, flat order)."""
+    shape = keep.shape
+    W2 = shape[0] * shape[1]
+    pos = _flat_pos(shape)
+    rank = _flat_prefix_sum(keep.astype(jnp.int32))
+    drem = jnp.where(keep, pos - (rank - 1), 0)
+    act = keep
+    b = 1
+    while b < W2:
+        move = act & ((drem & b) != 0)
+        inc = (_flat_roll_l(move.astype(jnp.int32), b) != 0) & (
+            pos < W2 - b)
+        vals = tuple(jnp.where(inc, _flat_roll_l(v, b), v) for v in vals)
+        drem = jnp.where(inc, _flat_roll_l(drem, b) - b, drem)
+        act = (act & ~move) | inc
+        b *= 2
+    return vals, act
+
+
+def _route_right(vals, act, tgt):
+    """Spread rank-compacted entries to targets (MSB-first butterfly).
+
+    Requires tgt >= current position for every active entry and tgt
+    strictly increasing across active entries (monotone expansion — the
+    time-reversal of a leftward compaction, hence congestion-free)."""
+    shape = act.shape
+    W2 = shape[0] * shape[1]
+    pos = _flat_pos(shape)
+    drem = jnp.where(act, tgt - pos, 0)
+    b = 1 << (W2.bit_length() - 2) if W2 > 1 else 0
+    while b >= 1:
+        move = act & ((drem & b) != 0)
+        inc = (_flat_roll_r(move.astype(jnp.int32), b) != 0) & (pos >= b)
+        vals = tuple(jnp.where(inc, _flat_roll_r(v, b), v) for v in vals)
+        drem = jnp.where(inc, _flat_roll_r(drem, b) - b, drem)
+        act = (act & ~move) | inc
+        b //= 2
+    return vals, act
+
+
+def _fill_kernel(sblk_ref, base_ref, hi0, hi1, lo0, lo1, w0, w1,
+                 hi_out, lo_out, w_out, *, width, TBK, CS):
+    r = pl.program_id(0)
+    hi = jnp.concatenate([hi0[...], hi1[...]], axis=0)
+    lo = jnp.concatenate([lo0[...], lo1[...]], axis=0)
+    w = jnp.concatenate([w0[...], w1[...]], axis=0)
+    base = base_ref[0].astype(jnp.uint32)
+
+    # hash_hi < 2^32/c <= 2^31 for c >= 2, so u32 division stays exact;
+    # hashes below base (or sentinels) wrap to huge buckets and drop.
+    bucket = (hi - base) // jnp.uint32(width)
+    lo_b = jnp.uint32(r * TBK)
+    in_win = (bucket >= lo_b) & (bucket < lo_b + jnp.uint32(TBK))
+    local_b = jnp.where(in_win, (bucket - lo_b).astype(jnp.int32), TBK)
+    live = in_win & (w > 0)
+
+    # rank among live entries within each raw-bucket run (zero-weight
+    # folded duplicates interleave and must not consume capacity)
+    bkt_i = bucket.astype(jnp.int32)    # run ids; garbage ok outside win
+    prev = _flat_roll_r(bkt_i, 1)
+    pos = _flat_pos(hi.shape)
+    new_run = (bkt_i != prev) | (pos == 0)
+    clx = _flat_prefix_sum(live.astype(jnp.int32)) - live.astype(jnp.int32)
+    start = _flat_cummax(jnp.where(new_run, clx, -1))
+    rank = clx - start
+
+    keep = live & (rank < CS)
+    tgt = local_b * CS + rank
+    (hi, lo, w, tgt), act = _route_left((hi, lo, w, tgt), keep)
+    (hi, lo, w), act = _route_right((hi, lo, w), act, tgt)
+
+    rows_out = hi_out.shape[0]
+    acto = act[:rows_out]
+    hi_out[...] = jnp.where(acto, hi[:rows_out], SENT)
+    lo_out[...] = jnp.where(acto, lo[:rows_out], SENT)
+    w_out[...] = jnp.where(acto, w[:rows_out], 0)
+
+
+def fill_geometry(B: int, CS: int):
+    """(TBK, W_out) if the butterfly fill supports this grid, else None."""
+    if CS < 1 or CS > 2048:
+        return None
+    tbk = 1
+    while tbk * 2 * CS <= 2048:
+        tbk *= 2
+    w_out = tbk * CS
+    if w_out % _LANES != 0 or B % tbk != 0 or tbk > B:
+        return None
+    return tbk, w_out
+
+
+def _lower_bound_hi(shi, q):
+    """Vectorized first-position-with-hi >= q (device binary search; the
+    queries are one per window, so the log(P) gathers are negligible)."""
+    n = int(shi.shape[0])
+    pos = jnp.zeros(q.shape, jnp.int32)
+    for t in reversed(range(max(1, (n + 1).bit_length()))):
+        mid = pos + (1 << t)
+        ok = mid <= n
+        g = jnp.minimum(mid - 1, n - 1)
+        v = jnp.take(shi, g)
+        pos = jnp.where(ok & (v < q), mid, pos)
+    return pos
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "B", "CS", "interpret"))
+def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
+                       interpret: bool = False):
+    """[B, CS] dense bucket grid of a HASH-SORTED sample slice.
+
+    Drop-in replacement for `bucket_join._sample_to_buckets` (same
+    semantics: zero-weight and over-capacity entries dropped, bucket =
+    (hash_hi - base) // width, SENT padding) built on butterfly routing
+    instead of an XLA scatter. ``base`` is traced (per-chunk); ``width``,
+    ``B``, ``CS`` are static. Callers must check `fill_geometry(B, CS)`
+    first and must verify conservation downstream (entries outside a
+    window's two fetched input blocks are dropped)."""
+    geom = fill_geometry(B, CS)
+    assert geom is not None, "call fill_geometry first"
+    TBK, W_out = geom
+    R = B // TBK
+    P = int(shi.shape[0])
+
+    # pad the slice to whole input blocks + one sentinel block so the
+    # second fetch of the last window always exists
+    nblk = -(-P // W_out) + 1
+    pad = nblk * W_out - P
+    shi2 = jnp.pad(shi, (0, pad), constant_values=SENT)
+    slo2 = jnp.pad(slo, (0, pad), constant_values=SENT)
+    sw2 = jnp.pad(sw, (0, pad))
+    rows_in = W_out // _LANES
+    shi2 = shi2.reshape(nblk * rows_in, _LANES)
+    slo2 = slo2.reshape(nblk * rows_in, _LANES)
+    sw2 = sw2.reshape(nblk * rows_in, _LANES)
+
+    # first slice position of each window's bucket range -> input block
+    bh = base + jnp.uint32(width) * (
+        jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(TBK))
+    sblk = jnp.minimum(_lower_bound_hi(shi, bh) // W_out,
+                       jnp.int32(nblk - 2))
+    base_arr = jnp.reshape(base.astype(jnp.int32), (1,))
+
+    spec_in = pl.BlockSpec((rows_in, _LANES),
+                           lambda r, sblk, b: (sblk[r], 0),
+                           memory_space=pltpu.VMEM)
+    spec_in2 = pl.BlockSpec((rows_in, _LANES),
+                            lambda r, sblk, b: (sblk[r] + 1, 0),
+                            memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((rows_in, _LANES), lambda r, sblk, b: (r, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(R,),
+        in_specs=[spec_in, spec_in2, spec_in, spec_in2, spec_in, spec_in2],
+        out_specs=(spec_out, spec_out, spec_out))
+    kern = functools.partial(_fill_kernel, width=width, TBK=TBK, CS=CS)
+    oh, ol, ow = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((R * rows_in, _LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((R * rows_in, _LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((R * rows_in, _LANES), jnp.int32)),
+        interpret=interpret,
+    )(sblk, base_arr, shi2, shi2, slo2, slo2, sw2, sw2)
+    return (oh.reshape(B, CS), ol.reshape(B, CS), ow.reshape(B, CS))

@@ -37,6 +37,7 @@ small constant, no per-sample re-sort of static data, and no gathers.
 """
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -48,6 +49,31 @@ from .containment import _bincount
 
 SENT = np.uint32(0xFFFFFFFF)
 HIST_H = 64                      # multiplicity clamp for histograms
+
+# butterfly bucket-grid fill (bucket_fill.py) instead of the XLA scatter
+# in _sample_to_buckets — opt-in via SYLPH_BUCKET_FILL=1 until validated
+# on real hardware (the scatter measured ~8 ns/element through this relay,
+# making the grid fill the dominant grange join cost).
+# "interpret" runs the fill kernel in interpret mode (CPU engine tests).
+_USE_BUCKET_FILL = os.environ.get("SYLPH_BUCKET_FILL", "0") in (
+    "1", "interpret")
+_FILL_INTERPRET = os.environ.get("SYLPH_BUCKET_FILL", "0") == "interpret"
+
+
+def _fill_or_scatter(shi, slo, sw, base, *, width, B, CS, use_fill):
+    if use_fill:
+        from .bucket_fill import bucket_fill_pallas
+        return bucket_fill_pallas(shi, slo, sw, base, width=width, B=B,
+                                  CS=CS, interpret=_FILL_INTERPRET)
+    return _sample_to_buckets(shi, slo, sw, width=width, B=B, CS=CS,
+                              base=base)
+
+
+def _fill_supported(B: int, CS: int) -> bool:
+    if not _USE_BUCKET_FILL:
+        return False
+    from .bucket_fill import fill_geometry
+    return fill_geometry(B, CS) is not None
 
 
 class GRangeIndex(NamedTuple):
@@ -218,21 +244,21 @@ def _fold_weights(shi, slo):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "B", "CS", "n_genomes", "density", "use_pallas"))
+    "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill"))
 def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
                  B: int, CS: int, n_genomes: int, density: float,
-                 use_pallas: bool):
+                 use_pallas: bool, use_fill: bool = False):
     """One chunk: join + nonzero-slot compaction to gid*H+mult codes.
 
     Returns (codes, n_live, n_compacted, w_lost) — callers verify
     n_live == n_compacted (compaction capacity) and w_lost == 0 (sample
-    bucket-capacity CS honored) and fall back to _chunk_hist_lossless /
+    bucket-capacity CS honored AND, under use_fill, every entry covered
+    by its butterfly window) and fall back to _chunk_hist_lossless /
     a larger CS on mismatch. Codes from many chunks concatenate into ONE
     histogram bincount (the scatter then runs once over the small hit
     stream instead of once per chunk)."""
-    from .bucket_join import _sample_to_buckets
-    dh, dl, dw = _sample_to_buckets(shi, slo, sw, width=width, B=B,
-                                    CS=CS, base=base)
+    dh, dl, dw = _fill_or_scatter(shi, slo, sw, base, width=width, B=B,
+                                  CS=CS, use_fill=use_fill)
     raw = (shi - base) // jnp.uint32(width)
     w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw, 0))
     grid = _grid_from_buckets(ihi, ilo, dh, dl, dw, use_pallas=use_pallas)
@@ -350,18 +376,29 @@ def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "B", "CS", "n_genomes", "density", "use_pallas"))
+    "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill"))
 def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
                          width: int, B: int, CS: int, n_genomes: int,
-                         density: float, use_pallas: bool):
+                         density: float, use_pallas: bool,
+                         use_fill: bool = False):
     """S samples x one chunk -> one compacted code stream.
 
     Codes are sample-tagged: s*(G*H) + gid*H + mult, so ONE compaction +
     ONE bincount serve the whole batch. Callers verify the summed
     conservation scalars exactly as in _chunk_codes."""
-    from .bucket_join import _sample_to_buckets
-    dh, dl, dw = jax.vmap(lambda a, b, c: _sample_to_buckets(
-        a, b, c, width=width, B=B, CS=CS, base=base))(shi_s, slo_s, sw_s)
+    if use_fill:
+        # unrolled loop (S is small/static): vmap over a scalar-prefetch
+        # pallas_call is not supported
+        parts = [_fill_or_scatter(shi_s[s], slo_s[s], sw_s[s], base,
+                                  width=width, B=B, CS=CS, use_fill=True)
+                 for s in range(shi_s.shape[0])]
+        dh = jnp.stack([p[0] for p in parts])
+        dl = jnp.stack([p[1] for p in parts])
+        dw = jnp.stack([p[2] for p in parts])
+    else:
+        dh, dl, dw = jax.vmap(lambda a, b, c: _sample_to_buckets(
+            a, b, c, width=width, B=B, CS=CS, base=base))(shi_s, slo_s,
+                                                          sw_s)
     raw = (shi_s - base) // jnp.uint32(width)
     w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw_s, 0))
     grid = _grid_from_buckets_batched(ihi, ilo, dh, dl, dw,
@@ -507,6 +544,8 @@ class GRangeEngine:
         shi, slo, w = _fold_weights(shi, slo)
         CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                        gidx.B, granularity=8)
+        use_fill = ((self._use_pallas or _FILL_INTERPRET)
+                    and _fill_supported(gidx.B, CS))
         # live codes per chunk <= unique sample hashes in the chunk times
         # the cross-genome duplication factor; estimate 2x unique (or the
         # live count when unique is unknown) — _compact_codes layers its
@@ -529,7 +568,7 @@ class GRangeEngine:
             cod, nl, nc, wlost = _chunk_codes(
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
-                use_pallas=self._use_pallas)
+                use_pallas=self._use_pallas, use_fill=use_fill)
             codes_parts.append(cod)
             diag.append(jnp.abs(nl - nc) + wlost)
         hist = hist_from_codes(
@@ -577,6 +616,8 @@ class GRangeEngine:
         from .bucket_join import sample_cs
         CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                        gidx.B, granularity=8)
+        use_fill = ((self._use_pallas or _FILL_INTERPRET)
+                    and _fill_supported(gidx.B, CS))
         est_codes = 2.0 * S * (n_unique if n_unique else n_live) / n_chunks
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, S * gidx.B * gidx.CI))
@@ -595,7 +636,7 @@ class GRangeEngine:
             cod, nl, nc, wlost = _chunk_codes_batched(
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
-                use_pallas=self._use_pallas)
+                use_pallas=self._use_pallas, use_fill=use_fill)
             codes_parts.append(cod)
             diag.append(jnp.abs(nl - nc) + wlost)
         # codes are (s*G + gid)*H + mult — one bincount over S*G bins
@@ -676,6 +717,8 @@ class GRangeEngine:
         from .bucket_join import sample_cs
         CS = sample_cs(P, gidx.B, granularity=8)
         density = min(1.0, 4.0 * P / max(1, gidx.B * gidx.CI))
+        use_fill = ((self._use_pallas or _FILL_INTERPRET)
+                    and _fill_supported(gidx.B, CS))
 
         # dispatch every chunk asynchronously; retain the (small) sample
         # slices so a failed conservation check can be patched without
@@ -695,7 +738,7 @@ class GRangeEngine:
             cod, nl, nc, wlost = _chunk_codes(
                 ihi, ilo, gidg, *smp, base, width=gidx.width, B=gidx.B,
                 CS=CS, n_genomes=G, density=density,
-                use_pallas=self._use_pallas)
+                use_pallas=self._use_pallas, use_fill=use_fill)
             parts.append((di, cod, jnp.abs(nl - nc) + wlost,
                           (i, smp, base)))
 
