@@ -152,6 +152,30 @@ def main():
             return sync(hist)
         report("joinonly", join_only)
 
+    for v in variants:
+        if v.startswith("dense"):
+            td = float(v[len("dense"):] or 75) / 100
+
+            def sorted_dense():
+                all_hi, all_lo = seed_chunks()
+                live = (READ_LEN - K + 1) / C / (
+                    all_hi.size / (N_BATCHES * BATCH_READS))
+                hi, lo = condense_stream(all_hi, all_lo, live,
+                                         target_density=td)
+                return jax.lax.sort((hi.reshape(-1), lo.reshape(-1)),
+                                    num_keys=2)
+
+            def full_dense():
+                shi, slo = sorted_dense()
+                hist, check = eng.hist_device_stream(
+                    shi, slo, n_live=n_live, n_unique=n_unique)
+                assert check()
+                return sync(hist)
+
+            report(f"sort(d{td:.2f})",
+                   lambda: sync(sorted_dense()[0][:1]))
+            report(f"full(d{td:.2f})", full_dense)
+
     if "fill" in variants:
         import sylph_tpu.tpu.grange as gr_mod
         old = gr_mod._USE_BUCKET_FILL

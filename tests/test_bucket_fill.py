@@ -59,6 +59,44 @@ def test_fill_matches_scatter(seed, P, B, CS, width):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("pattern", [
+    "one_bucket_each_end",   # max rightward expand displacement
+    "every_bucket_full",     # zero-padding grid, max occupancy
+    "alternating_empty",     # every other bucket empty
+    "first_half_dense",      # dense then nothing
+])
+def test_fill_adversarial_patterns(pattern):
+    B, CS, width = 512, 8, 16
+    base = 4096
+    rng = np.random.default_rng(7)
+    if pattern == "one_bucket_each_end":
+        his = np.array([base, base + (B - 1) * width], np.uint32)
+    elif pattern == "every_bucket_full":
+        his = (base + np.repeat(np.arange(B), CS) * width).astype(
+            np.uint32)
+    elif pattern == "alternating_empty":
+        his = (base + np.repeat(np.arange(0, B, 2), 3) * width).astype(
+            np.uint32)
+    else:
+        his = (base + np.sort(rng.integers(0, B // 2, size=600))
+               * width).astype(np.uint32)
+    n = his.size
+    los = np.sort(rng.integers(0, 2**32, size=n).astype(np.uint32))
+    P = max(2048, 1 << int(np.ceil(np.log2(n + 1))))
+    shi = np.full(P, SENT, np.uint32)
+    slo = np.full(P, SENT, np.uint32)
+    sw = np.zeros(P, np.int32)
+    shi[:n], slo[:n], sw[:n] = his, los, 1
+    ref = _sample_to_buckets(jnp.asarray(shi), jnp.asarray(slo),
+                             jnp.asarray(sw), width=width, B=B, CS=CS,
+                             base=base)
+    got = bucket_fill_pallas(jnp.asarray(shi), jnp.asarray(slo),
+                             jnp.asarray(sw), jnp.uint32(base),
+                             width=width, B=B, CS=CS, interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fill_window_overflow_drops_cleanly():
     """Entries beyond a window's two fetched blocks are dropped, never
     corrupted — and the weight conservation check sees the loss (the
