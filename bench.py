@@ -431,11 +431,38 @@ def _bench_sketchdb():
     return NG * GLEN / min(times) / 1e9
 
 
+def _require_backend(timeout_s: float):
+    """Bounded accelerator discovery: the axon relay can hang backend init
+    indefinitely when down; fail loudly instead of wedging the caller."""
+    import threading
+
+    import jax
+    done = threading.Event()
+    devs = []
+
+    def probe():
+        try:
+            devs.extend(jax.devices())
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(f"# FATAL: no accelerator after {timeout_s:.0f}s "
+              "(relay down?) — no benchmark result", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+    return devs
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _require_backend(float(os.environ.get("SYLPH_BENCH_INIT_TIMEOUT",
+                                          "900")))
 
     import jax.numpy as jnp
 
