@@ -161,9 +161,7 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     import os
     import time as _t
 
-    from sylph_tpu.tpu import u64
-    from sylph_tpu.tpu.grange import (SENT, GRangeEngine,
-                                      build_grange_index)
+    from sylph_tpu.tpu.grange import GRangeEngine
     from sylph_tpu.tpu.pipeline import condense_stream, sketch_batch
     from sylph_tpu.tpu.stats import stats_from_histograms
 
@@ -178,36 +176,28 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     dev = jax.devices()[0]
     eng = GRangeEngine(gidx, devices=[dev])
     n_kmers_dev = jax.device_put(np.full(G, KPG, np.int32), dev)
-    rng = np.random.default_rng(0)
-    bases = jax.device_put(rng.integers(
-        0, 4, size=(BATCH_READS, READ_LEN), dtype=np.uint8
-    ).astype(np.uint32), dev)
+    # 64 DISTINCT device-generated read batches (threefry on device: no
+    # relay upload) — every timed run streams 1.07 Gbp of distinct reads,
+    # like a real sample; identical batches would let the duplicate fold
+    # collapse the join's sample side 64x and flatter the compare kernel.
+    key = jax.random.PRNGKey(0)
+    bases8 = jax.device_put(
+        jax.random.randint(key, (n_batches, BATCH_READS, READ_LEN), 0, 4,
+                           dtype=jnp.uint8), dev)
     lengths = jax.device_put(np.full(BATCH_READS, READ_LEN, np.int32), dev)
     # force residency before timing
     _ = float(np.asarray(eng._dev_chunks[-1][0][:1, :1].astype(jnp.int32)
                          .sum()))
+    _ = float(np.asarray(bases8[-1, -1, -1].astype(jnp.int32)))
     print(f"# upload: {_t.perf_counter() - t_up:.1f}s", flush=True)
 
-    # exact live/unique survivor counts (one untimed pre-pass + scalar
-    # fetches): they size the per-chunk slice P, the compaction density,
-    # and the per-bucket sample capacity CS — the sentinel-padded stream
-    # length over-estimates all three. All batches re-sketch the same
-    # bases, so whole-stream unique == one batch's unique.
-    _chi, _clo, _n = sketch_batch(bases, lengths, c=C, k=K)
-    n_live = n_batches * int(np.asarray(_n))
-    _shi, _slo = jax.lax.sort((_chi.reshape(-1), _clo.reshape(-1)),
-                              num_keys=2)
-    _firsts = ((_shi[1:] != _shi[:-1]) | (_slo[1:] != _slo[:-1]))
-    _live1 = _shi != jnp.uint32(0xFFFFFFFF)
-    n_unique = int(np.asarray(jnp.sum(
-        (_firsts & _live1[1:]).astype(jnp.int32))
-        + _live1[0].astype(jnp.int32)))
-    del _chi, _clo, _n, _shi, _slo, _firsts, _live1
-
-    def run_once():
+    def seed_all(sample_rot=0):
         chunks_hi, chunks_lo = [], []
-        for _ in range(n_batches):
-            chi, clo, _n = sketch_batch(bases, lengths, c=C, k=K)
+        for i in range(n_batches):
+            b = bases8[i].astype(jnp.uint32)
+            if sample_rot:
+                b = (b + jnp.uint32(sample_rot)) & jnp.uint32(3)
+            chi, clo, _n = sketch_batch(b, lengths, c=C, k=K)
             chunks_hi.append(chi.reshape(-1))
             chunks_lo.append(clo.reshape(-1))
         all_hi = jnp.concatenate(chunks_hi)
@@ -217,8 +207,24 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         all_hi, all_lo = condense_stream(all_hi, all_lo, live)
         # condense_stream returns row-major [rows, cap]; the grange engine
         # wants ONE flat globally sorted stream (sentinels sort to the tail)
-        shi, slo = jax.lax.sort((all_hi.reshape(-1), all_lo.reshape(-1)),
-                                num_keys=2)
+        return jax.lax.sort((all_hi.reshape(-1), all_lo.reshape(-1)),
+                            num_keys=2)
+
+    # exact live/unique survivor counts (one untimed pre-pass + scalar
+    # fetches): they size the per-chunk slice P, the compaction density,
+    # and the per-bucket sample capacity CS — the sentinel-padded stream
+    # length over-estimates all three.
+    _shi, _slo = seed_all()
+    _live1 = _shi != jnp.uint32(0xFFFFFFFF)
+    n_live = int(np.asarray(jnp.sum(_live1.astype(jnp.int32))))
+    _firsts = ((_shi[1:] != _shi[:-1]) | (_slo[1:] != _slo[:-1]))
+    n_unique = int(np.asarray(jnp.sum(
+        (_firsts & _live1[1:]).astype(jnp.int32))
+        + _live1[0].astype(jnp.int32)))
+    del _shi, _slo, _firsts, _live1
+
+    def run_once():
+        shi, slo = seed_all()
         hist, check = eng.hist_device_stream(shi, slo, n_live=n_live,
                                              n_unique=n_unique)
         hist2 = hist[:G * 64].reshape(G, 64)
@@ -233,25 +239,10 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         # reads amortize S-fold.
         S = n_samples
 
-        def make_stream(s):
-            chunks_hi, chunks_lo = [], []
-            bs = (bases + jnp.uint32(s)) & jnp.uint32(3)
-            for _ in range(n_batches):
-                chi, clo, _n = sketch_batch(bs, lengths, c=C, k=K)
-                chunks_hi.append(chi.reshape(-1))
-                chunks_lo.append(clo.reshape(-1))
-            all_hi = jnp.concatenate(chunks_hi)
-            all_lo = jnp.concatenate(chunks_lo)
-            live = (READ_LEN - K + 1) / C / (all_hi.size
-                                             / (n_batches * BATCH_READS))
-            all_hi, all_lo = condense_stream(all_hi, all_lo, live)
-            return jax.lax.sort((all_hi.reshape(-1), all_lo.reshape(-1)),
-                                num_keys=2)
-
         nk_s = jnp.tile(n_kmers_dev, S)
 
         def run_once_batched():
-            streams = [make_stream(s) for s in range(S)]
+            streams = [seed_all(sample_rot=s) for s in range(S)]
             shi_s = jnp.stack([a for a, _ in streams])
             slo_s = jnp.stack([b for _, b in streams])
             hist, check = eng.hist_device_stream_batched(
@@ -290,31 +281,15 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         def sync(x):
             return float(np.asarray(x.reshape(-1)[:1].astype(jnp.int32)
                                     .sum()))
-        for name, stop in (("seed", 1), ("condense+sort", 2),
-                           ("join+hist", 3)):
+        for name, stop in (("seed+cond+sort", 2), ("join+hist", 3)):
             t0 = _t.perf_counter()
-            chunks_hi, chunks_lo = [], []
-            for _ in range(n_batches):
-                chi, clo, _n = sketch_batch(bases, lengths, c=C, k=K)
-                chunks_hi.append(chi.reshape(-1))
-                chunks_lo.append(clo.reshape(-1))
-            if stop >= 2:
-                all_hi = jnp.concatenate(chunks_hi)
-                all_lo = jnp.concatenate(chunks_lo)
-                live = (READ_LEN - K + 1) / C / (all_hi.size
-                                                 / (n_batches
-                                                    * BATCH_READS))
-                all_hi, all_lo = condense_stream(all_hi, all_lo, live)
-                shi, slo = jax.lax.sort(
-                    (all_hi.reshape(-1), all_lo.reshape(-1)), num_keys=2)
+            shi, slo = seed_all()
             if stop >= 3:
                 hist, check = eng.hist_device_stream(
                     shi, slo, n_live=n_live, n_unique=n_unique)
                 sync(hist)
-            elif stop == 2:
-                sync(shi)
             else:
-                sync(chunks_hi[-1])
+                sync(shi)
             print(f"# stage through {name}: "
                   f"{_t.perf_counter() - t0:.3f}s", flush=True)
     best = float("inf")

@@ -72,10 +72,9 @@ def main():
                 and not a.isdigit()] or ["prefix", "joinonly", "seed_t"]
 
     dev = jax.devices()[0]
-    rng = np.random.default_rng(0)
-    bases = jax.device_put(rng.integers(
-        0, 4, size=(BATCH_READS, READ_LEN), dtype=np.uint8
-    ).astype(np.uint32), dev)
+    bases8 = jax.device_put(jax.random.randint(          # distinct batches
+        jax.random.PRNGKey(0), (N_BATCHES, BATCH_READS, READ_LEN), 0, 4,
+        dtype=jnp.uint8), dev)
     lengths = jax.device_put(np.full(BATCH_READS, READ_LEN, np.int32),
                              dev)
     total_bp = N_BATCHES * BATCH_READS * READ_LEN
@@ -87,21 +86,11 @@ def main():
     print(f"# index resident: {len(gidx.chunk_hi)} chunks "
           f"[{gidx.B}, {gidx.CI}]", flush=True)
 
-    # live/unique pre-pass (identical batches => one batch's unique)
-    chi, clo, _n = sketch_batch(bases, lengths, c=C, k=K)
-    n_live = N_BATCHES * int(np.asarray(_n))
-    shi1, slo1 = jax.lax.sort((chi.reshape(-1), clo.reshape(-1)),
-                              num_keys=2)
-    f1 = (shi1[1:] != shi1[:-1]) | (slo1[1:] != slo1[:-1])
-    lv = shi1 != jnp.uint32(0xFFFFFFFF)
-    n_unique = int(np.asarray(jnp.sum((f1 & lv[1:]).astype(jnp.int32))
-                              + lv[0].astype(jnp.int32)))
-    print(f"# n_live={n_live} n_unique={n_unique}", flush=True)
-
     def seed_chunks():
         hs, ls = [], []
-        for _ in range(N_BATCHES):
-            a, b, _ = sketch_batch(bases, lengths, c=C, k=K)
+        for i in range(N_BATCHES):
+            a, b, _ = sketch_batch(bases8[i].astype(jnp.uint32), lengths,
+                                   c=C, k=K)
             hs.append(a.reshape(-1))
             ls.append(b.reshape(-1))
         return jnp.concatenate(hs), jnp.concatenate(ls)
@@ -115,6 +104,16 @@ def main():
     def sorted_stream():
         hi, lo = condensed()
         return jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+
+    # exact live/unique counts (untimed pre-pass)
+    shi1, slo1 = sorted_stream()
+    lv = shi1 != jnp.uint32(0xFFFFFFFF)
+    n_live = int(np.asarray(jnp.sum(lv.astype(jnp.int32))))
+    f1 = (shi1[1:] != shi1[:-1]) | (slo1[1:] != slo1[:-1])
+    n_unique = int(np.asarray(jnp.sum((f1 & lv[1:]).astype(jnp.int32))
+                              + lv[0].astype(jnp.int32)))
+    del shi1, slo1, lv, f1
+    print(f"# n_live={n_live} n_unique={n_unique}", flush=True)
 
     def full():
         shi, slo = sorted_stream()
@@ -206,14 +205,15 @@ def main():
     for v in variants:
         if v.startswith("fused"):
             F = int(v[len("fused"):] or 8)
-            bases_f = jnp.tile(bases, (F, 1))
             lengths_f = jnp.tile(lengths, F)
-            _ = sync(bases_f[:1, :1])
+            _ = sync(lengths_f[:1])
 
             def seed_fused():
                 hs, ls = [], []
-                for _ in range(N_BATCHES // F):
-                    a, b, _ = sketch_batch(bases_f, lengths_f, c=C, k=K)
+                for i in range(N_BATCHES // F):
+                    bf = bases8[i * F:(i + 1) * F].reshape(
+                        F * BATCH_READS, READ_LEN).astype(jnp.uint32)
+                    a, b, _ = sketch_batch(bf, lengths_f, c=C, k=K)
                     hs.append(a.reshape(-1))
                     ls.append(b.reshape(-1))
                 return jnp.concatenate(hs), jnp.concatenate(ls)
