@@ -105,20 +105,25 @@ def main():
         hi, lo = condensed()
         return jax.lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
 
-    # exact live/unique counts (untimed pre-pass)
+    # exact live/unique/match counts (untimed pre-pass)
     shi1, slo1 = sorted_stream()
     lv = shi1 != jnp.uint32(0xFFFFFFFF)
     n_live = int(np.asarray(jnp.sum(lv.astype(jnp.int32))))
     f1 = (shi1[1:] != shi1[:-1]) | (slo1[1:] != slo1[:-1])
     n_unique = int(np.asarray(jnp.sum((f1 & lv[1:]).astype(jnp.int32))
                               + lv[0].astype(jnp.int32)))
-    del shi1, slo1, lv, f1
-    print(f"# n_live={n_live} n_unique={n_unique}", flush=True)
+    h1, _ = eng.hist_device_stream(shi1, slo1, n_live=n_live,
+                                   n_unique=n_unique)
+    n_matches = int(np.asarray(h1[:G * 64].sum()))
+    del shi1, slo1, lv, f1, h1
+    print(f"# n_live={n_live} n_unique={n_unique} n_matches={n_matches}",
+          flush=True)
 
     def full():
         shi, slo = sorted_stream()
         hist, check = eng.hist_device_stream(shi, slo, n_live=n_live,
-                                             n_unique=n_unique)
+                                             n_unique=n_unique,
+                                             n_matches=n_matches)
         h2 = hist[:G * 64].reshape(G, 64)
         st = stats_from_histograms(h2, n_kmers_dev, k=K, min_ani=0.5)
         assert check()
@@ -147,7 +152,8 @@ def main():
 
         def join_only():
             hist, check = eng.hist_device_stream(shi, slo, n_live=n_live,
-                                                 n_unique=n_unique)
+                                                 n_unique=n_unique,
+                                                 n_matches=n_matches)
             return sync(hist)
         report("joinonly", join_only)
 
@@ -167,7 +173,8 @@ def main():
             def full_dense():
                 shi, slo = sorted_dense()
                 hist, check = eng.hist_device_stream(
-                    shi, slo, n_live=n_live, n_unique=n_unique)
+                    shi, slo, n_live=n_live, n_unique=n_unique,
+                    n_matches=n_matches)
                 assert check()
                 return sync(hist)
 
@@ -185,7 +192,8 @@ def main():
 
             def join_fill():
                 hist, check = eng.hist_device_stream(
-                    shi, slo, n_live=n_live, n_unique=n_unique)
+                    shi, slo, n_live=n_live, n_unique=n_unique,
+                    n_matches=n_matches)
                 return sync(hist)
             report("joinonly(fill)", join_fill)
             report("full(fill)", lambda: sync(full()))
@@ -226,7 +234,8 @@ def main():
                 shi, slo = jax.lax.sort(
                     (hi.reshape(-1), lo.reshape(-1)), num_keys=2)
                 hist, check = eng.hist_device_stream(
-                    shi, slo, n_live=n_live, n_unique=n_unique)
+                    shi, slo, n_live=n_live, n_unique=n_unique,
+                    n_matches=n_matches)
                 assert check()
                 return sync(hist)
 

@@ -501,7 +501,8 @@ class GRangeEngine:
 
     def hist_device_stream(self, shi, slo, P: Optional[int] = None,
                            n_live: Optional[int] = None,
-                           n_unique: Optional[int] = None):
+                           n_unique: Optional[int] = None,
+                           n_matches: Optional[int] = None):
         """All-device histogram for a SORTED sample occurrence stream
         (sentinel-padded tail; duplicates encode multiplicity). Single
         device only (the bench/serving hot path: nothing crosses the
@@ -550,8 +551,14 @@ class GRangeEngine:
         # the cross-genome duplication factor; estimate 2x unique (or the
         # live count when unique is unknown) — _compact_codes layers its
         # own 4x-expectation capacity on top and the conservation check +
-        # host-path fallback catch any violation.
-        est_codes = 2.0 * (n_unique if n_unique else n_live) / n_chunks
+        # host-path fallback catch any violation. ``n_matches`` (a measured
+        # whole-sample hit count, e.g. from a warmup run: hist[:G*H].sum())
+        # overrides the 2x-unique worst case — for low-identity samples the
+        # worst case leaves the concatenated code stream ~unique-sized and
+        # its final bincount sort becomes the dominant join cost.
+        est_codes = 2.0 * (n_matches if n_matches is not None
+                           else (n_unique if n_unique else n_live)
+                           ) / n_chunks
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, gidx.B * gidx.CI))
         codes_parts, diag = [], []
@@ -586,7 +593,8 @@ class GRangeEngine:
                                    P: Optional[int] = None,
                                    n_live: Optional[int] = None,
                                    n_unique: Optional[int] = None,
-                                   w_s=None):
+                                   w_s=None,
+                                   n_matches: Optional[int] = None):
         """S-sample batched form of hist_device_stream: [S, T] sorted
         streams -> ([S, G*H] i32, check). One index sweep serves the whole
         batch — per-chunk dispatch cost and index HBM reads amortize
@@ -618,7 +626,9 @@ class GRangeEngine:
                        gidx.B, granularity=8)
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
                     and _fill_supported(gidx.B, CS))
-        est_codes = 2.0 * S * (n_unique if n_unique else n_live) / n_chunks
+        est_codes = 2.0 * S * (n_matches if n_matches is not None
+                               else (n_unique if n_unique else n_live)
+                               ) / n_chunks
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, S * gidx.B * gidx.CI))
         codes_parts, diag = [], []
