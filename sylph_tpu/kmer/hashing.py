@@ -130,3 +130,38 @@ def mm_hash64_np(key: np.ndarray) -> np.ndarray:
     np.left_shift(key, u(31), out=t)
     key += t
     return key
+
+
+def inv_mm_hash64_np(hashed: np.ndarray) -> np.ndarray:
+    """Vectorized inverse of the BUGGED ``mm_hash64`` (the seeding hash).
+
+    The reference's ``rev_hash_64`` inverts the original Wang mix, so it
+    does NOT invert its own seeding hash (sylph src/seeding.rs:5-52, bug
+    documented there). This inverse is ours: it lets tests and synthetic
+    workloads construct k-mers whose SKETCH HASH is a chosen value (e.g.
+    planting index hits into generated reads). Shift-XOR steps invert by
+    repeated back-substitution; multiply steps by modular inverse mod 2^64.
+    """
+    u = np.uint64
+    key = hashed.astype(np.uint64, copy=True)
+    # invert key += key << 31  (key *= 1 + 2^31)
+    key *= u(4611686016279904257)
+    # invert key ^= key >> 28 (two back-substitution rounds)
+    t = key ^ (key >> u(28))
+    key = key ^ (t >> u(28))
+    # invert key *= 21
+    key *= u(14933078535860113213)
+    # invert key ^= key >> 14 (needs ceil(64/14)-1 = 4 rounds)
+    t = key ^ (key >> u(14))
+    t = key ^ (t >> u(14))
+    t = key ^ (t >> u(14))
+    key = key ^ (t >> u(14))
+    # invert key *= 265
+    key *= u(15244667743933553977)
+    # invert key ^= key >> 24
+    t = key ^ (key >> u(24))
+    key = key ^ (t >> u(24))
+    # invert key = ~(key + (key << 21)): undo NOT, then *= inv(1 + 2^21)
+    key = ~key
+    key *= u(9223376434899189761)
+    return key
