@@ -189,23 +189,13 @@ def _usable_plants(gidx, per_chunk: int, gid_max=None):
     return k[ok], g[ok]
 
 
-def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
-                 abundant_mult=3):
-    """Overlay one index-derived 31-mer per read (device-side).
+def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3):
+    """Host-side plant list [total] of index k-mer hashes (unshuffled).
 
-    Models the reference's headline workload (mouse-gut reads vs GTDB,
-    README.md:16-28): every read carries a k-mer whose sketch hash exists
-    in the database, so the join produces realistic hit densities and the
-    stats layer sees nonzero histograms. ``n_abundant`` genomes get their
-    full usable k-mer set repeated ``abundant_mult``x (deep coverage);
-    remaining reads carry singleton background plants spread over all
-    genomes. Plant payload crosses the relay as (hi, lo) pairs (~8 B/read);
-    decode + overlay run on device."""
-    n_batches, R, L = bases8.shape
-    total = n_batches * R
-    rng = np.random.default_rng(seed)
-    ab_k, _ = _usable_plants(gidx, per_chunk=1 << 22,
-                             gid_max=n_abundant)
+    ``n_abundant`` genomes contribute their full usable k-mer set repeated
+    ``abundant_mult``x (deep coverage); the rest of the reads carry
+    singleton background plants spread over all genomes."""
+    ab_k, _ = _usable_plants(gidx, per_chunk=1 << 22, gid_max=n_abundant)
     ab = np.repeat(ab_k, abundant_mult)
     bg_k, _ = _usable_plants(gidx, per_chunk=max(
         1024, int((total - ab.size) * 1.3 * 8 // len(gidx.chunk_hi))))
@@ -215,16 +205,27 @@ def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
     else:
         bg = bg_k[:n_bg]
     plants = np.concatenate([ab, bg])[:total]
-    rng.shuffle(plants)
+    return plants, int(ab_k.size)
+
+
+def _plant_payload(jax, plants, n_batches, R, seed):
+    """Shuffle + invert a plant list to device (hi, lo) [n_batches, R]."""
+    from sylph_tpu.kmer.hashing import inv_mm_hash64_np
+    p = plants.copy()
+    np.random.default_rng(seed).shuffle(p)
     # the read must carry the k-mer BASES whose sketch hash is the index
     # entry: invert the (bugged) hash back to the canonical 31-mer
-    from sylph_tpu.kmer.hashing import inv_mm_hash64_np
-    vmer = inv_mm_hash64_np(plants)
+    vmer = inv_mm_hash64_np(p)
     phi = jax.device_put((vmer >> np.uint64(32)).astype(np.uint32)
                          .reshape(n_batches, R))
     plo = jax.device_put((vmer & np.uint64(0xFFFFFFFF))
                          .astype(np.uint32).reshape(n_batches, R))
+    return phi, plo
 
+
+def _make_overlay(jax, jnp, R, L):
+    """Jitted device overlay: write one 31-mer into each read row at a
+    key-derived offset (decode from (hi, lo) by per-lane variable shifts)."""
     @jax.jit
     def overlay(b8, hi, lo, key):
         off = jax.random.randint(key, (R, 1), 0, L - 31 + 1, jnp.int32)
@@ -238,11 +239,27 @@ def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
             shl > 0, hi[:, None] << (jnp.uint32(32) - shl), 0)
         val = jnp.where(sh < 32, lo_sh, hi[:, None] >> shh) & jnp.uint32(3)
         return jnp.where(in_plant, val.astype(jnp.uint8), b8)
+    return overlay
 
+
+def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
+                 abundant_mult=3):
+    """Overlay one index-derived 31-mer per read (device-side, eager).
+
+    Models the reference's headline workload (mouse-gut reads vs GTDB,
+    README.md:16-28): every read carries a k-mer whose sketch hash exists
+    in the database, so the join produces realistic hit densities and the
+    stats layer sees nonzero histograms. Plant payload crosses the relay
+    as (hi, lo) pairs (~8 B/read); decode + overlay run on device."""
+    n_batches, R, L = bases8.shape
+    plants, n_ab = _plant_pool(gidx, n_batches * R, n_abundant,
+                               abundant_mult)
+    phi, plo = _plant_payload(jax, plants, n_batches, R, seed)
+    overlay = _make_overlay(jax, jnp, R, L)
     kb = jax.random.split(jax.random.PRNGKey(seed), n_batches)
     planted = jnp.stack([overlay(bases8[i], phi[i], plo[i], kb[i])
                          for i in range(n_batches)])
-    return planted, int(ab_k.size), int(np.unique(plants).size)
+    return planted, n_ab, int(np.unique(plants).size)
 
 
 def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
@@ -278,9 +295,20 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     bases8 = jax.device_put(
         jax.random.randint(key, (n_batches, BATCH_READS, READ_LEN), 0, 4,
                            dtype=jnp.uint8), dev)
+    payloads = overlay = None
     if match:
         # realistic profiling shape: every read carries one index k-mer
-        bases8, n_ab, n_up = _plant_reads(jax, jnp, bases8, gidx)
+        if n_samples > 1:
+            # per-sample payload permutations (rotation would garble an
+            # eagerly-planted 31-mer, so plant inside the seed loop)
+            pool, n_ab = _plant_pool(gidx, n_batches * BATCH_READS)
+            payloads = [_plant_payload(jax, pool, n_batches, BATCH_READS,
+                                       seed=1000 + s)
+                        for s in range(n_samples)]
+            overlay = _make_overlay(jax, jnp, BATCH_READS, READ_LEN)
+            n_up = int(np.unique(pool).size)
+        else:
+            bases8, n_ab, n_up = _plant_reads(jax, jnp, bases8, gidx)
         print(f"# planted index 31-mers: {n_up} unique "
               f"({n_ab} deep-coverage over 512 genomes)", flush=True)
     lengths = jax.device_put(np.full(BATCH_READS, READ_LEN, np.int32), dev)
@@ -293,9 +321,14 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     def seed_all(sample_rot=0):
         chunks_hi, chunks_lo = [], []
         for i in range(n_batches):
-            b = bases8[i].astype(jnp.uint32)
+            b8 = bases8[i]
             if sample_rot:
-                b = (b + jnp.uint32(sample_rot)) & jnp.uint32(3)
+                b8 = (b8 + jnp.uint8(sample_rot)) & jnp.uint8(3)
+            if payloads is not None:
+                phi_s, plo_s = payloads[sample_rot]
+                okey = jax.random.fold_in(key, sample_rot * 4096 + i)
+                b8 = overlay(b8, phi_s[i], plo_s[i], okey)
+            b = b8.astype(jnp.uint32)
             chi, clo, _n = sketch_batch(b, lengths, c=C, k=K)
             chunks_hi.append(chi.reshape(-1))
             chunks_lo.append(clo.reshape(-1))
