@@ -131,6 +131,31 @@ def test_fill_geometry_support():
     assert fill_geometry(32768, 4096) is None     # CS too large
 
 
+def test_grange_engine_batched_fill(monkeypatch):
+    """hists_batched under the butterfly fill (interpret) is bit-identical
+    to the scatter engine across a small cohort."""
+    rng = np.random.default_rng(11)
+    G, KPG, c = 25, 300, 20
+    thr = (1 << 64) // c
+    kmers = rng.integers(0, thr, size=G * KPG, dtype=np.uint64)
+    gids = np.repeat(np.arange(G, dtype=np.int32), KPG)
+    gidx = grange.build_grange_index(kmers, gids, G, chunk_slots=2048,
+                                     target_mean=8)
+    tables = []
+    for s in range(3):
+        sk = np.unique(np.concatenate([
+            rng.choice(kmers, size=400),
+            rng.integers(0, thr, size=400, dtype=np.uint64)]))
+        sc = rng.integers(1, 9, size=sk.size).astype(np.uint32)
+        tables.append((sk, sc))
+    dev = [jax.devices()[0]]
+    base = grange.GRangeEngine(gidx, devices=dev).hists_batched(tables)
+    monkeypatch.setattr(grange, "_USE_BUCKET_FILL", True)
+    monkeypatch.setattr(grange, "_FILL_INTERPRET", True)
+    got = grange.GRangeEngine(gidx, devices=dev).hists_batched(tables)
+    np.testing.assert_array_equal(base, got)
+
+
 def test_grange_engine_uses_fill(monkeypatch):
     """hist_device_stream with the butterfly fill (interpret mode on CPU)
     is bit-identical to the scatter engine and the numpy oracle."""
