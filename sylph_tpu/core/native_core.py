@@ -42,8 +42,9 @@ def get_lib():
             built = False
             for cc in ("cc", "gcc", "clang"):
                 try:
-                    subprocess.run([cc, "-O3", "-shared", "-fPIC", "-o",
-                                    _SO, _SRC], check=True,
+                    subprocess.run([cc, "-O3", "-shared", "-fPIC",
+                                    "-pthread", "-o", _SO, _SRC],
+                                   check=True,
                                    capture_output=True, timeout=120)
                     built = True
                     break
@@ -97,6 +98,10 @@ def get_lib():
             _U8P, _I64P, _I64P, _U8P, _I64P, _I64P, _I64P,
             ctypes.c_int64, _U64P, _U8P]
         lib.sx_fp_paired.restype = None
+        lib.sx_radix_sort_u64_i32.argtypes = [
+            _U64P, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            _U64P, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.sx_radix_sort_u64_i32.restype = None
         _LIB = lib
         return _LIB
 
@@ -352,3 +357,28 @@ def spacing_scan_native(contigs: np.ndarray, positions: np.ndarray,
                         1 if pseudotax else 0, _p(kept, _U8P),
                         _p(tracked, _U8P))
     return kept.astype(bool), tracked.astype(bool)
+
+
+def radix_sort_kv(keys: np.ndarray, vals: np.ndarray,
+                  threads: Optional[int] = None) -> bool:
+    """Stable IN-PLACE sort of (u64 keys, i32 vals) by key.
+
+    Threaded LSD radix (8x8-bit passes) — the grange build's global
+    database sort; matches np.argsort(kind="stable") ordering exactly.
+    Returns False (arrays untouched) when the native lib is unavailable.
+    Allocates scratch of the same size; ctypes releases the GIL."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert keys.dtype == np.uint64 and keys.flags.c_contiguous
+    assert vals.dtype == np.int32 and vals.flags.c_contiguous
+    assert keys.shape == vals.shape and keys.ndim == 1
+    if threads is None:
+        threads = min(16, os.cpu_count() or 1)
+    tmp_k = np.empty_like(keys)
+    tmp_v = np.empty_like(vals)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sx_radix_sort_u64_i32(_p(keys, _U64P), _p(vals, i32p),
+                              keys.size, _p(tmp_k, _U64P),
+                              _p(tmp_v, i32p), int(threads))
+    return True

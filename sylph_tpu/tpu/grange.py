@@ -107,10 +107,14 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
         su = kmers_u64
         sg = np.ascontiguousarray(gids, np.int32)
     else:
-        order = np.argsort(kmers_u64, kind="stable")
-        su = kmers_u64[order]
-        sg = gids[order].astype(np.int32)
-        del order
+        from ..core.native_core import radix_sort_kv
+        su = np.array(kmers_u64, np.uint64, copy=True)
+        sg = np.array(gids, np.int32, copy=True)
+        if not radix_sort_kv(su, sg):     # no native toolchain: numpy
+            order = np.argsort(kmers_u64, kind="stable")
+            su = kmers_u64[order]
+            sg = gids[order].astype(np.int32)
+            del order
 
     n_chunks = max(1, -(-m // chunk_slots))
     B = 1 << max(0, int(np.ceil(np.log2(max(1, chunk_slots // target_mean)))))

@@ -197,3 +197,24 @@ print("OK")
                              capture_output=True, text=True, timeout=300)
         assert out.returncode == 0, out.stderr
         assert "OK" in out.stdout
+
+
+def test_radix_sort_kv_matches_stable_argsort():
+    from sylph_tpu.core.native_core import get_lib, radix_sort_kv
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 255, 65537):
+        k = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        v = rng.integers(-2**31, 2**31 - 1, size=n).astype(np.int32)
+        k2, v2 = k.copy(), v.copy()
+        assert radix_sort_kv(k2, v2, threads=3)
+        order = np.argsort(k, kind="stable")
+        np.testing.assert_array_equal(k2, k[order])
+        np.testing.assert_array_equal(v2, v[order])
+    # stability on heavy duplicates
+    k = rng.integers(0, 17, size=100000, dtype=np.uint64)
+    v = np.arange(100000, dtype=np.int32)
+    k2, v2 = k.copy(), v.copy()
+    radix_sort_kv(k2, v2, threads=4)
+    np.testing.assert_array_equal(v2, v[np.argsort(k, kind="stable")])
