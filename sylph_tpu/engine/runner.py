@@ -9,6 +9,7 @@ output order nondeterministic; per-sample row content is identical.
 
 import logging
 import math
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional, TextIO
@@ -344,6 +345,31 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
     return results
 
 
+_ENGINE_CACHE = {}      # db fingerprint -> DeviceContainment (opt-in)
+
+
+def _device_engine_for(genome_sketch_files, genome_files,
+                       genome_sketches):
+    """DeviceContainment for this database, optionally reused across
+    contain() calls in one process (SYLPH_TPU_CACHE_INDEX=1 — the serving
+    scenario: repeated library/bench invocations against one database skip
+    the index build + device upload, like a resident daemon would; CLI
+    processes are one-shot so the default stays reference-faithful).
+    Raw fasta inputs are sketched in-call and not fingerprinted, so they
+    bypass the cache."""
+    from .device_exec import DeviceContainment
+    if (os.environ.get("SYLPH_TPU_CACHE_INDEX") != "1"
+            or genome_files or not genome_sketch_files):
+        return DeviceContainment(genome_sketches)
+    key = tuple(sorted(
+        (os.path.abspath(p), os.path.getmtime(p), os.path.getsize(p))
+        for p in genome_sketch_files))
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE.clear()          # hold at most one resident index
+        _ENGINE_CACHE[key] = DeviceContainment(genome_sketches)
+    return _ENGINE_CACHE[key]
+
+
 def contain(opts: ContainOptions, pseudotax: bool,
             out: Optional[TextIO] = None):
     """Entry point for query (pseudotax=False) / profile (pseudotax=True)."""
@@ -390,7 +416,9 @@ def contain(opts: ContainOptions, pseudotax: bool,
         from .device_exec import DeviceContainment, device_available
         if device_available():
             import jax
-            device_engine = DeviceContainment(genome_sketches)
+            device_engine = _device_engine_for(genome_sketch_files,
+                                               genome_files,
+                                               genome_sketches)
             log.info("Containment runs on %d device(s).",
                      len(jax.devices()))
         else:
