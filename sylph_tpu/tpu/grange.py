@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bucket_join import _sample_to_buckets, bucket_join_device
+from .bucket_join import _sample_to_buckets
 from .containment import _bincount
 
 SENT = np.uint32(0xFFFFFFFF)
