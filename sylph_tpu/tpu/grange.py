@@ -207,6 +207,13 @@ def _pad_slice(shi, slo, sw, s: int, e: int, P: int):
     return out_hi, out_lo, out_w
 
 
+# code-compaction stop density: the concatenated per-chunk code streams
+# feed ONE sort-based bincount, so a denser stop shrinks that sort
+# linearly. 0.25 is conservative; with a measured n_matches the chain
+# can push further (A/B via env until timed on hardware).
+_CODE_DENSITY = float(os.environ.get("SYLPH_CODE_DENSITY", "0.25"))
+
+
 def _compact_codes(codes: jnp.ndarray, density: float):
     """Butterfly-compact a sparse sentinel-coded u32 stream (order-free)."""
     from .pallas_seeding import repack_pallas
@@ -214,7 +221,7 @@ def _compact_codes(codes: jnp.ndarray, density: float):
     hi = codes.reshape(-1)
     lo = jnp.zeros_like(hi)
     d = max(density, 1e-6)
-    while d < 0.25 and hi.size > 4 * row:
+    while d < _CODE_DENSITY and hi.size > 4 * row:
         exp = row * d
         # 4x-expectation capacity + 8 sigma + 32: conservation-checked
         cap = 128 * int(np.ceil(
