@@ -100,8 +100,8 @@ def synth_planted_fastq(path: str, kmers: np.ndarray, gids: np.ndarray,
     rng = np.random.default_rng(seed)
     n_reads = total_bp // read_len
 
-    ab_mask = (gids < n_abundant) & usable_mask(kmers)
-    ab = kmers[ab_mask]
+    ab_cand = kmers[gids < n_abundant]     # subset BEFORE the inversion
+    ab = ab_cand[usable_mask(ab_cand)]
     # multiplicity mix ~ zero-truncated Poisson(~0.5): all once, 20% twice
     # (ratio-lambda then lands ~0.67 and the adjusted ANI clears the 95
     # floor at ~12.5% containment — the low-coverage correction regime)
