@@ -189,21 +189,46 @@ def _usable_plants(gidx, per_chunk: int, gid_max=None):
     return k[ok], g[ok]
 
 
-def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3):
+def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None):
     """Host-side plant list [total] of index k-mer hashes (unshuffled).
 
     ``n_abundant`` genomes contribute their full usable k-mer set repeated
     ``abundant_mult``x (deep coverage); the rest of the reads carry
-    singleton background plants spread over all genomes."""
-    ab_k, _ = _usable_plants(gidx, per_chunk=1 << 22, gid_max=n_abundant)
-    ab = np.repeat(ab_k, abundant_mult)
-    bg_k, _ = _usable_plants(gidx, per_chunk=max(
-        1024, int((total - ab.size) * 1.3 * 8 // len(gidx.chunk_hi))))
-    n_bg = max(0, total - ab.size)
-    if bg_k.size < n_bg:        # repeat background if the pool runs short
-        bg = np.tile(bg_k, -(-n_bg // max(1, bg_k.size)))[:n_bg]
+    singleton background plants spread over all genomes. ``synth``
+    = (G, KPG) regenerates plants from the device-synthesized index's
+    counter formulas (tpu/synth_index.py) instead of reading chunk
+    arrays (which would be a D2H fetch of the whole index)."""
+    if synth is not None:
+        from sylph_tpu.tpu.synth_index import synth_plants_host
+        sg, skpg = synth
+        ab_k, _ = synth_plants_host(sg, skpg, C, per_chunk=1 << 22,
+                                    gid_max=n_abundant)
+        ab = np.repeat(ab_k, abundant_mult)
+        bg_k, _ = synth_plants_host(sg, skpg, C, per_chunk=max(
+            1024, int((total - ab.size) * 1.3 * 8
+                      // len(gidx.chunk_hi))))
+        n_bg = max(0, total - ab.size)
+        if bg_k.size < n_bg:
+            bg = np.tile(bg_k, -(-n_bg // max(1, bg_k.size)))[:n_bg]
+        else:
+            bg = bg_k[:n_bg]
     else:
-        bg = bg_k[:n_bg]
+        ab_k, _ = _usable_plants(gidx, per_chunk=1 << 22,
+                                 gid_max=n_abundant)
+        ab = np.repeat(ab_k, abundant_mult)
+        bg_k, _ = _usable_plants(gidx, per_chunk=max(
+            1024, int((total - ab.size) * 1.3 * 8 // len(gidx.chunk_hi))))
+        n_bg = max(0, total - ab.size)
+        if bg_k.size < n_bg:    # repeat background if the pool runs short
+            bg = np.tile(bg_k, -(-n_bg // max(1, bg_k.size)))[:n_bg]
+        else:
+            bg = bg_k[:n_bg]
+    if ab.size > total:
+        # small-scale runs truncate the pool; the extractors emit plants
+        # in bucket order, so truncating untouched would concentrate
+        # every match in the first hash-range buckets and overflow the
+        # join's per-bucket capacities — shuffle BEFORE the cut
+        np.random.default_rng(11).shuffle(ab)
     plants = np.concatenate([ab, bg])[:total]
     return plants, int(ab_k.size)
 
@@ -243,7 +268,7 @@ def _make_overlay(jax, jnp, R, L):
 
 
 def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
-                 abundant_mult=3):
+                 abundant_mult=3, synth=None):
     """Overlay one index-derived 31-mer per read (device-side, eager).
 
     Models the reference's headline workload (mouse-gut reads vs GTDB,
@@ -253,7 +278,7 @@ def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
     as (hi, lo) pairs (~8 B/read); decode + overlay run on device."""
     n_batches, R, L = bases8.shape
     plants, n_ab = _plant_pool(gidx, n_batches * R, n_abundant,
-                               abundant_mult)
+                               abundant_mult, synth=synth)
     phi, plo = _plant_payload(jax, plants, n_batches, R, seed)
     overlay = _make_overlay(jax, jnp, R, L)
     kb = jax.random.split(jax.random.PRNGKey(seed), n_batches)
@@ -263,12 +288,19 @@ def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
 
 
 def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
-                n_batches=N_BATCHES, n_samples=1, match=True):
+                n_batches=N_BATCHES, n_samples=1, match=True,
+                index_mode="device"):
     """Database-scale config: 1.07 Gbp profiled against a GTDB-class index
     (100k genomes, ~7.2e8 k-mers) resident in HBM via the global-range
     bucketed layout (tpu/grange.py). End-to-end on device: seeding ->
     compaction -> sort -> range-chunked join -> per-genome histograms ->
-    batched ANI/lambda stats; one scalar fetch forces completion."""
+    batched ANI/lambda stats; one scalar fetch forces completion.
+
+    ``index_mode='device'`` (default) materializes the synthetic index
+    on-chip (tpu/synth_index.py: same geometry, occupancy and hash
+    population as the host build, zero wire upload — this box's relay
+    moves the 10 GB index at ~8 MB/s, i.e. ~20 min/process);
+    ``index_mode='host'`` builds/loads the host index and uploads it."""
     import os
     import time as _t
 
@@ -278,13 +310,20 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
 
     G, KPG = n_genomes, kmers_per_genome
     t_build = _t.perf_counter()
-    gidx = load_gtdb_index(G, KPG)
-    print(f"# index build/load: {_t.perf_counter() - t_build:.1f}s "
+    dev = jax.devices()[0]
+    synth = None
+    if index_mode == "device":
+        from sylph_tpu.tpu.synth_index import synth_index_device
+        gidx = synth_index_device(G, KPG, C, devices=[dev])
+        synth = (G, KPG)
+    else:
+        gidx = load_gtdb_index(G, KPG)
+    print(f"# index build/load [{index_mode}]: "
+          f"{_t.perf_counter() - t_build:.1f}s "
           f"({len(gidx.chunk_hi)} chunks of [{gidx.B}, {gidx.CI}], "
           f"{gidx.spill_kmers.size} spilled)", flush=True)
 
     t_up = _t.perf_counter()
-    dev = jax.devices()[0]
     eng = GRangeEngine(gidx, devices=[dev])
     n_kmers_dev = jax.device_put(np.full(G, KPG, np.int32), dev)
     # 64 DISTINCT device-generated read batches (threefry on device: no
@@ -301,14 +340,16 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         if n_samples > 1:
             # per-sample payload permutations (rotation would garble an
             # eagerly-planted 31-mer, so plant inside the seed loop)
-            pool, n_ab = _plant_pool(gidx, n_batches * BATCH_READS)
+            pool, n_ab = _plant_pool(gidx, n_batches * BATCH_READS,
+                                     synth=synth)
             payloads = [_plant_payload(jax, pool, n_batches, BATCH_READS,
                                        seed=1000 + s)
                         for s in range(n_samples)]
             overlay = _make_overlay(jax, jnp, BATCH_READS, READ_LEN)
             n_up = int(np.unique(pool).size)
         else:
-            bases8, n_ab, n_up = _plant_reads(jax, jnp, bases8, gidx)
+            bases8, n_ab, n_up = _plant_reads(jax, jnp, bases8, gidx,
+                                              synth=synth)
         print(f"# planted index 31-mers: {n_up} unique "
               f"({n_ab} deep-coverage over 512 genomes)", flush=True)
     lengths = jax.device_put(np.full(BATCH_READS, READ_LEN, np.int32), dev)
@@ -677,7 +718,10 @@ def main():
               if "--samples" in sys.argv else 1)
         mt = (sys.argv[sys.argv.index("--match") + 1] != "0"
               if "--match" in sys.argv else True)
-        gbps = _bench_gtdb(jax, jnp, n_genomes=ng, n_samples=ns, match=mt)
+        im = (sys.argv[sys.argv.index("--index") + 1]
+              if "--index" in sys.argv else "device")
+        gbps = _bench_gtdb(jax, jnp, n_genomes=ng, n_samples=ns, match=mt,
+                           index_mode=im)
         print(json.dumps({"metric": "gtdb_profile_throughput",
                           "value": round(gbps, 4), "unit": "Gbp/s",
                           "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))

@@ -68,6 +68,9 @@ def main():
     N_BATCHES = opt("--batches", bench.N_BATCHES)
     BATCH_READS = opt("--reads", bench.BATCH_READS)
     KPG = opt("--kpg", 7168)
+    index_mode = (argv[argv.index("--index") + 1] if "--index" in argv
+                  else "device")
+    plant = opt("--plant", 1)
     variants = [a for a in argv if not a.startswith("--")
                 and not a.isdigit()] or ["prefix", "joinonly", "seed_t"]
 
@@ -79,7 +82,19 @@ def main():
                              dev)
     total_bp = N_BATCHES * BATCH_READS * READ_LEN
 
-    gidx = load_gtdb_index(G, KPG)
+    synth = None
+    if index_mode == "device":
+        from sylph_tpu.tpu.synth_index import synth_index_device
+        gidx = synth_index_device(G, KPG, C, devices=[dev])
+        synth = (G, KPG)
+    else:
+        gidx = load_gtdb_index(G, KPG)
+    if plant and synth is not None:
+        # realistic hit density: every read carries one index 31-mer
+        bases8, n_ab, n_up = bench._plant_reads(jax, jnp, bases8, gidx,
+                                                synth=synth)
+        print(f"# planted {n_up} unique index 31-mers "
+              f"({n_ab} deep-coverage)", flush=True)
     eng = GRangeEngine(gidx, devices=[dev])
     n_kmers_dev = jax.device_put(np.full(G, KPG, np.int32), dev)
     _ = sync(eng._dev_chunks[-1][0][:1, :1])

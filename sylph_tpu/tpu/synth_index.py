@@ -1,0 +1,244 @@
+"""Device-generated synthetic GTDB-class grange index (benchmark support).
+
+The database-scale benchmark (`bench.py --config gtdb`) needs a
+GTDB-R220-shaped index — ~10^8-10^9 uniform FracMinHash k-mers over 10^5
+genomes laid out in the grange [B, CI] bucket chunks
+(/root/reference/README.md:28,42-48 is the reference workload). Building
+that on the host and shipping it through this dev box's relay costs ~20
+minutes of wire time per process; this module instead MATERIALIZES the
+chunks on the device with pure XLA ops, from a counter-based generator
+that the host can replay exactly:
+
+    value(slot)  = mm_hash64(counter ^ SALT_V)      (the bugged Wang mix —
+                   already bit-exact on device as u32 pairs and on host in
+                   numpy, sylph_tpu.tpu.u64 / sylph_tpu.kmer.hashing)
+    hash_hi      = chunk_base + bucket*width + value_hi % width
+    hash_lo      = value_lo
+    gid(slot)    = mm_hash64(counter ^ SALT_G)_lo % G
+    count(bucket)= mean-SPREAD + mm_hash64(bucket ^ SALT_C)_lo % (2*SPREAD+1)
+
+Every quantity is a pure function of the global slot counter, so
+`synth_plants_host` regenerates any subset on the host in numpy — the
+benchmark's planted-read machinery (inverting index hashes back to
+31-mers) needs no D2H fetch of the index. Nothing here feeds the CLI or
+the profiling engine; real databases go through build_grange_index.
+
+Layout semantics mirror build_grange_index: hash space [0, (2^64-1)/c)
+split into n_chunks contiguous ranges of B buckets x width; values are
+uniform within their bucket, so the per-chunk join sees the same
+occupancy and densities as the host-built index. Per-bucket counts are
+uniform in mean +/- SPREAD rather than Poisson — the compare kernel's
+work is fixed at B*CI*CS per chunk regardless of occupancy, so only the
+total live count m (exact, returned) matters downstream.
+"""
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kmer.hashing import inv_mm_hash64_np, mm_hash64_np
+from . import u64
+from .grange import GRangeIndex
+
+SALT_V = np.uint64(0x9E3779B97F4A7C15)
+SALT_G = np.uint64(0xC2B2AE3D27D4EB4F)
+SALT_C = np.uint64(0x165667B19E3779F9)
+
+
+def _geometry(G: int, KPG: int, c: int, chunk_slots: int = 1 << 25,
+              target_mean: int = 1024):
+    """Chunk/bucket geometry for M = G*KPG k-mers (host ints)."""
+    M = G * KPG
+    n_chunks = max(1, -(-M // chunk_slots))
+    slots = -(-M // n_chunks)                 # live slots per chunk
+    B = 1 << max(0, int(math.ceil(math.log2(max(1, slots // target_mean)))))
+    mean = slots / B
+    spread = max(1, int(3.5 * math.sqrt(mean)))
+    # CI covers the max possible count; round to the fill/compare tile
+    CI = -(-int(mean + spread) // 128) * 128
+    thr_hi = int((((1 << 64) - 1) // c) >> 32)
+    width = max(1, thr_hi // (n_chunks * B))  # all hashes stay below thr
+    return M, n_chunks, B, CI, width, mean, spread
+
+
+def _counts_np(chunk: int, B: int, mean: float, spread: int) -> np.ndarray:
+    """Per-bucket live counts for one chunk (host replay of the device)."""
+    j = np.arange(B, dtype=np.uint64) + np.uint64(chunk * B)
+    r = mm_hash64_np(j ^ SALT_C).astype(np.uint64)
+    base = max(0, int(mean) - spread)
+    return (base + (r & np.uint64(0xFFFFFFFF))
+            % np.uint64(2 * spread + 1)).astype(np.int64)
+
+
+def _slot_values_np(counter: np.ndarray, chunk: int, B: int, CI: int,
+                    width: int, G: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """(hash u64, gid) for global slot counters (host replay)."""
+    v = mm_hash64_np(counter.astype(np.uint64) ^ SALT_V)
+    g = mm_hash64_np(counter.astype(np.uint64) ^ SALT_G)
+    j = (counter // CI) % (B)                 # bucket within chunk
+    base = np.uint64(chunk) * np.uint64(B) * np.uint64(width)
+    hi = (base + j.astype(np.uint64) * np.uint64(width)
+          + (v >> np.uint64(32)) % np.uint64(width))
+    h = (hi << np.uint64(32)) | (v & np.uint64(0xFFFFFFFF))
+    gid = ((g & np.uint64(0xFFFFFFFF)) % np.uint64(G)).astype(np.int32)
+    return h, gid
+
+
+@functools.partial(jax.jit, static_argnames=("B", "CI", "width", "G",
+                                             "cbase", "cmod"))
+def _gen_chunk(chunk_u32, *, B: int, CI: int, width: int, G: int,
+               cbase: int, cmod: int):
+    """[B, CI] (hi, lo, gid) for traced chunk id — ONE compile serves every
+    chunk (remote XLA compiles cost minutes on this dev box)."""
+    j = jax.lax.broadcasted_iota(jnp.uint32, (B, CI), 0)
+    s = jax.lax.broadcasted_iota(jnp.uint32, (B, CI), 1)
+    jg = j + chunk_u32 * jnp.uint32(B)        # global bucket id
+    counter = jg * jnp.uint32(CI) + s         # global slot id (< 2^32)
+
+    def mix(ctr, salt):
+        sh, sl = u64.const(int(salt))
+        return u64.mm_hash64((ctr[0] ^ sh, ctr[1] ^ sl))
+
+    zero = jnp.zeros_like(counter)
+    vhi, vlo = mix((zero, counter), SALT_V)
+    _, glo = mix((zero, counter), SALT_G)
+    _, clo = mix((zero, jg[:, :1]), SALT_C)
+
+    cnt = jnp.uint32(cbase) + clo % jnp.uint32(cmod)
+    live = s < cnt
+
+    hi = (chunk_u32 * jnp.uint32(B * width) + j * jnp.uint32(width)
+          + vhi % jnp.uint32(width))
+    sent = jnp.uint32(0xFFFFFFFF)
+    out_hi = jnp.where(live, hi, sent)
+    out_lo = jnp.where(live, vlo, sent)
+    gid = jnp.where(live, (glo % jnp.uint32(G)).astype(jnp.int32),
+                    jnp.int32(G))
+    return out_hi, out_lo, gid
+
+
+def _chunk_device(chunk: int, *, B: int, CI: int, width: int, G: int,
+                  mean: float, spread: int, device):
+    """One [B, CI] (hi, lo, gid) chunk materialized on ``device``."""
+    with jax.default_device(device):
+        return _gen_chunk(jnp.uint32(chunk), B=B, CI=CI, width=width,
+                          G=G, cbase=max(0, int(mean) - spread),
+                          cmod=2 * spread + 1)
+
+
+def synth_index_device(G: int, KPG: int, c: int = 200,
+                       devices: Optional[List] = None,
+                       chunk_slots: int = 1 << 25,
+                       target_mean: int = 1024) -> GRangeIndex:
+    """GRangeIndex whose chunk arrays are device-resident jax arrays.
+
+    GRangeEngine device_puts chunks it is handed; for already-committed
+    arrays that is a no-op, so the engine serves this index with zero
+    host->device index traffic.
+    """
+    devs = devices if devices is not None else jax.devices()
+    M, n_chunks, B, CI, width, mean, spread = _geometry(
+        G, KPG, c, chunk_slots, target_mean)
+    chunk_hi, chunk_lo, chunk_gid = [], [], []
+    m = 0
+    bases = np.zeros(n_chunks, np.uint32)
+    edges = np.zeros((n_chunks, 2), np.uint64)
+    for i in range(n_chunks):
+        h, l, g = _chunk_device(i, B=B, CI=CI, width=width, G=G,
+                                mean=mean, spread=spread,
+                                device=devs[i % len(devs)])
+        chunk_hi.append(h)
+        chunk_lo.append(l)
+        chunk_gid.append(g)
+        m += int(_counts_np(i, B, mean, spread).sum())
+        lo_edge = np.uint64(i * B * width) << np.uint64(32)
+        hi_edge = (np.uint64((i + 1) * B * width) << np.uint64(32)) \
+            - np.uint64(1)
+        bases[i] = np.uint32(i * B * width)
+        edges[i] = (lo_edge, hi_edge)
+    return GRangeIndex(chunk_hi, chunk_lo, chunk_gid, bases, edges,
+                       width, B, CI, np.empty(0, np.uint64),
+                       np.empty(0, np.int32), m, G)
+
+
+def synth_chunks_host(G: int, KPG: int, c: int = 200,
+                      chunk_slots: int = 1 << 25,
+                      target_mean: int = 1024):
+    """Host numpy replay of every chunk (tests / small sizes only)."""
+    M, n_chunks, B, CI, width, mean, spread = _geometry(
+        G, KPG, c, chunk_slots, target_mean)
+    out = []
+    for i in range(n_chunks):
+        cnt = _counts_np(i, B, mean, spread)
+        j = np.repeat(np.arange(B, dtype=np.int64), CI)
+        s = np.tile(np.arange(CI, dtype=np.int64), B)
+        counter = (np.int64(i * B) + j) * CI + s
+        h, gid = _slot_values_np(counter, i, B, CI, width, G)
+        live = s < cnt[j]
+        sent = np.uint32(0xFFFFFFFF)
+        hi = np.where(live, (h >> np.uint64(32)).astype(np.uint32), sent)
+        lo = np.where(live, h.astype(np.uint32), sent)
+        g = np.where(live, gid, np.int32(G))
+        out.append((hi.reshape(B, CI), lo.reshape(B, CI),
+                    g.reshape(B, CI).astype(np.int32)))
+    return out
+
+
+def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
+                      gid_max: Optional[int] = None,
+                      chunk_slots: int = 1 << 25,
+                      target_mean: int = 1024
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(kmer u64, gid) plantable index entries, regenerated on the host.
+
+    Mirrors bench._usable_plants against the device-synthesized index:
+    strided-samples ``per_chunk`` live slots per chunk, keeps entries whose
+    hash inverts to a valid canonical 31-mer, optionally restricted to
+    gid < gid_max (the "abundant taxa" pool). No device traffic.
+    """
+    from bench import _rc31_np                      # local: avoids a cycle
+
+    M, n_chunks, B, CI, width, mean, spread = _geometry(
+        G, KPG, c, chunk_slots, target_mean)
+    ks, gs = [], []
+    for i in range(n_chunks):
+        cnt = _counts_np(i, B, mean, spread)
+        # enumeration is vectorized (ragged arange over selected buckets);
+        # subsample buckets when only ~per_chunk plants are wanted
+        want = max(per_chunk, 1)
+        # worst case ~7/8 rejected by invertibility + gid_max filter
+        over = 8 if gid_max is None else max(8, 8 * G // max(gid_max, 1))
+        n_buckets = min(B, max(1, -(-want * over // int(mean))))
+        step = max(1, B // n_buckets)
+        jj = np.arange(0, B, step, dtype=np.int64)
+        cj = cnt[jj]
+        total = int(cj.sum())
+        starts = np.concatenate([[0], np.cumsum(cj)[:-1]])
+        r = np.arange(total, dtype=np.int64) - np.repeat(starts, cj)
+        counter = np.repeat((np.int64(i * B) + jj) * CI, cj) + r
+        if gid_max is not None:
+            # cheap gid pass first: full-chunk scans (abundant-taxa pool)
+            # only hash the ~gid_max/G survivors
+            g0 = mm_hash64_np(counter.astype(np.uint64) ^ SALT_G)
+            counter = counter[((g0 & np.uint64(0xFFFFFFFF))
+                               % np.uint64(G)) < gid_max]
+            del g0
+        h, gid = _slot_values_np(counter, i, B, CI, width, G)
+        keep = np.ones(h.size, bool)
+        if gid_max is not None:
+            assert (gid < gid_max).all()
+        v = inv_mm_hash64_np(h[keep])
+        ok = (v < np.uint64(1) << np.uint64(62)) & (v <= _rc31_np(v))
+        hk = h[keep][ok]
+        gk = gid[keep][ok]
+        if hk.size > per_chunk:
+            sl = slice(None, None, hk.size // per_chunk)
+            hk, gk = hk[sl][:per_chunk], gk[sl][:per_chunk]
+        ks.append(hk)
+        gs.append(gk)
+    return np.concatenate(ks), np.concatenate(gs)

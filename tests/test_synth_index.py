@@ -1,0 +1,129 @@
+"""Device-synthesized benchmark index (tpu/synth_index.py).
+
+The gtdb bench config can materialize its synthetic index directly on the
+accelerator (no host build, no wire upload); these tests pin (a) the
+device generator against its host numpy replay bit-for-bit, (b) that the
+grange engine serves the synthesized index with histograms identical to a
+host-BUILT grange index over the same extracted (kmer, gid) population,
+and (c) that the host plant extractor returns only live, invertible index
+entries (the planted-read machinery depends on it).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sylph_tpu.kmer.hashing import inv_mm_hash64_np, mm_hash64_np
+from sylph_tpu.tpu.grange import GRangeEngine, build_grange_index
+from sylph_tpu.tpu.synth_index import (_geometry, synth_chunks_host,
+                                       synth_index_device,
+                                       synth_plants_host)
+
+G, KPG, C = 97, 3000, 50
+SENT = np.uint32(0xFFFFFFFF)
+
+
+@pytest.fixture(scope="module")
+def small_synth():
+    # chunk_slots small enough to force several chunks at test scale
+    kw = dict(chunk_slots=1 << 16, target_mean=64)
+    gidx = synth_index_device(G, KPG, C, devices=[jax.devices("cpu")[0]],
+                              **kw)
+    host = synth_chunks_host(G, KPG, C, **kw)
+    return gidx, host, kw
+
+
+def test_device_matches_host_replay(small_synth):
+    gidx, host, _ = small_synth
+    assert len(gidx.chunk_hi) == len(host) >= 3
+    for (dh, dl, dg), (hh, hl, hg) in zip(
+            zip(gidx.chunk_hi, gidx.chunk_lo, gidx.chunk_gid), host):
+        np.testing.assert_array_equal(np.asarray(dh), hh)
+        np.testing.assert_array_equal(np.asarray(dl), hl)
+        np.testing.assert_array_equal(np.asarray(dg), hg)
+
+
+def test_layout_invariants(small_synth):
+    gidx, host, kw = small_synth
+    M, n_chunks, B, CI, width, mean, spread = _geometry(G, KPG, C, **kw)
+    thr = ((1 << 64) - 1) // C
+    total_live = 0
+    for ci, (hh, hl, hg) in enumerate(host):
+        live = hh.reshape(-1) != SENT
+        total_live += int(live.sum())
+        h64 = ((hh.reshape(-1)[live].astype(np.uint64) << np.uint64(32))
+               | hl.reshape(-1)[live].astype(np.uint64))
+        assert (h64 < thr).all()
+        assert (h64 >= gidx.edges_u64[ci, 0]).all()
+        assert (h64 <= gidx.edges_u64[ci, 1]).all()
+        # every value lies inside its bucket's hash_hi range
+        j = np.repeat(np.arange(B), CI)[live]
+        hi32 = (h64 >> np.uint64(32)).astype(np.int64)
+        assert ((hi32 - int(gidx.bases[ci])) // width == j).all()
+        g = hg.reshape(-1)[live]
+        assert g.min() >= 0 and g.max() < G
+    assert total_live == gidx.m
+    assert abs(total_live - M) / M < 0.05      # mean-preserving counts
+
+
+def test_engine_histogram_matches_host_built_index(small_synth):
+    gidx, host, kw = small_synth
+    # extract the full (kmer, gid) population and build the host grange
+    ks, gs = [], []
+    for hh, hl, hg in host:
+        live = hh.reshape(-1) != SENT
+        ks.append(((hh.reshape(-1)[live].astype(np.uint64)
+                    << np.uint64(32))
+                   | hl.reshape(-1)[live].astype(np.uint64)))
+        gs.append(hg.reshape(-1)[live])
+    kmers = np.concatenate(ks)
+    gids = np.concatenate(gs).astype(np.int32)
+    order = np.argsort(kmers, kind="stable")
+    built = build_grange_index(kmers[order], gids[order], G,
+                               chunk_slots=1 << 15, target_mean=32,
+                               presorted=True)
+
+    # sample stream: half planted index entries (strided), half random
+    rng = np.random.default_rng(0)
+    plants = kmers[:: max(1, kmers.size // 4096)][:4096]
+    noise = rng.integers(0, (1 << 63), size=4096, dtype=np.uint64) \
+        % np.uint64(((1 << 64) - 1) // C)
+    sample = np.sort(np.concatenate([plants, noise, plants[:777]]))
+    shi = jax.numpy.asarray((sample >> np.uint64(32)).astype(np.uint32))
+    slo = jax.numpy.asarray(sample.astype(np.uint32))
+
+    dev = [jax.devices("cpu")[0]]
+    e_synth = GRangeEngine(gidx, devices=dev)
+    e_built = GRangeEngine(built, devices=dev)
+    h1, ok1 = e_synth.hist_device_stream(shi, slo, n_live=sample.size)
+    h2, ok2 = e_built.hist_device_stream(shi, slo, n_live=sample.size)
+    assert ok1() and ok2()
+    # the trailing bin is the miss/padding bucket and depends on layout
+    # geometry; the [G, H] histogram the stats layer consumes must match
+    np.testing.assert_array_equal(np.asarray(h1)[: G * 64],
+                                  np.asarray(h2)[: G * 64])
+    assert int(np.asarray(h1)[: G * 64].sum()) >= plants.size
+
+
+def test_plants_are_live_invertible_entries(small_synth):
+    gidx, host, kw = small_synth
+    from bench import _rc31_np
+
+    plants, gids = synth_plants_host(G, KPG, C, per_chunk=256, **kw)
+    assert plants.size >= 256
+    v = inv_mm_hash64_np(plants)
+    assert (v < np.uint64(1) << np.uint64(62)).all()
+    assert (v <= _rc31_np(v)).all()
+    np.testing.assert_array_equal(mm_hash64_np(v), plants)
+    # membership: every plant exists in the materialized index
+    all_k = set()
+    for hh, hl, _hg in host:
+        live = hh.reshape(-1) != SENT
+        all_k.update(((hh.reshape(-1)[live].astype(np.uint64)
+                       << np.uint64(32))
+                      | hl.reshape(-1)[live].astype(np.uint64)).tolist())
+    assert all(int(p) in all_k for p in plants.tolist())
+
+    pa, ga = synth_plants_host(G, KPG, C, per_chunk=256, gid_max=13, **kw)
+    assert pa.size and (ga < 13).all()
