@@ -207,28 +207,26 @@ def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None):
         bg_k, _ = synth_plants_host(sg, skpg, C, per_chunk=max(
             1024, int((total - ab.size) * 1.3 * 8
                       // len(gidx.chunk_hi))))
-        n_bg = max(0, total - ab.size)
-        if bg_k.size < n_bg:
-            bg = np.tile(bg_k, -(-n_bg // max(1, bg_k.size)))[:n_bg]
-        else:
-            bg = bg_k[:n_bg]
     else:
         ab_k, _ = _usable_plants(gidx, per_chunk=1 << 22,
                                  gid_max=n_abundant)
         ab = np.repeat(ab_k, abundant_mult)
         bg_k, _ = _usable_plants(gidx, per_chunk=max(
             1024, int((total - ab.size) * 1.3 * 8 // len(gidx.chunk_hi))))
-        n_bg = max(0, total - ab.size)
-        if bg_k.size < n_bg:    # repeat background if the pool runs short
-            bg = np.tile(bg_k, -(-n_bg // max(1, bg_k.size)))[:n_bg]
-        else:
-            bg = bg_k[:n_bg]
+    # the extractors emit plants in (chunk, bucket) order, so truncating
+    # either pool untouched would concentrate every match in the first
+    # hash-range chunks — 4x the per-chunk slice/bucket loads there and
+    # starving the rest (found as a conservation-check failure on chip:
+    # bg_k[:n_bg] kept only chunks 0-2). Shuffle BEFORE any cut.
+    rng = np.random.default_rng(11)
+    n_bg = max(0, total - ab.size)
+    if bg_k.size < n_bg:        # repeat background if the pool runs short
+        bg = np.tile(bg_k, -(-n_bg // max(1, bg_k.size)))[:n_bg]
+    else:
+        rng.shuffle(bg_k)
+        bg = bg_k[:n_bg]
     if ab.size > total:
-        # small-scale runs truncate the pool; the extractors emit plants
-        # in bucket order, so truncating untouched would concentrate
-        # every match in the first hash-range buckets and overflow the
-        # join's per-bucket capacities — shuffle BEFORE the cut
-        np.random.default_rng(11).shuffle(ab)
+        rng.shuffle(ab)
     plants = np.concatenate([ab, bg])[:total]
     return plants, int(ab_k.size)
 
@@ -359,7 +357,12 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     _ = float(np.asarray(bases8[-1, -1, -1].astype(jnp.int32)))
     print(f"# upload: {_t.perf_counter() - t_up:.1f}s", flush=True)
 
-    def seed_all(sample_rot=0):
+    live_frac = None                  # measured below; plants ~double the
+                                      # expectation-based estimate and an
+                                      # under-estimate makes condense_stream
+                                      # TRUNCATE (row capacities clip)
+
+    def seed_raw(sample_rot=0):
         chunks_hi, chunks_lo = [], []
         for i in range(n_batches):
             b8 = bases8[i]
@@ -373,20 +376,25 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
             chi, clo, _n = sketch_batch(b, lengths, c=C, k=K)
             chunks_hi.append(chi.reshape(-1))
             chunks_lo.append(clo.reshape(-1))
-        all_hi = jnp.concatenate(chunks_hi)
-        all_lo = jnp.concatenate(chunks_lo)
-        live = (READ_LEN - K + 1) / C / (all_hi.size
-                                         / (n_batches * BATCH_READS))
-        all_hi, all_lo = condense_stream(all_hi, all_lo, live)
+        return jnp.concatenate(chunks_hi), jnp.concatenate(chunks_lo)
+
+    def seed_all(sample_rot=0):
+        all_hi, all_lo = seed_raw(sample_rot)
+        all_hi, all_lo = condense_stream(all_hi, all_lo, live_frac)
         # condense_stream returns row-major [rows, cap]; the grange engine
         # wants ONE flat globally sorted stream (sentinels sort to the tail)
         return jax.lax.sort((all_hi.reshape(-1), all_lo.reshape(-1)),
                             num_keys=2)
 
     # exact live/unique survivor counts (one untimed pre-pass + scalar
-    # fetches): they size the per-chunk slice P, the compaction density,
-    # and the per-bucket sample capacity CS — the sentinel-padded stream
-    # length over-estimates all three.
+    # fetches): they size the condense capacities, the per-chunk slice P,
+    # the compaction density, and the per-bucket sample capacity CS — the
+    # sentinel-padded stream length over-estimates all four.
+    _ah, _ = seed_raw()
+    live_frac = float(np.asarray(jnp.mean(
+        (_ah != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32))))
+    del _ah
+    print(f"# live fraction (measured): {live_frac:.5f}", flush=True)
     _shi, _slo = seed_all()
     _live1 = _shi != jnp.uint32(0xFFFFFFFF)
     n_live = int(np.asarray(jnp.sum(_live1.astype(jnp.int32))))

@@ -110,10 +110,17 @@ def main():
             ls.append(b.reshape(-1))
         return jnp.concatenate(hs), jnp.concatenate(ls)
 
+    # measured raw live fraction (one untimed pre-pass): planted reads
+    # nearly double the expectation-based estimate, and an under-estimate
+    # makes condense_stream TRUNCATE the stream (row capacities clip)
+    _ah, _ = seed_chunks()
+    live = float(np.asarray(jnp.mean(
+        (_ah != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32))))
+    del _ah
+    print(f"# live fraction (measured): {live:.5f}", flush=True)
+
     def condensed():
         all_hi, all_lo = seed_chunks()
-        live = (READ_LEN - K + 1) / C / (all_hi.size
-                                         / (N_BATCHES * BATCH_READS))
         return condense_stream(all_hi, all_lo, live)
 
     def sorted_stream():

@@ -513,7 +513,8 @@ class GRangeEngine:
     def hist_device_stream(self, shi, slo, P: Optional[int] = None,
                            n_live: Optional[int] = None,
                            n_unique: Optional[int] = None,
-                           n_matches: Optional[int] = None):
+                           n_matches: Optional[int] = None,
+                           diag: bool = False):
         """All-device histogram for a SORTED sample occurrence stream
         (sentinel-padded tail; duplicates encode multiplicity). Single
         device only (the bench/serving hot path: nothing crosses the
@@ -572,7 +573,7 @@ class GRangeEngine:
                            ) / n_chunks
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, gidx.B * gidx.CI))
-        codes_parts, diag = [], []
+        codes_parts, diag_parts = [], []
         nxt = self._chunk_dev(0) if n_chunks else None
         for i in range(n_chunks):
             cur = nxt                # prefetch overlaps the previous join
@@ -588,16 +589,21 @@ class GRangeEngine:
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill)
             codes_parts.append(cod)
-            diag.append(jnp.abs(nl - nc) + wlost)
+            diag_parts.append(jnp.abs(nl - nc) + wlost)
         hist = hist_from_codes(
             jnp.concatenate(codes_parts) if len(codes_parts) > 1
             else codes_parts[0], n_genomes=G)
-        diag_v = jnp.stack(diag)
+        diag_v = jnp.stack(diag_parts)
         ml = max_len
 
         def check() -> bool:
             return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
                     and int(np.asarray(ml)) <= P)
+
+        if diag:
+            info = dict(diag=diag_v, max_len=ml, P=P, CS=CS,
+                        density=density, use_fill=use_fill)
+            return hist, check, info
         return hist, check
 
     def hist_device_stream_batched(self, shi_s, slo_s,
