@@ -38,6 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 SENT = np.uint32(0xFFFFFFFF)
 _LANES = 256
+# Fixed input-fetch block: 8 sublanes x 256 lanes (the Mosaic minimum for
+# 32-bit tiles), and a power of two so the 2-block routing tile (W2=4096)
+# is fully covered by the MSB-first butterfly (sum of pow2 steps = W2-1).
+_IN_W = 8 * _LANES
 
 
 def _iota(shape, axis):
@@ -195,16 +199,19 @@ def _fill_kernel(sblk_ref, base_ref, hi0, hi1, lo0, lo1, w0, w1,
 
 
 def fill_geometry(B: int, CS: int):
-    """(TBK, W_out) if the butterfly fill supports this grid, else None."""
-    if CS < 1 or CS > 2048:
+    """(TBK, W_out) if the butterfly fill supports this grid, else None.
+
+    W_out = TBK*CS <= _IN_W slots per grid step; the step's output tile is
+    padded to a full _IN_W block (8x256) and sliced by the caller, so CS
+    needs no lane/sublane alignment of its own."""
+    if CS < 1 or CS > _IN_W:
         return None
     tbk = 1
-    while tbk * 2 * CS <= 2048:
+    while tbk * 2 * CS <= _IN_W and tbk * 2 <= B and B % (tbk * 2) == 0:
         tbk *= 2
-    w_out = tbk * CS
-    if w_out % _LANES != 0 or B % tbk != 0 or tbk > B:
+    if tbk > B or B % tbk != 0:
         return None
-    return tbk, w_out
+    return tbk, tbk * CS
 
 
 def _lower_bound_hi(shi, q):
@@ -239,33 +246,33 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
     TBK, W_out = geom
     R = B // TBK
     P = int(shi.shape[0])
+    rows = _IN_W // _LANES          # 8 — fixed block height
 
-    # pad the slice to whole input blocks + one sentinel block so the
-    # second fetch of the last window always exists
-    nblk = -(-P // W_out) + 1
-    pad = nblk * W_out - P
+    # pad the slice to whole _IN_W input blocks + one sentinel block so
+    # the second fetch of the last window always exists
+    nblk = -(-P // _IN_W) + 1
+    pad = nblk * _IN_W - P
     shi2 = jnp.pad(shi, (0, pad), constant_values=SENT)
     slo2 = jnp.pad(slo, (0, pad), constant_values=SENT)
     sw2 = jnp.pad(sw, (0, pad))
-    rows_in = W_out // _LANES
-    shi2 = shi2.reshape(nblk * rows_in, _LANES)
-    slo2 = slo2.reshape(nblk * rows_in, _LANES)
-    sw2 = sw2.reshape(nblk * rows_in, _LANES)
+    shi2 = shi2.reshape(nblk * rows, _LANES)
+    slo2 = slo2.reshape(nblk * rows, _LANES)
+    sw2 = sw2.reshape(nblk * rows, _LANES)
 
     # first slice position of each window's bucket range -> input block
     bh = base + jnp.uint32(width) * (
         jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(TBK))
-    sblk = jnp.minimum(_lower_bound_hi(shi, bh) // W_out,
+    sblk = jnp.minimum(_lower_bound_hi(shi, bh) // _IN_W,
                        jnp.int32(nblk - 2))
     base_arr = jnp.reshape(base.astype(jnp.int32), (1,))
 
-    spec_in = pl.BlockSpec((rows_in, _LANES),
+    spec_in = pl.BlockSpec((rows, _LANES),
                            lambda r, sblk, b: (sblk[r], 0),
                            memory_space=pltpu.VMEM)
-    spec_in2 = pl.BlockSpec((rows_in, _LANES),
+    spec_in2 = pl.BlockSpec((rows, _LANES),
                             lambda r, sblk, b: (sblk[r] + 1, 0),
                             memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((rows_in, _LANES), lambda r, sblk, b: (r, 0),
+    spec_out = pl.BlockSpec((rows, _LANES), lambda r, sblk, b: (r, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(R,),
@@ -274,9 +281,14 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
     kern = functools.partial(_fill_kernel, width=width, TBK=TBK, CS=CS)
     oh, ol, ow = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((R * rows_in, _LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((R * rows_in, _LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((R * rows_in, _LANES), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((R * rows, _LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((R * rows, _LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((R * rows, _LANES), jnp.int32)),
         interpret=interpret,
     )(sblk, base_arr, shi2, shi2, slo2, slo2, sw2, sw2)
-    return (oh.reshape(B, CS), ol.reshape(B, CS), ow.reshape(B, CS))
+    # each grid step fills a full 8x256 tile; only the first W_out slots
+    # are real targets — slice them out, then lay out as [B, CS]
+    oh = oh.reshape(R, _IN_W)[:, :W_out].reshape(B, CS)
+    ol = ol.reshape(R, _IN_W)[:, :W_out].reshape(B, CS)
+    ow = ow.reshape(R, _IN_W)[:, :W_out].reshape(B, CS)
+    return oh, ol, ow

@@ -126,8 +126,15 @@ def test_fill_window_overflow_drops_cleanly():
 
 def test_fill_geometry_support():
     tbk, w_out = fill_geometry(32768, 8)
-    assert 32768 % tbk == 0 and w_out == tbk * 8 and w_out % 256 == 0
-    assert fill_geometry(100, 8) is None          # B not divisible
+    assert 32768 % tbk == 0 and w_out == tbk * 8 and w_out <= 2048
+    # B without a large pow2 divisor still supported (TBK shrinks to fit)
+    tbk, w_out = fill_geometry(100, 8)
+    assert 100 % tbk == 0 and w_out == tbk * 8
+    assert fill_geometry(101, 8) == (1, 8)        # odd B -> TBK=1
+    # non-pow2 CS (granularity-8 grange capacities) must be supported:
+    # battery3 found CS=1280 rejected by Mosaic under the old geometry
+    tbk, w_out = fill_geometry(1024, 1280)
+    assert tbk == 1 and w_out == 1280
     assert fill_geometry(32768, 4096) is None     # CS too large
 
 
