@@ -427,20 +427,31 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         # hist_device_stream_batched — per-chunk dispatch and index HBM
         # reads amortize S-fold.
         S = n_samples
-
-        nk_s = jnp.tile(n_kmers_dev, S)
+        # sub-cohort size: the index (~10 GB at 100k genomes) plus read
+        # batches leave ~4 GB HBM on a 16 GB v5e; 8 full sorted streams +
+        # their fold/stack transients OOM'd (battery3), so sweep the
+        # cohort in groups — dispatch still amortizes SUB-fold per sweep
+        SUB = int(os.environ.get("SYLPH_COHORT_SUB", "4"))
 
         def run_once_batched():
-            streams = [seed_all(sample_rot=s) for s in range(S)]
-            shi_s = jnp.stack([a for a, _ in streams])
-            slo_s = jnp.stack([b for _, b in streams])
-            hist, check = eng.hist_device_stream_batched(
-                shi_s, slo_s, n_live=n_live, n_unique=n_unique,
-                n_matches=n_matches)
-            st = stats_from_histograms(hist.reshape(S * G, 64), nk_s,
-                                       k=K, min_ani=0.5)
-            ok = check()
-            return float(np.asarray(st.contained.sum())), ok
+            tot = 0.0
+            ok = True
+            for g0 in range(0, S, SUB):
+                gs = list(range(g0, min(g0 + SUB, S)))
+                streams = [seed_all(sample_rot=s) for s in gs]
+                shi_s = jnp.stack([a for a, _ in streams])
+                slo_s = jnp.stack([b for _, b in streams])
+                del streams
+                hist, check = eng.hist_device_stream_batched(
+                    shi_s, slo_s, n_live=n_live, n_unique=n_unique,
+                    n_matches=n_matches)
+                del shi_s, slo_s
+                st = stats_from_histograms(
+                    hist.reshape(len(gs) * G, 64),
+                    jnp.tile(n_kmers_dev, len(gs)), k=K, min_ani=0.5)
+                tot += float(np.asarray(st.contained.sum()))
+                ok = check() and ok
+            return tot, ok
 
         t0 = _t.perf_counter()
         _, ok = run_once_batched()
