@@ -10,6 +10,9 @@ across real TPU hosts. Usage:
 import os
 import sys
 
+# importable without an installed package (fresh boxes run from the repo)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=4")
