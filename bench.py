@@ -201,12 +201,23 @@ def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None):
     if synth is not None:
         from sylph_tpu.tpu.synth_index import synth_plants_host
         sg, skpg = synth
-        ab_k, _ = synth_plants_host(sg, skpg, C, per_chunk=1 << 22,
-                                    gid_max=n_abundant)
+        # disk-cache the (deterministic) plant pools: the bugged-hash
+        # inversion sweep costs minutes of single-core host time per run
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_data",
+                             f"plants_{sg}_{skpg}_{total}_{n_abundant}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            ab_k, bg_k = z["ab_k"], z["bg_k"]
+        else:
+            ab_k, _ = synth_plants_host(sg, skpg, C, per_chunk=1 << 22,
+                                        gid_max=n_abundant)
+            bg_k, _ = synth_plants_host(sg, skpg, C, per_chunk=max(
+                1024, int((total - ab_k.size * abundant_mult) * 1.3 * 8
+                          // len(gidx.chunk_hi))))
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez(cache, ab_k=ab_k, bg_k=bg_k)
         ab = np.repeat(ab_k, abundant_mult)
-        bg_k, _ = synth_plants_host(sg, skpg, C, per_chunk=max(
-            1024, int((total - ab.size) * 1.3 * 8
-                      // len(gidx.chunk_hi))))
     else:
         ab_k, _ = _usable_plants(gidx, per_chunk=1 << 22,
                                  gid_max=n_abundant)

@@ -51,11 +51,13 @@ SENT = np.uint32(0xFFFFFFFF)
 HIST_H = 64                      # multiplicity clamp for histograms
 
 # butterfly bucket-grid fill (bucket_fill.py) instead of the XLA scatter
-# in _sample_to_buckets — opt-in via SYLPH_BUCKET_FILL=1 until validated
-# on real hardware (the scatter measured ~8 ns/element through this relay,
-# making the grid fill the dominant grange join cost).
-# "interpret" runs the fill kernel in interpret mode (CPU engine tests).
-_USE_BUCKET_FILL = os.environ.get("SYLPH_BUCKET_FILL", "0") in (
+# in _sample_to_buckets — DEFAULT ON since the v5e battery (2026-08-19):
+# at GTDB scale (22-chunk, 7.2e8-k-mer index, planted-match workload) the
+# fill cut the join from 1081 to 843 ms (the XLA scatter's ~8 ns/element
+# was the dominant join cost); conservation checks pass on every run.
+# SYLPH_BUCKET_FILL=0 restores the scatter; "interpret" runs the fill
+# kernel in interpret mode (CPU engine tests).
+_USE_BUCKET_FILL = os.environ.get("SYLPH_BUCKET_FILL", "1") in (
     "1", "interpret")
 _FILL_INTERPRET = os.environ.get("SYLPH_BUCKET_FILL", "0") == "interpret"
 

@@ -244,7 +244,7 @@ def finish_profile_batched(smp_hi, smp_lo, idx_hi, idx_lo, gids, n_kmers, *,
 
 
 def condense_stream(hi, lo, live_fraction: float,
-                    target_density: float = 0.35, interpret: bool = False):
+                    target_density: float = 0.75, interpret: bool = False):
     """Repack a sparse sentinel-padded hash stream until reasonably dense.
 
     live_fraction: caller's estimate of the stream's live share (e.g.
