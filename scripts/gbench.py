@@ -179,6 +179,75 @@ def main():
             return sync(hist)
         report("joinonly", join_only)
 
+    if "joinstages" in variants:
+        # attribute the join's INTERNAL stages by prefix differencing:
+        # fill-only, +compare (grid sum), +codes+compact, full (via
+        # joinonly above). Uses the engine's private pieces directly.
+        import sylph_tpu.tpu.grange as gr
+        shi_s, slo_s = sorted_stream()
+        _ = sync(shi_s[:1])
+        gx = eng.gidx
+        G2 = gx.n_genomes
+        n_chunks = len(gx.chunk_hi)
+        mean = n_live / n_chunks
+        P = 1 << max(10, int(np.ceil(np.log2(max(
+            1.0, 1.3 * mean + 6.0 * np.sqrt(mean) + 64)))))
+        P = min(P, int(shi_s.shape[0]))
+        from sylph_tpu.tpu.bucket_join import sample_cs
+        CS = sample_cs(max(1, n_unique // n_chunks), gx.B, granularity=8)
+        use_fill = gr._fill_supported(gx.B, CS)
+        est = 2.0 * n_matches / n_chunks
+        density = min(1.0, max(est, 512.0) / max(1, gx.B * gx.CI))
+        print(f"# joinstages: P={P} CS={CS} fill={use_fill} "
+              f"density={density:.4f}", flush=True)
+
+        def _prep():
+            lh, ll, hh, hl = eng._edges_dev
+            starts, _ml = gr._device_slices(shi_s, slo_s, lh, ll, hh, hl,
+                                            P=P)
+            fhi, flo, fw = gr._fold_weights(shi_s, slo_s)
+            return starts, fhi, flo, fw
+
+        @jax.jit
+        def _fill_one(ihi, ilo, ch, cl, cw, base):
+            dh, dl, dw = gr._fill_or_scatter(ch, cl, cw, base,
+                                             width=gx.width, B=gx.B,
+                                             CS=CS, use_fill=use_fill)
+            return dh[0, 0].astype(jnp.int32) + dw.sum()
+
+        @jax.jit
+        def _grid_one(ihi, ilo, ch, cl, cw, base):
+            dh, dl, dw = gr._fill_or_scatter(ch, cl, cw, base,
+                                             width=gx.width, B=gx.B,
+                                             CS=CS, use_fill=use_fill)
+            grid = gr._grid_from_buckets(ihi, ilo, dh, dl, dw,
+                                         use_pallas=True)
+            return grid.sum()
+
+        def _sweep(one):
+            starts, fhi, flo, fw = _prep()
+            acc = []
+            for i in range(n_chunks):
+                ihi, ilo, _g = eng._chunk_dev(i)
+                s = starts[i]
+                ch = jax.lax.dynamic_slice_in_dim(fhi, s, P)
+                cl = jax.lax.dynamic_slice_in_dim(flo, s, P)
+                cw = jax.lax.dynamic_slice_in_dim(fw, s, P)
+                acc.append(one(ihi, ilo, ch, cl, cw,
+                               jnp.uint32(gx.bases[i])))
+            return sync(jnp.stack(acc))
+
+        report("join:fill", lambda: _sweep(_fill_one))
+        report("join:+compare", lambda: _sweep(_grid_one))
+
+        def _codes():
+            hist, check = eng.hist_device_stream(shi_s, slo_s,
+                                                 n_live=n_live,
+                                                 n_unique=n_unique,
+                                                 n_matches=n_matches)
+            return sync(hist)
+        report("join:full", _codes)
+
     for v in variants:
         if v.startswith("dense"):
             td = float(v[len("dense"):] or 75) / 100
