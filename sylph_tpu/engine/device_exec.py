@@ -393,8 +393,18 @@ class DeviceContainment:
             with stage_timer(
                     f"device grange hists ({self._grange.gidx.m} k-mers x "
                     f"{skmers.size} sample k-mers)"):
-                return self._grange.hists(skmers.astype(np.uint64),
-                                          scounts)
+                try:
+                    return self._grange.hists(skmers.astype(np.uint64),
+                                              scounts)
+                except Exception as e:  # transient backend/compile blip:
+                    # one retry before surfacing (a relay 500 otherwise
+                    # discards the whole sample's multi-minute setup)
+                    if type(e).__name__ != "JaxRuntimeError":
+                        raise
+                    log.warning("device hists failed (%s); retrying once",
+                                e)
+                    return self._grange.hists(skmers.astype(np.uint64),
+                                              scounts)
         counts = self._counts(sample)
         gids = self.index.genome_ids
         G = int(self.index.n_genomes)
