@@ -126,6 +126,32 @@ def _join_kernel(ihi, ilo, shi, slo, sw, out, *, CS):
     out[...] = counts
 
 
+def _join_codes_kernel(ihi, ilo, gid, shi, slo, sw, out, *, CS, G, H):
+    """_join_kernel fused with code emission: instead of materializing the
+    [B, CI] count grid to HBM and re-reading it (plus the gid grid) to form
+    gid*H+mult codes, emit the sentinel-coded u32 stream directly — one
+    output write replaces a write + two reads of full grids per chunk."""
+    a_hi = ihi[...]
+    a_lo = ilo[...]
+
+    def body(_, carry):
+        dh, dl, dw, counts = carry
+        eq = (a_hi == dh[:, 0:1]) & (a_lo == dl[:, 0:1])
+        counts = counts + jnp.where(eq, dw[:, 0:1], 0)
+        r = CS - 1
+        return (pltpu.roll(dh, r, axis=1), pltpu.roll(dl, r, axis=1),
+                pltpu.roll(dw, r, axis=1), counts)
+
+    _, _, _, counts = jax.lax.fori_loop(
+        0, CS, body,
+        (shi[...], slo[...], sw[...], jnp.zeros(a_hi.shape, jnp.int32)))
+    g = gid[...]
+    live = (counts > 0) & (g < G)
+    codes = (g.astype(jnp.uint32) * np.uint32(H)
+             + jnp.minimum(counts, H - 1).astype(jnp.uint32))
+    out[...] = jnp.where(live, codes, jnp.uint32(0xFFFFFFFF))
+
+
 def _join_xla(ihi, ilo, shi, slo, sw):
     """XLA fallback of the compare kernel (CPU tests / non-TPU)."""
     CS = shi.shape[1]

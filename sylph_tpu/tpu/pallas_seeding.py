@@ -288,6 +288,69 @@ def _repack_kernel(hi_in, lo_in, hi_ref, lo_ref, *, cap):
     lo_ref[...] = jnp.where(act[:, :cap], vlo[:, :cap], sent)
 
 
+def _butterfly_route1(v, keep, lanes):
+    """Single-channel _butterfly_route (one payload vector, 3 rolls/step
+    instead of 4 — the grange code streams have no lo word)."""
+    L = v.shape[-1]
+    rank = _prefix_sum_lanes(keep.astype(jnp.int32))
+    drem = jnp.where(keep, lanes - (rank - 1), 0)
+    act = keep
+    b = 1
+    while b < L:
+        move = act & ((drem & b) != 0)
+        inc = (_roll_l(move.astype(jnp.int32), b) != 0) & (lanes < L - b)
+        v = jnp.where(inc, _roll_l(v, b), v)
+        drem = jnp.where(inc, _roll_l(drem, b) - b, drem)
+        act = (act & ~move) | inc
+        b *= 2
+    return v, act
+
+
+def _repack1_kernel(v_in, v_ref, *, cap):
+    """Single-channel _repack_kernel (sentinel-coded u32 stream)."""
+    v = v_in[...]
+    R, L = v.shape
+    keep = v != jnp.uint32(0xFFFFFFFF)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    v, act = _butterfly_route1(v, keep, lanes)
+    v_ref[...] = jnp.where(act[:, :cap], v[:, :cap],
+                           jnp.uint32(0xFFFFFFFF))
+
+
+@functools.partial(jax.jit, static_argnames=("row", "cap", "interpret"))
+def repack1_pallas(v, *, row: int, cap: int, interpret: bool = False):
+    """Single-array repack_pallas: condense one sentinel-padded u32
+    stream by row/cap (half the HBM traffic of the pair variant; used by
+    the grange code-compaction chain where the payload is one word)."""
+    if cap % 128 != 0 or row % 128 != 0 or cap > row:
+        raise ValueError(f"row/cap must be 128-multiples with cap <= row "
+                         f"(got row={row} cap={cap})")
+    flat = v.reshape(-1)
+    n = flat.shape[0]
+    rows = -(-n // row)
+    pad = rows * row - n
+    if pad:
+        flat = jnp.pad(flat, (0, pad), constant_values=np.uint32(0xFFFFFFFF))
+    m = flat.reshape(rows, row)
+    tr = min(256, rows)
+    if rows % tr != 0:
+        extra = (-(-rows // tr) * tr) - rows
+        m = jnp.pad(m, ((0, extra), (0, 0)),
+                    constant_values=np.uint32(0xFFFFFFFF))
+        rows += extra
+    kern = functools.partial(_repack1_kernel, cap=cap)
+    return pl.pallas_call(
+        kern,
+        grid=(rows // tr,),
+        in_specs=[pl.BlockSpec((tr, row), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tr, cap), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, cap), jnp.uint32),
+        interpret=interpret,
+    )(m)
+
+
 @functools.partial(jax.jit, static_argnames=("row", "cap", "interpret"))
 def repack_pallas(hi, lo, *, row: int, cap: int, interpret: bool = False):
     """Condense a flat sentinel-padded (hi, lo) stream by row/cap.
