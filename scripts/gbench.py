@@ -190,16 +190,16 @@ def main():
         G2 = gx.n_genomes
         n_chunks = len(gx.chunk_hi)
         mean = n_live / n_chunks
-        P = 1 << max(10, int(np.ceil(np.log2(max(
-            1.0, 1.3 * mean + 6.0 * np.sqrt(mean) + 64)))))
-        P = min(P, int(shi_s.shape[0]))
+        P = gr._quantize_p(1.3 * mean + 6.0 * np.sqrt(mean) + 64,
+                           int(shi_s.shape[0]))
         from sylph_tpu.tpu.bucket_join import sample_cs
         CS = sample_cs(max(1, n_unique // n_chunks), gx.B, granularity=8)
-        use_fill = gr._fill_supported(gx.B, CS)
-        est = 2.0 * n_matches / n_chunks
+        use_fill = ((eng._use_pallas or gr._FILL_INTERPRET)
+                    and gr._fill_supported(gx.B, CS))
+        est = 1.25 * n_matches / n_chunks
         density = min(1.0, max(est, 512.0) / max(1, gx.B * gx.CI))
         print(f"# joinstages: P={P} CS={CS} fill={use_fill} "
-              f"density={density:.4f}", flush=True)
+              f"fused={eng._fused} density={density:.4f}", flush=True)
 
         def _prep():
             lh, ll, hh, hl = eng._edges_dev
@@ -224,21 +224,31 @@ def main():
                                          use_pallas=True)
             return grid.sum()
 
-        def _sweep(one):
+        def _codes_one(ihi, ilo, gidg, ch, cl, cw, base):
+            cod, nl, nc, wl = gr._chunk_codes(
+                ihi, ilo, gidg, ch, cl, cw, base, width=gx.width,
+                B=gx.B, CS=CS, n_genomes=G2, density=density,
+                use_pallas=eng._use_pallas, use_fill=use_fill,
+                fused=eng._fused)
+            return nc + wl
+
+        def _sweep(one, gid=False):
             starts, fhi, flo, fw = _prep()
             acc = []
             for i in range(n_chunks):
-                ihi, ilo, _g = eng._chunk_dev(i)
+                ihi, ilo, gidg = eng._chunk_dev(i)
                 s = starts[i]
                 ch = jax.lax.dynamic_slice_in_dim(fhi, s, P)
                 cl = jax.lax.dynamic_slice_in_dim(flo, s, P)
                 cw = jax.lax.dynamic_slice_in_dim(fw, s, P)
-                acc.append(one(ihi, ilo, ch, cl, cw,
-                               jnp.uint32(gx.bases[i])))
+                args = (ihi, ilo) + ((gidg,) if gid else ()) + (
+                    ch, cl, cw, jnp.uint32(gx.bases[i]))
+                acc.append(one(*args))
             return sync(jnp.stack(acc))
 
         report("join:fill", lambda: _sweep(_fill_one))
         report("join:+compare", lambda: _sweep(_grid_one))
+        report("join:+codes", lambda: _sweep(_codes_one, gid=True))
 
         def _codes():
             hist, check = eng.hist_device_stream(shi_s, slo_s,

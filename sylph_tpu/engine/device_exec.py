@@ -26,6 +26,22 @@ log = logging.getLogger("sylph")
 _MERGE_JOIN_JIT = None
 _MERGE_JOIN_BATCHED_JIT = None
 
+_TRANSIENT_STATUS = ("UNAVAILABLE", "INTERNAL", "DEADLINE", "ABORTED",
+                     "UNKNOWN")
+
+
+def _is_transient_jax_error(e: Exception) -> bool:
+    """True for backend failures worth one retry (relay blips), never for
+    deterministic ones like RESOURCE_EXHAUSTED/INVALID_ARGUMENT."""
+    try:
+        import jax
+        if not isinstance(e, jax.errors.JaxRuntimeError):
+            return False
+    except (ImportError, AttributeError):
+        if type(e).__name__ != "JaxRuntimeError":
+            return False
+    return any(s in str(e) for s in _TRANSIENT_STATUS)
+
 
 def _merge_join_jit():
     """Module-cached jitted merge join (one trace per process, not per
@@ -398,8 +414,11 @@ class DeviceContainment:
                                               scounts)
                 except Exception as e:  # transient backend/compile blip:
                     # one retry before surfacing (a relay 500 otherwise
-                    # discards the whole sample's multi-minute setup)
-                    if type(e).__name__ != "JaxRuntimeError":
+                    # discards the whole sample's multi-minute setup).
+                    # Only retry transient-looking backend failures —
+                    # deterministic errors (e.g. RESOURCE_EXHAUSTED)
+                    # would just re-run a multi-minute guaranteed fail.
+                    if not _is_transient_jax_error(e):
                         raise
                     log.warning("device hists failed (%s); retrying once",
                                 e)

@@ -126,11 +126,14 @@ def _join_kernel(ihi, ilo, shi, slo, sw, out, *, CS):
     out[...] = counts
 
 
-def _join_codes_kernel(ihi, ilo, gid, shi, slo, sw, out, *, CS, G, H):
+def _join_codes_kernel(ihi, ilo, gid, shi, slo, sw, out, *, CS, G, H,
+                       batched=False):
     """_join_kernel fused with code emission: instead of materializing the
     [B, CI] count grid to HBM and re-reading it (plus the gid grid) to form
     gid*H+mult codes, emit the sentinel-coded u32 stream directly — one
-    output write replaces a write + two reads of full grids per chunk."""
+    output write replaces a write + two reads of full grids per chunk.
+    ``batched`` adds the sample tag s*(G*H) from the second grid axis
+    (the _grid_from_buckets_batched layout)."""
     a_hi = ihi[...]
     a_lo = ilo[...]
 
@@ -149,6 +152,9 @@ def _join_codes_kernel(ihi, ilo, gid, shi, slo, sw, out, *, CS, G, H):
     live = (counts > 0) & (g < G)
     codes = (g.astype(jnp.uint32) * np.uint32(H)
              + jnp.minimum(counts, H - 1).astype(jnp.uint32))
+    if batched:
+        codes = codes + (pl.program_id(1).astype(jnp.uint32)
+                         * np.uint32(G * H))
     out[...] = jnp.where(live, codes, jnp.uint32(0xFFFFFFFF))
 
 

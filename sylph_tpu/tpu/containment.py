@@ -116,7 +116,7 @@ def merge_join_hist(idx_hi, idx_lo, gids, smp_hi, smp_lo, *,
     return flat[:G * H].reshape(G, H)
 
 
-def _bincount(seg: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+def _bincount(seg: jnp.ndarray, n_bins: int, runs_cap=None):
     """Histogram of int32 bin ids, scatter-minimized for TPU.
 
     Scatters cost ~8ns/element, so instead of one segment_sum over the
@@ -125,14 +125,24 @@ def _bincount(seg: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     (lossless — at most n_bins+1 boundaries exist), and scatter only that
     prefix. Two sorts + scans beat one full-stream scatter ~2x at TPU
     cost ratios. CPU (and small inputs) keep the plain segment_sum.
+
+    ``runs_cap`` (static) bounds the boundary scatter to
+    min(n_bins+1, runs_cap, n) — at database scale (n_bins ~ 10^7) the
+    full-width scatter dominates, while the number of DISTINCT bins
+    present is typically tiny. With a cap the return is
+    (hist, n_runs): exact iff n_runs <= the applied bound (callers must
+    verify and fall back to the uncapped form otherwise).
     """
     n = seg.size
     use_sort = _FORCE_SORT_BINCOUNT or (
         jax.default_backend() != "cpu" and n >= (1 << 20)
         and n_bins + 1 < n)
     if not use_sort:
-        return jax.ops.segment_sum(
+        out = jax.ops.segment_sum(
             jnp.ones((n,), jnp.int32), seg, num_segments=n_bins)
+        if runs_cap is None:
+            return out
+        return out, jnp.zeros((), jnp.int32)   # exact; 0 <= any cap
     s = jax.lax.sort(seg.astype(jnp.int32))
     prev_ne = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
     next_ne = jnp.concatenate([prev_ne[1:], jnp.ones(1, bool)])
@@ -140,10 +150,14 @@ def _bincount(seg: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     bkey = jnp.where(prev_ne, s, jnp.int32(2**31 - 1))
     skey, stot = jax.lax.sort((bkey, tot), num_keys=1)
     m = n_bins + 1
+    if runs_cap is not None:
+        m = min(m, int(runs_cap), n)
     tgt = jnp.where(skey[:m] == jnp.int32(2**31 - 1), n_bins, skey[:m])
     out = jnp.zeros((n_bins + 1,), jnp.int32)
     out = out.at[tgt].set(stot[:m], mode="drop")
-    return out[:n_bins]
+    if runs_cap is None:
+        return out[:n_bins]
+    return out[:n_bins], jnp.sum(prev_ne.astype(jnp.int32))
 
 
 def merge_join_counts(idx_hi, idx_lo, smp_hi, smp_lo,

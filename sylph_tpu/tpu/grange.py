@@ -211,28 +211,55 @@ def _pad_slice(shi, slo, sw, s: int, e: int, P: int):
 
 # code-compaction stop density: the concatenated per-chunk code streams
 # feed ONE sort-based bincount, so a denser stop shrinks that sort
-# linearly. 0.25 is conservative; with a measured n_matches the chain
-# can push further (A/B via env until timed on hardware).
-_CODE_DENSITY = float(os.environ.get("SYLPH_CODE_DENSITY", "0.25"))
+# linearly. The first repack pass keeps a 4x-expectation capacity (the
+# grid's local code clustering is unmeasured); later passes have mixed
+# ~Poisson rows and run at 1.5x + 8 sigma, which is what lets the chain
+# actually reach a dense stop (a uniform 4x multiplier self-limits at
+# ~0.25 density).
+_CODE_DENSITY = float(os.environ.get("SYLPH_CODE_DENSITY", "0.5"))
+
+# fused compare+code-emission Pallas kernel (bucket_join._join_codes_kernel)
+# instead of materializing the [B, CI] count grid to HBM and re-reading it
+# (plus the gid grid) to form codes: "1" on, "0" restores the two-step
+# path, "interpret" forces the fused kernel in interpret mode (CPU tests).
+_FUSED_ENV = os.environ.get("SYLPH_FUSED_CODES", "1")
+_USE_FUSED_CODES = _FUSED_ENV in ("1", "interpret")
+_CODES_INTERPRET = _FUSED_ENV == "interpret"
+
+# bounded boundary scatter for the final code histogram: the [G*H+1]-bin
+# scatter costs ~8 ns/bin (~51 ms at GTDB scale) while distinct
+# (gid, mult) codes present are typically ~10^5; cap the scatter and
+# verify the measured run count (check()/redo fall back on overflow).
+_HIST_RUNS_CAP = int(os.environ.get("SYLPH_HIST_RUNS_CAP", str(1 << 20)))
 
 
-def _compact_codes(codes: jnp.ndarray, density: float):
-    """Butterfly-compact a sparse sentinel-coded u32 stream (order-free)."""
-    from .pallas_seeding import repack_pallas
-    row = 1024
-    hi = codes.reshape(-1)
-    lo = jnp.zeros_like(hi)
+def _compact_codes(codes: jnp.ndarray, density: float,
+                   interpret: bool = False):
+    """Butterfly-compact a sparse sentinel-coded u32 stream (order-free).
+
+    Rows adapt to the current density (sparser stream -> wider rows, so
+    one pass compacts further); capacities are conservation-checked by
+    the caller (n_live == n_comp), so overflow is detected, never
+    silent."""
+    from .pallas_seeding import repack1_pallas
+    v = codes.reshape(-1)
     d = max(density, 1e-6)
-    while d < _CODE_DENSITY and hi.size > 4 * row:
+    mult = 4.0
+    while d < _CODE_DENSITY and v.size > 4 * 1024:
+        # widest VMEM-friendly row whose expected occupancy keeps the
+        # capacity useful (cap << row)
+        row = 1024
+        while row < 8192 and row * 2 * d < 192 and v.size > 4 * row * 2:
+            row *= 2
         exp = row * d
-        # 4x-expectation capacity + 8 sigma + 32: conservation-checked
         cap = 128 * int(np.ceil(
-            (4.0 * exp + 8.0 * np.sqrt(exp) + 32) / 128))
+            (mult * exp + 8.0 * np.sqrt(exp) + 32) / 128))
         if cap >= row:
             break
-        hi, lo = repack_pallas(hi, lo, row=row, cap=cap)
+        v = repack1_pallas(v, row=row, cap=cap, interpret=interpret)
         d = d * row / cap
-    return hi
+        mult = 1.5
+    return v
 
 
 @jax.jit
@@ -257,10 +284,12 @@ def _fold_weights(shi, slo):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill"))
+    "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
+    "fused"))
 def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
                  B: int, CS: int, n_genomes: int, density: float,
-                 use_pallas: bool, use_fill: bool = False):
+                 use_pallas: bool, use_fill: bool = False,
+                 fused: bool = False):
     """One chunk: join + nonzero-slot compaction to gid*H+mult codes.
 
     Returns (codes, n_live, n_compacted, w_lost) — callers verify
@@ -269,32 +298,76 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
     by its butterfly window) and fall back to _chunk_hist_lossless /
     a larger CS on mismatch. Codes from many chunks concatenate into ONE
     histogram bincount (the scatter then runs once over the small hit
-    stream instead of once per chunk)."""
+    stream instead of once per chunk). ``fused`` emits codes straight
+    from the compare kernel (no [B, CI] grid round-trip through HBM)."""
     dh, dl, dw = _fill_or_scatter(shi, slo, sw, base, width=width, B=B,
                                   CS=CS, use_fill=use_fill)
     raw = (shi - base) // jnp.uint32(width)
     w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw, 0))
-    grid = _grid_from_buckets(ihi, ilo, dh, dl, dw, use_pallas=use_pallas)
     G, H = n_genomes, HIST_H
-    live = (grid > 0) & (gid_grid < G)
-    n_live = jnp.sum(live.astype(jnp.int32))
-    codes = jnp.where(
-        live,
-        (gid_grid.astype(jnp.uint32) * np.uint32(H)
-         + jnp.minimum(grid, H - 1).astype(jnp.uint32)),
-        SENT)
-    if use_pallas:
-        codes = _compact_codes(codes.reshape(-1), density)
+    if fused:
+        codes = _codes_from_buckets(ihi, ilo, gid_grid, dh, dl, dw,
+                                    G=G, H=H)
+        n_live = jnp.sum((codes != SENT).astype(jnp.int32))
+    else:
+        grid = _grid_from_buckets(ihi, ilo, dh, dl, dw,
+                                  use_pallas=use_pallas)
+        live = (grid > 0) & (gid_grid < G)
+        n_live = jnp.sum(live.astype(jnp.int32))
+        codes = jnp.where(
+            live,
+            (gid_grid.astype(jnp.uint32) * np.uint32(H)
+             + jnp.minimum(grid, H - 1).astype(jnp.uint32)),
+            SENT)
+    if use_pallas or _CODES_INTERPRET:
+        codes = _compact_codes(codes.reshape(-1), density,
+                               interpret=_CODES_INTERPRET)
     n_comp = jnp.sum((codes != SENT).astype(jnp.int32))
     return codes.reshape(-1), n_live, n_comp, jnp.abs(w_in - jnp.sum(dw))
 
 
-@functools.partial(jax.jit, static_argnames=("n_genomes",))
-def hist_from_codes(codes, *, n_genomes: int):
-    """[G*H+1] histogram from a concatenated gid*H+mult code stream."""
+def _codes_from_buckets(ihi, ilo, gidg, dh, dl, dw, *, G, H):
+    """Fused compare + code emission: [B, CI] sentinel-coded u32 codes
+    without materializing the count grid (bucket_join._join_codes_kernel)."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .bucket_join import _join_codes_kernel
+    B, CI = ihi.shape
+    CS = dh.shape[1]
+    TB = max(1, min(64, B))
+    if B % TB != 0:
+        TB = 1
+    kern = ft.partial(_join_codes_kernel, CS=CS, G=G, H=H)
+    spec_i = pl.BlockSpec((TB, CI), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((TB, CS), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB,),
+        in_specs=[spec_i, spec_i, spec_i, spec_s, spec_s, spec_s],
+        out_specs=pl.BlockSpec((TB, CI), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, CI), jnp.uint32),
+        interpret=_CODES_INTERPRET,
+    )(ihi, ilo, gidg, dh, dl, dw)
+
+
+@functools.partial(jax.jit, static_argnames=("n_genomes", "runs_cap"))
+def hist_from_codes(codes, *, n_genomes: int, runs_cap=None):
+    """[G*H+1] histogram from a concatenated gid*H+mult code stream.
+
+    With ``runs_cap`` set, returns (hist, n_runs); the histogram is exact
+    iff n_runs <= min(G*H+2, runs_cap, len(codes)) — callers verify and
+    recompute uncapped on overflow (see containment._bincount)."""
     G, H = n_genomes, HIST_H
     seg = jnp.where(codes != SENT, codes.astype(jnp.int32), G * H)
-    return _bincount(seg, G * H + 1)
+    if runs_cap is None:
+        return _bincount(seg, G * H + 1)
+    return _bincount(seg, G * H + 1, runs_cap)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -389,11 +462,12 @@ def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill"))
+    "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
+    "fused"))
 def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
                          width: int, B: int, CS: int, n_genomes: int,
                          density: float, use_pallas: bool,
-                         use_fill: bool = False):
+                         use_fill: bool = False, fused: bool = False):
     """S samples x one chunk -> one compacted code stream.
 
     Codes are sample-tagged: s*(G*H) + gid*H + mult, so ONE compaction +
@@ -414,23 +488,72 @@ def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
                                                           sw_s)
     raw = (shi_s - base) // jnp.uint32(width)
     w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw_s, 0))
-    grid = _grid_from_buckets_batched(ihi, ilo, dh, dl, dw,
-                                      use_pallas=use_pallas)
     G, H = n_genomes, HIST_H
     S = shi_s.shape[0]
-    live = (grid > 0) & (gid_grid[None, :, :] < G)
-    n_live = jnp.sum(live.astype(jnp.int32))
-    sid = jax.lax.broadcasted_iota(jnp.uint32, grid.shape, 0)
-    codes = jnp.where(
-        live,
-        (sid * np.uint32(G * H)
-         + gid_grid[None, :, :].astype(jnp.uint32) * np.uint32(H)
-         + jnp.minimum(grid, H - 1).astype(jnp.uint32)),
-        SENT)
-    if use_pallas:
-        codes = _compact_codes(codes.reshape(-1), density)
+    if fused:
+        codes = _codes_from_buckets_batched(ihi, ilo, gid_grid, dh, dl,
+                                            dw, G=G, H=H)
+        n_live = jnp.sum((codes != SENT).astype(jnp.int32))
+    else:
+        grid = _grid_from_buckets_batched(ihi, ilo, dh, dl, dw,
+                                          use_pallas=use_pallas)
+        live = (grid > 0) & (gid_grid[None, :, :] < G)
+        n_live = jnp.sum(live.astype(jnp.int32))
+        sid = jax.lax.broadcasted_iota(jnp.uint32, grid.shape, 0)
+        codes = jnp.where(
+            live,
+            (sid * np.uint32(G * H)
+             + gid_grid[None, :, :].astype(jnp.uint32) * np.uint32(H)
+             + jnp.minimum(grid, H - 1).astype(jnp.uint32)),
+            SENT)
+    if use_pallas or _CODES_INTERPRET:
+        codes = _compact_codes(codes.reshape(-1), density,
+                               interpret=_CODES_INTERPRET)
     n_comp = jnp.sum((codes != SENT).astype(jnp.int32))
     return codes.reshape(-1), n_live, n_comp, jnp.abs(w_in - jnp.sum(dw))
+
+
+def _codes_from_buckets_batched(ihi, ilo, gidg, dh, dl, dw, *, G, H):
+    """Batched _codes_from_buckets: [S, B, CS] buckets vs one [B, CI]
+    chunk -> [S, B, CI] sample-tagged codes, index blocks VMEM-resident
+    across the batch (same grid order as _grid_from_buckets_batched)."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .bucket_join import _join_codes_kernel
+    B, CI = ihi.shape
+    S, _, CS = dh.shape
+    TB = max(1, min(64, B))
+    if B % TB != 0:
+        TB = 1
+    kern = ft.partial(_join_codes_kernel, CS=CS, G=G, H=H, batched=True)
+    spec_i = pl.BlockSpec((TB, CI), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((None, TB, CS), lambda i, s: (s, i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB, S),
+        in_specs=[spec_i, spec_i, spec_i, spec_s, spec_s, spec_s],
+        out_specs=pl.BlockSpec((None, TB, CI), lambda i, s: (s, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, B, CI), jnp.uint32),
+        interpret=_CODES_INTERPRET,
+    )(ihi, ilo, gidg, dh, dl, dw)
+
+
+def _quantize_p(want: float, t=None) -> int:
+    """Static per-chunk slice length: round ``want`` up to a quarter-octave
+    step (multiple of 2048). Pow-2 rounding wasted up to 2x of fill +
+    compare input on sentinel padding; quarter-octave keeps the
+    compile-cache hit rate (few distinct shapes) while bounding slack
+    at ~19%. ``t`` (the whole-stream length) caps the result."""
+    want = max(1024.0, want)
+    q = np.ceil(np.log2(want) * 4.0) / 4.0
+    p = int(-(-(2.0 ** q) // 2048) * 2048)
+    return p if t is None else min(p, t)
 
 
 def _bound_positions(shi, slo, qhi, qlo, upper: bool):
@@ -494,6 +617,8 @@ class GRangeEngine:
                 jax.device_put(gidx.chunk_lo[i], d),
                 jax.device_put(gidx.chunk_gid[i], d)))
         self._use_pallas = jax.default_backend() != "cpu"
+        self._fused = _USE_FUSED_CODES and (self._use_pallas
+                                            or _CODES_INTERPRET)
         e = gidx.edges_u64
         m32 = np.uint64(0xFFFFFFFF)
         self._edges_dev = jax.device_put((
@@ -544,9 +669,7 @@ class GRangeEngine:
             n_live = t
         if P is None:
             mean = n_live / n_chunks
-            P = 1 << max(10, int(np.ceil(np.log2(max(
-                1.0, 1.3 * mean + 6.0 * np.sqrt(mean) + 64)))))
-            P = min(P, t)
+            P = _quantize_p(1.3 * mean + 6.0 * np.sqrt(mean) + 64, t)
         lo_hi, lo_lo, hi_hi, hi_lo = self._edges_dev
         starts, max_len = _device_slices(shi, slo, lo_hi, lo_lo, hi_hi,
                                          hi_lo, P=P)
@@ -570,9 +693,9 @@ class GRangeEngine:
         # overrides the 2x-unique worst case — for low-identity samples the
         # worst case leaves the concatenated code stream ~unique-sized and
         # its final bincount sort becomes the dominant join cost.
-        est_codes = 2.0 * (n_matches if n_matches is not None
-                           else (n_unique if n_unique else n_live)
-                           ) / n_chunks
+        est_codes = ((1.25 * n_matches) if n_matches is not None
+                     else 2.0 * (n_unique if n_unique else n_live)
+                     ) / n_chunks
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, gidx.B * gidx.CI))
         codes_parts, diag_parts = [], []
@@ -589,18 +712,28 @@ class GRangeEngine:
             cod, nl, nc, wlost = _chunk_codes(
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
-                use_pallas=self._use_pallas, use_fill=use_fill)
+                use_pallas=self._use_pallas, use_fill=use_fill,
+                fused=self._fused)
             codes_parts.append(cod)
             diag_parts.append(jnp.abs(nl - nc) + wlost)
-        hist = hist_from_codes(
-            jnp.concatenate(codes_parts) if len(codes_parts) > 1
-            else codes_parts[0], n_genomes=G)
+        all_codes = (jnp.concatenate(codes_parts)
+                     if len(codes_parts) > 1 else codes_parts[0])
+        cap = (_HIST_RUNS_CAP if G * HIST_H + 2 > _HIST_RUNS_CAP
+               else None)
+        if cap is None:
+            hist = hist_from_codes(all_codes, n_genomes=G)
+            runs = None
+        else:
+            hist, runs = hist_from_codes(all_codes, n_genomes=G,
+                                         runs_cap=cap)
+            cap = min(G * HIST_H + 2, cap, int(all_codes.shape[0]))
         diag_v = jnp.stack(diag_parts)
         ml = max_len
 
         def check() -> bool:
             return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
-                    and int(np.asarray(ml)) <= P)
+                    and int(np.asarray(ml)) <= P
+                    and (runs is None or int(np.asarray(runs)) <= cap))
 
         if diag:
             info = dict(diag=diag_v, max_len=ml, P=P, CS=CS,
@@ -631,9 +764,7 @@ class GRangeEngine:
             n_live = t
         if P is None:
             mean = n_live / n_chunks
-            P = 1 << max(10, int(np.ceil(np.log2(max(
-                1.0, 1.3 * mean + 6.0 * np.sqrt(mean) + 64)))))
-            P = min(P, t)
+            P = _quantize_p(1.3 * mean + 6.0 * np.sqrt(mean) + 64, t)
         lo_hi, lo_lo, hi_hi, hi_lo = self._edges_dev
         starts_s, max_len_s = jax.vmap(
             lambda a, b: _device_slices(a, b, lo_hi, lo_lo, hi_hi, hi_lo,
@@ -645,9 +776,9 @@ class GRangeEngine:
                        gidx.B, granularity=8)
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
                     and _fill_supported(gidx.B, CS))
-        est_codes = 2.0 * S * (n_matches if n_matches is not None
-                               else (n_unique if n_unique else n_live)
-                               ) / n_chunks
+        est_codes = S * ((1.25 * n_matches) if n_matches is not None
+                         else 2.0 * (n_unique if n_unique else n_live)
+                         ) / n_chunks
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, S * gidx.B * gidx.CI))
         codes_parts, diag = [], []
@@ -665,19 +796,29 @@ class GRangeEngine:
             cod, nl, nc, wlost = _chunk_codes_batched(
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
-                use_pallas=self._use_pallas, use_fill=use_fill)
+                use_pallas=self._use_pallas, use_fill=use_fill,
+                fused=self._fused)
             codes_parts.append(cod)
             diag.append(jnp.abs(nl - nc) + wlost)
         # codes are (s*G + gid)*H + mult — one bincount over S*G bins
-        hist = hist_from_codes(
-            jnp.concatenate(codes_parts) if len(codes_parts) > 1
-            else codes_parts[0], n_genomes=S * G)
+        all_codes = (jnp.concatenate(codes_parts)
+                     if len(codes_parts) > 1 else codes_parts[0])
+        cap = (_HIST_RUNS_CAP if S * G * HIST_H + 2 > _HIST_RUNS_CAP
+               else None)
+        if cap is None:
+            hist = hist_from_codes(all_codes, n_genomes=S * G)
+            runs = None
+        else:
+            hist, runs = hist_from_codes(all_codes, n_genomes=S * G,
+                                         runs_cap=cap)
+            cap = min(S * G * HIST_H + 2, cap, int(all_codes.shape[0]))
         diag_v = jnp.stack(diag)
         ml = jnp.max(max_len_s)
 
         def check() -> bool:
             return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
-                    and int(np.asarray(ml)) <= P)
+                    and int(np.asarray(ml)) <= P
+                    and (runs is None or int(np.asarray(runs)) <= cap))
         return hist[:S * G * HIST_H].reshape(S, G * HIST_H), check
 
     def hists_batched(self, tables) -> np.ndarray:
@@ -742,7 +883,7 @@ class GRangeEngine:
         sw = scounts.astype(np.int32)
         slices = slice_sample(gidx, skmers_u64)
         max_n = max((e - s for s, e in slices), default=0)
-        P = max(1024, 1 << int(np.ceil(np.log2(max(max_n, 1)))))
+        P = _quantize_p(float(max(max_n, 1)))
         from .bucket_join import sample_cs
         CS = sample_cs(P, gidx.B, granularity=8)
         density = min(1.0, 4.0 * P / max(1, gidx.B * gidx.CI))
@@ -767,7 +908,8 @@ class GRangeEngine:
             cod, nl, nc, wlost = _chunk_codes(
                 ihi, ilo, gidg, *smp, base, width=gidx.width, B=gidx.B,
                 CS=CS, n_genomes=G, density=density,
-                use_pallas=self._use_pallas, use_fill=use_fill)
+                use_pallas=self._use_pallas, use_fill=use_fill,
+                fused=self._fused)
             parts.append((di, cod, jnp.abs(nl - nc) + wlost,
                           (i, smp, base)))
 
@@ -788,10 +930,16 @@ class GRangeEngine:
         for idx, (di, cod, _d, _a) in enumerate(parts):
             if idx not in bad:
                 by_codes.setdefault(di, []).append(cod)
+        cap0 = (_HIST_RUNS_CAP if G * H + 2 > _HIST_RUNS_CAP else None)
         for di, cods in by_codes.items():
-            h = hist_from_codes(jnp.concatenate(cods)
-                                if len(cods) > 1 else cods[0],
-                                n_genomes=G)
+            cc = jnp.concatenate(cods) if len(cods) > 1 else cods[0]
+            if cap0 is not None:
+                h, runs = hist_from_codes(cc, n_genomes=G, runs_cap=cap0)
+                if int(np.asarray(runs)) > min(G * H + 2, cap0,
+                                               int(cc.shape[0])):
+                    h = hist_from_codes(cc, n_genomes=G)   # rare redo
+            else:
+                h = hist_from_codes(cc, n_genomes=G)
             hist += np.asarray(h).astype(np.int64)
         for idx in bad:
             # compaction or bucket-capacity overflow (astronomically

@@ -332,7 +332,9 @@ def repack1_pallas(v, *, row: int, cap: int, interpret: bool = False):
     if pad:
         flat = jnp.pad(flat, (0, pad), constant_values=np.uint32(0xFFFFFFFF))
     m = flat.reshape(rows, row)
-    tr = min(256, rows)
+    # keep the block under ~2 MB/array: wide rows (the adaptive first
+    # compaction pass) shrink the row-block so routing temporaries fit VMEM
+    tr = min(min(256, max(8, (1 << 19) // row)), rows)
     if rows % tr != 0:
         extra = (-(-rows // tr) * tr) - rows
         m = jnp.pad(m, ((0, extra), (0, 0)),

@@ -1,0 +1,181 @@
+"""Fused compare+code-emission kernel, single-array repack and the
+bounded histogram scatter (interpret mode on CPU) vs the two-step path.
+
+Covers the round-3 join rework: bucket_join._join_codes_kernel wired via
+grange._codes_from_buckets (fused=True), pallas_seeding.repack1_pallas in
+grange._compact_codes, and containment._bincount's runs_cap bound."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sylph_tpu.tpu import grange
+from sylph_tpu.tpu.containment import _bincount
+from sylph_tpu.tpu.pallas_seeding import repack1_pallas, repack_pallas
+
+SENT = np.uint32(0xFFFFFFFF)
+
+
+@pytest.mark.parametrize("seed,n,row,cap", [
+    (0, 5000, 512, 128), (1, 70000, 1024, 256), (2, 4096, 256, 256)])
+def test_repack1_matches_pair_repack(seed, n, row, cap):
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 2**31, size=n, dtype=np.uint32)
+    v[rng.random(n) < 0.9] = SENT
+    got = repack1_pallas(jnp.asarray(v), row=row, cap=cap, interpret=True)
+    ref_hi, _ = repack_pallas(jnp.asarray(v), jnp.zeros(n, jnp.uint32),
+                              row=row, cap=cap, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_hi))
+
+
+def _chunk_world(seed, B=64, CI=16, CS=8, G=9, width=32):
+    """Index grids + a sorted, folded sample slice for _chunk_codes."""
+    rng = np.random.default_rng(seed)
+    base = 1000
+    # index: random live slots, hashes within each bucket's range
+    ihi = np.full((B, CI), SENT, np.uint32)
+    ilo = np.full((B, CI), SENT, np.uint32)
+    gid = np.full((B, CI), G, np.int32)
+    for b in range(B):
+        occ = int(rng.integers(0, CI))
+        h = np.sort(rng.integers(base + b * width, base + (b + 1) * width,
+                                 size=occ).astype(np.uint32))
+        ihi[b, :occ] = h
+        ilo[b, :occ] = rng.integers(0, 2**32, size=occ, dtype=np.uint32)
+        gid[b, :occ] = rng.integers(0, G, size=occ)
+    # sample: half drawn from index slots (guaranteed matches)
+    n = 300
+    pick = rng.integers(0, B * CI, size=n // 2)
+    shi = np.concatenate([
+        ihi.reshape(-1)[pick],
+        rng.integers(base, base + B * width, size=n - n // 2,
+                     dtype=np.uint32).astype(np.uint32)])
+    slo = np.concatenate([
+        ilo.reshape(-1)[pick],
+        rng.integers(0, 2**32, size=n - n // 2, dtype=np.uint32)])
+    keep = shi != SENT
+    shi, slo = shi[keep], slo[keep]
+    order = np.lexsort((slo, shi))
+    shi, slo = shi[order], slo[order]
+    w = rng.integers(1, 5, size=shi.size).astype(np.int32)
+    P = 512
+    ph = np.full(P, SENT, np.uint32)
+    pl_ = np.full(P, SENT, np.uint32)
+    pw = np.zeros(P, np.int32)
+    ph[:shi.size], pl_[:shi.size], pw[:shi.size] = shi, slo, w
+    return (jnp.asarray(ihi), jnp.asarray(ilo), jnp.asarray(gid),
+            jnp.asarray(ph), jnp.asarray(pl_), jnp.asarray(pw),
+            jnp.uint32(base), width, B, CS, G)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_chunk_codes_matches_twostep(seed, monkeypatch):
+    monkeypatch.setattr(grange, "_CODES_INTERPRET", True)
+    ihi, ilo, gid, sh, sl, sw, base, width, B, CS, G = _chunk_world(seed)
+    kw = dict(width=width, B=B, CS=CS, n_genomes=G, density=1.0,
+              use_pallas=False, use_fill=False)
+    ref_c, ref_nl, ref_nc, ref_wl = grange._chunk_codes(
+        ihi, ilo, gid, sh, sl, sw, base, fused=False, **kw)
+    got_c, got_nl, got_nc, got_wl = grange._chunk_codes(
+        ihi, ilo, gid, sh, sl, sw, base, fused=True, **kw)
+    assert int(ref_wl) == 0 and int(got_wl) == 0
+    assert int(got_nl) == int(ref_nl) == int(got_nc) == int(ref_nc)
+    # same multiset of codes (fused path emits identical slot order)
+    np.testing.assert_array_equal(np.sort(np.asarray(got_c)),
+                                  np.sort(np.asarray(ref_c)))
+
+
+def test_fused_chunk_codes_batched_matches(monkeypatch):
+    monkeypatch.setattr(grange, "_CODES_INTERPRET", True)
+    worlds = [_chunk_world(s, B=32, CI=16, CS=24, G=7) for s in (3, 4)]
+    ihi, ilo, gid = worlds[0][:3]
+    base, width, B, CS, G = worlds[0][6:]
+    sh = jnp.stack([w[3] for w in worlds])
+    sl = jnp.stack([w[4] for w in worlds])
+    sw = jnp.stack([w[5] for w in worlds])
+    kw = dict(width=width, B=B, CS=CS, n_genomes=G, density=1.0,
+              use_pallas=False, use_fill=False)
+    ref_c, ref_nl, _, ref_wl = grange._chunk_codes_batched(
+        ihi, ilo, gid, sh, sl, sw, base, fused=False, **kw)
+    got_c, got_nl, got_nc, got_wl = grange._chunk_codes_batched(
+        ihi, ilo, gid, sh, sl, sw, base, fused=True, **kw)
+    assert int(ref_wl) == 0 and int(got_wl) == 0
+    assert int(got_nl) == int(ref_nl) == int(got_nc)
+    np.testing.assert_array_equal(np.sort(np.asarray(got_c)),
+                                  np.sort(np.asarray(ref_c)))
+
+
+def test_grange_engine_fused_interpret(monkeypatch):
+    """Full engine (hists + hist_device_stream) with the fused kernel and
+    repack1 compaction in interpret mode == plain engine == oracle."""
+    from tests.test_grange import _oracle_hists
+    rng = np.random.default_rng(11)
+    G, KPG, c = 30, 300, 20
+    thr = (1 << 64) // c
+    kmers = rng.integers(0, thr, size=G * KPG, dtype=np.uint64)
+    gids = np.repeat(np.arange(G, dtype=np.int32), KPG)
+    gidx = grange.build_grange_index(kmers, gids, G, chunk_slots=4096,
+                                     target_mean=16)
+    skmers = np.unique(rng.choice(kmers, size=1200, replace=True))
+    scounts = rng.integers(1, 6, size=skmers.size).astype(np.uint32)
+
+    base = grange.GRangeEngine(gidx).hists(skmers, scounts)
+
+    monkeypatch.setattr(grange, "_USE_FUSED_CODES", True)
+    monkeypatch.setattr(grange, "_CODES_INTERPRET", True)
+    eng = grange.GRangeEngine(gidx, devices=[jax.devices()[0]])
+    assert eng._fused
+    got = eng.hists(skmers, scounts)
+    np.testing.assert_array_equal(base, got)
+    np.testing.assert_array_equal(
+        got, _oracle_hists(kmers, gids, G, skmers, scounts))
+
+    from sylph_tpu.tpu import u64
+    occ = np.repeat(skmers, scounts.astype(np.int64))
+    hi, lo = u64.from_u64_np(occ)
+    shi, slo = jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)),
+                            num_keys=2)
+    h, check = eng.hist_device_stream(shi, slo, n_live=occ.size,
+                                      n_unique=skmers.size)
+    assert check()
+    got2 = np.asarray(h)[:G * 64].reshape(G, 64)
+    if not gidx.spill_kmers.size:
+        np.testing.assert_array_equal(got2, base)
+
+
+@pytest.mark.parametrize("cap,expect_exact", [(64, True), (4, False)])
+def test_bincount_runs_cap(cap, expect_exact):
+    rng = np.random.default_rng(0)
+    # >=2^20 elements but few distinct bins: the capped path must be
+    # exact whenever the cap covers the run count, and must REPORT the
+    # overflow when it does not
+    seg = jnp.asarray(rng.integers(0, 16, size=1 << 20).astype(np.int32))
+    from sylph_tpu.tpu import containment
+    # force the sort path on CPU
+    old = containment._FORCE_SORT_BINCOUNT
+    containment._FORCE_SORT_BINCOUNT = True
+    try:
+        want = np.bincount(np.asarray(seg), minlength=40)[:40]
+        got, runs = _bincount(seg, 40, runs_cap=cap)
+        m = min(41, cap, seg.size)
+        if expect_exact:
+            assert int(runs) <= m
+            np.testing.assert_array_equal(np.asarray(got), want)
+        else:
+            assert int(runs) > m      # overflow is detected
+    finally:
+        containment._FORCE_SORT_BINCOUNT = old
+
+
+def test_hist_from_codes_runs_cap_matches():
+    rng = np.random.default_rng(3)
+    G = 50
+    codes = rng.integers(0, G * grange.HIST_H, size=40000,
+                         dtype=np.uint32)
+    codes[rng.random(codes.size) < 0.5] = SENT
+    ref = grange.hist_from_codes(jnp.asarray(codes), n_genomes=G)
+    got, runs = grange.hist_from_codes(jnp.asarray(codes), n_genomes=G,
+                                       runs_cap=1 << 20)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
