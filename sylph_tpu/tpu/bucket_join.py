@@ -158,6 +158,76 @@ def _join_codes_kernel(ihi, ilo, gid, shi, slo, sw, out, *, CS, G, H,
     out[...] = jnp.where(live, codes, jnp.uint32(0xFFFFFFFF))
 
 
+def _route_up1(v, keep, rows):
+    """Per-COLUMN butterfly compaction along the sublane axis: kept
+    entries of each lane column move to the top rows (rank order).
+    Sublane rolls measure ~5x cheaper than lane rolls on v5e
+    (scripts/kbench.py), which is why the in-kernel code compaction
+    routes along rows, not lanes."""
+    R = v.shape[0]
+    k = keep.astype(jnp.int32)
+    # inclusive prefix sum down each column
+    x = k
+    p = 1
+    while p < R:
+        x = x + jnp.where(rows >= p, pltpu.roll(x, p, axis=0), 0)
+        p *= 2
+    rank = x - k                       # exclusive: target row
+    drem = jnp.where(keep, rows - rank, 0)
+    act = keep
+    b = 1
+    while b < R:
+        move = act & ((drem & b) != 0)
+        up = pltpu.roll(move.astype(jnp.int32), (-b) % R, axis=0)
+        inc = (up != 0) & (rows < R - b)
+        v = jnp.where(inc, pltpu.roll(v, (-b) % R, axis=0), v)
+        drem = jnp.where(inc, pltpu.roll(drem, (-b) % R, axis=0) - b,
+                         drem)
+        act = (act & ~move) | inc
+        b *= 2
+    return v, act
+
+
+def _join_codes_compact_kernel(ihi, ilo, gid, shi, slo, sw, out, nlive, *,
+                               CS, G, H, CAPR, batched=False):
+    """_join_codes_kernel + in-kernel column compaction: emit only the
+    top CAPR rows of each lane column (codes are ~0.5% dense at database
+    scale, so writing the full [TB, CI] block to HBM and re-reading it
+    for the first repack pass dominated the code-stage cost). ``nlive``
+    (SMEM, per block) carries the pre-compaction live count for the
+    caller's conservation check — a column overflowing CAPR is detected
+    as n_live != n_comp, never silent."""
+    a_hi = ihi[...]
+    a_lo = ilo[...]
+
+    def body(_, carry):
+        dh, dl, dw, counts = carry
+        eq = (a_hi == dh[:, 0:1]) & (a_lo == dl[:, 0:1])
+        counts = counts + jnp.where(eq, dw[:, 0:1], 0)
+        r = CS - 1
+        return (pltpu.roll(dh, r, axis=1), pltpu.roll(dl, r, axis=1),
+                pltpu.roll(dw, r, axis=1), counts)
+
+    _, _, _, counts = jax.lax.fori_loop(
+        0, CS, body,
+        (shi[...], slo[...], sw[...], jnp.zeros(a_hi.shape, jnp.int32)))
+    g = gid[...]
+    live = (counts > 0) & (g < G)
+    nlive[0, 0] = jnp.sum(live.astype(jnp.int32))
+    codes = (g.astype(jnp.uint32) * np.uint32(H)
+             + jnp.minimum(counts, H - 1).astype(jnp.uint32))
+    if batched:
+        codes = codes + (pl.program_id(1).astype(jnp.uint32)
+                         * np.uint32(G * H))
+    codes = jnp.where(live, codes, jnp.uint32(0xFFFFFFFF))
+    rows = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 0)
+    # over-CAPR ranks route below the emitted window and are dropped —
+    # the nlive/n_comp conservation check catches it
+    codes, act = _route_up1(codes, live, rows)
+    out[...] = jnp.where(act[:CAPR], codes[:CAPR],
+                         jnp.uint32(0xFFFFFFFF))
+
+
 def _join_xla(ihi, ilo, shi, slo, sw):
     """XLA fallback of the compare kernel (CPU tests / non-TPU)."""
     CS = shi.shape[1]

@@ -226,6 +226,12 @@ _FUSED_ENV = os.environ.get("SYLPH_FUSED_CODES", "1")
 _USE_FUSED_CODES = _FUSED_ENV in ("1", "interpret")
 _CODES_INTERPRET = _FUSED_ENV == "interpret"
 
+# in-kernel column compaction of the fused kernel's code block (sublane
+# butterfly): the sparse [B, CI] code stream never reaches HBM at full
+# width, replacing the widest outer repack pass. "0" restores the plain
+# fused emit.
+_USE_KCOMPACT = os.environ.get("SYLPH_KCOMPACT", "1") == "1"
+
 # bounded boundary scatter for the final code histogram: the [G*H+1]-bin
 # scatter costs ~8 ns/bin (~51 ms at GTDB scale) while distinct
 # (gid, mult) codes present are typically ~10^5; cap the scatter and
@@ -237,26 +243,26 @@ def _compact_codes(codes: jnp.ndarray, density: float,
                    interpret: bool = False):
     """Butterfly-compact a sparse sentinel-coded u32 stream (order-free).
 
-    Rows adapt to the current density (sparser stream -> wider rows, so
-    one pass compacts further); capacities are conservation-checked by
-    the caller (n_live == n_comp), so overflow is detected, never
-    silent."""
-    from .pallas_seeding import repack1_pallas
+    Flat-order windows (bucket_fill.repack1_flat: [rows, 256] tiles,
+    sublane-dominated rolls) adapt to the current density — sparser
+    stream -> wider windows, so one pass compacts further. Capacities are
+    conservation-checked by the caller (n_live == n_comp), so overflow is
+    detected, never silent."""
+    from .bucket_fill import repack1_flat
     v = codes.reshape(-1)
     d = max(density, 1e-6)
     mult = 4.0
     while d < _CODE_DENSITY and v.size > 4 * 1024:
-        # widest VMEM-friendly row whose expected occupancy keeps the
-        # capacity useful (cap << row)
+        # widest window whose expected occupancy keeps cap << row
         row = 1024
-        while row < 8192 and row * 2 * d < 192 and v.size > 4 * row * 2:
+        while row < 32768 and row * 2 * d < 768 and v.size > 4 * row * 2:
             row *= 2
         exp = row * d
-        cap = 128 * int(np.ceil(
-            (mult * exp + 8.0 * np.sqrt(exp) + 32) / 128))
+        cap = 256 * int(np.ceil(
+            (mult * exp + 8.0 * np.sqrt(exp) + 32) / 256))
         if cap >= row:
             break
-        v = repack1_pallas(v, row=row, cap=cap, interpret=interpret)
+        v = repack1_flat(v, row=row, cap=cap, interpret=interpret)
         d = d * row / cap
         mult = 1.5
     return v
@@ -283,13 +289,20 @@ def _fold_weights(shi, slo):
     return shi, slo, w.astype(jnp.int32)
 
 
+def _capr(density: float, TB: int) -> int:
+    """Static per-column capacity for the in-kernel code compaction."""
+    exp = density * TB
+    cap = int(np.ceil(4.0 * exp + 8.0 * np.sqrt(exp) + 4.0))
+    return min(TB, max(8, -(-cap // 8) * 8))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
-    "fused"))
+    "fused", "kcompact"))
 def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
                  B: int, CS: int, n_genomes: int, density: float,
                  use_pallas: bool, use_fill: bool = False,
-                 fused: bool = False):
+                 fused: bool = False, kcompact: bool = False):
     """One chunk: join + nonzero-slot compaction to gid*H+mult codes.
 
     Returns (codes, n_live, n_compacted, w_lost) — callers verify
@@ -305,7 +318,13 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
     raw = (shi - base) // jnp.uint32(width)
     w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw, 0))
     G, H = n_genomes, HIST_H
-    if fused:
+    TB = max(1, min(64, B))
+    capr = _capr(density, TB) if B % TB == 0 else TB
+    if fused and kcompact and capr < TB:
+        codes, n_live = _codes_from_buckets_compact(
+            ihi, ilo, gid_grid, dh, dl, dw, G=G, H=H, CAPR=capr)
+        density = density * TB / capr
+    elif fused:
         codes = _codes_from_buckets(ihi, ilo, gid_grid, dh, dl, dw,
                                     G=G, H=H)
         n_live = jnp.sum((codes != SENT).astype(jnp.int32))
@@ -354,6 +373,46 @@ def _codes_from_buckets(ihi, ilo, gidg, dh, dl, dw, *, G, H):
         out_shape=jax.ShapeDtypeStruct((B, CI), jnp.uint32),
         interpret=_CODES_INTERPRET,
     )(ihi, ilo, gidg, dh, dl, dw)
+
+
+def _codes_from_buckets_compact(ihi, ilo, gidg, dh, dl, dw, *, G, H,
+                                CAPR):
+    """Fused compare + code emission + in-kernel column compaction:
+    returns (codes [B/TB*CAPR, CI], n_live). The code stream leaves the
+    kernel already TB/CAPR-fold compacted (sublane butterfly), so the
+    outer repack chain starts ~8x denser and the full-width block never
+    round-trips HBM. n_live is the pre-compaction live count (summed
+    per-block SMEM scalars) for the caller's conservation check."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .bucket_join import _join_codes_compact_kernel
+    B, CI = ihi.shape
+    CS = dh.shape[1]
+    TB = max(1, min(64, B))
+    if B % TB != 0:
+        TB = 1
+    kern = ft.partial(_join_codes_compact_kernel, CS=CS, G=G, H=H,
+                      CAPR=CAPR)
+    spec_i = pl.BlockSpec((TB, CI), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((TB, CS), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    codes, nl = pl.pallas_call(
+        kern,
+        grid=(B // TB,),
+        in_specs=[spec_i, spec_i, spec_i, spec_s, spec_s, spec_s],
+        out_specs=(pl.BlockSpec((CAPR, CI), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B // TB * CAPR, CI), jnp.uint32),
+                   jax.ShapeDtypeStruct((B // TB, 1), jnp.int32)),
+        interpret=_CODES_INTERPRET,
+    )(ihi, ilo, gidg, dh, dl, dw)
+    return codes, jnp.sum(nl)
 
 
 @functools.partial(jax.jit, static_argnames=("n_genomes", "runs_cap"))
@@ -619,6 +678,7 @@ class GRangeEngine:
         self._use_pallas = jax.default_backend() != "cpu"
         self._fused = _USE_FUSED_CODES and (self._use_pallas
                                             or _CODES_INTERPRET)
+        self._kcompact = _USE_KCOMPACT
         e = gidx.edges_u64
         m32 = np.uint64(0xFFFFFFFF)
         self._edges_dev = jax.device_put((
@@ -713,7 +773,7 @@ class GRangeEngine:
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
-                fused=self._fused)
+                fused=self._fused, kcompact=self._kcompact)
             codes_parts.append(cod)
             diag_parts.append(jnp.abs(nl - nc) + wlost)
         all_codes = (jnp.concatenate(codes_parts)
@@ -909,7 +969,7 @@ class GRangeEngine:
                 ihi, ilo, gidg, *smp, base, width=gidx.width, B=gidx.B,
                 CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
-                fused=self._fused)
+                fused=self._fused, kcompact=self._kcompact)
             parts.append((di, cod, jnp.abs(nl - nc) + wlost,
                           (i, smp, base)))
 

@@ -30,6 +30,27 @@ def test_repack1_matches_pair_repack(seed, n, row, cap):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_hi))
 
 
+@pytest.mark.parametrize("seed,n,row,cap,dens", [
+    (0, 100_000, 4096, 512, 0.02), (1, 33_000, 1024, 256, 0.1),
+    (2, 70_000, 8192, 256, 0.004)])
+def test_repack1_flat_matches_oracle(seed, n, row, cap, dens):
+    from sylph_tpu.tpu.bucket_fill import repack1_flat
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 2**31, size=n, dtype=np.uint32)
+    v[rng.random(n) > dens] = SENT
+    got = np.asarray(repack1_flat(jnp.asarray(v), row=row, cap=cap,
+                                  interpret=True))
+    nwin = -(-n // row)
+    pad = np.full(nwin * row - n, SENT, np.uint32)
+    vin = np.concatenate([v, pad]).reshape(nwin, row)
+    want = np.full((nwin, cap), SENT, np.uint32)
+    for w in range(nwin):
+        live = vin[w][vin[w] != SENT]
+        k = min(live.size, cap)
+        want[w, :k] = live[:k]           # order preserved, overflow drops
+    np.testing.assert_array_equal(got.reshape(nwin, cap), want)
+
+
 def _chunk_world(seed, B=64, CI=16, CS=8, G=9, width=32):
     """Index grids + a sorted, folded sample slice for _chunk_codes."""
     rng = np.random.default_rng(seed)
@@ -105,6 +126,70 @@ def test_fused_chunk_codes_batched_matches(monkeypatch):
     assert int(got_nl) == int(ref_nl) == int(got_nc)
     np.testing.assert_array_equal(np.sort(np.asarray(got_c)),
                                   np.sort(np.asarray(ref_c)))
+
+
+@pytest.mark.parametrize("seed,capr", [(0, 8), (5, 16)])
+def test_kcompact_kernel_matches_twostep(seed, capr, monkeypatch):
+    """In-kernel column compaction: same code multiset + live count as
+    the uncompacted fused path (interpret mode)."""
+    monkeypatch.setattr(grange, "_CODES_INTERPRET", True)
+    ihi, ilo, gid, sh, sl, sw, base, width, B, CS, G = _chunk_world(
+        seed, B=128, CI=16, CS=8, G=9)
+    kw = dict(width=width, B=B, CS=CS, n_genomes=G, density=1.0,
+              use_pallas=False, use_fill=False)
+    ref_c, ref_nl, ref_nc, ref_wl = grange._chunk_codes(
+        ihi, ilo, gid, sh, sl, sw, base, fused=True, kcompact=False, **kw)
+    from sylph_tpu.tpu.bucket_join import _sample_to_buckets
+    dh, dl, dw = _sample_to_buckets(sh, sl, sw, width=width, B=B, CS=CS,
+                                    base=int(base))
+    got_c, got_nl = grange._codes_from_buckets_compact(
+        ihi, ilo, gid, dh, dl, dw, G=G, H=grange.HIST_H, CAPR=capr)
+    assert int(got_nl) == int(ref_nl)
+    got = np.sort(np.asarray(got_c).reshape(-1))
+    ref = np.sort(np.asarray(ref_c).reshape(-1))
+    # all live codes present (capacity holds in this world), pads dropped
+    np.testing.assert_array_equal(got[got != SENT], ref[ref != SENT])
+    assert (got != SENT).sum() == int(ref_nl)
+
+
+def test_kcompact_overflow_detected(monkeypatch):
+    """A column deeper than CAPR must show up as n_live != n_comp."""
+    monkeypatch.setattr(grange, "_CODES_INTERPRET", True)
+    B, CI, G = 8, 16, 3
+    width = 32
+    base = np.uint32(100)
+    # every slot of column 0..CI live in bucket 0: 8-row columns all live
+    ihi = np.full((B, CI), SENT, np.uint32)
+    ilo = np.full((B, CI), SENT, np.uint32)
+    gid = np.full((B, CI), G, np.int32)
+    ihi[:, :] = np.uint32(100)       # same hash everywhere (all buckets)
+    for b in range(B):
+        ihi[b, :] = np.uint32(100 + b * width)
+    ilo[:, :] = 7
+    gid[:, :] = 1
+    # sample hits every bucket's hash -> all 8 rows of every column live
+    sh = np.full(64, SENT, np.uint32)
+    sl = np.full(64, SENT, np.uint32)
+    sw = np.zeros(64, np.int32)
+    sh[:B] = ihi[:, 0]
+    sl[:B] = 7
+    sw[:B] = 1
+    from sylph_tpu.tpu.bucket_join import _sample_to_buckets
+    dh, dl, dw = _sample_to_buckets(
+        jnp.asarray(sh), jnp.asarray(sl), jnp.asarray(sw), width=width,
+        B=B, CS=4, base=int(base))
+    # CAPR = TB = 8 covers every column: lossless
+    got_c, got_nl = grange._codes_from_buckets_compact(
+        jnp.asarray(ihi), jnp.asarray(ilo), jnp.asarray(gid), dh, dl, dw,
+        G=G, H=grange.HIST_H, CAPR=8)
+    assert int(got_nl) == B * CI              # every slot matched
+    assert int((np.asarray(got_c) != SENT).sum()) == int(got_nl)
+    # CAPR = 4 < occupancy 8: the drop must be visible as n_comp < n_live
+    got_c2, got_nl2 = grange._codes_from_buckets_compact(
+        jnp.asarray(ihi), jnp.asarray(ilo), jnp.asarray(gid), dh, dl, dw,
+        G=G, H=grange.HIST_H, CAPR=4)
+    assert int(got_nl2) == B * CI
+    assert int((np.asarray(got_c2) != SENT).sum()) == B * CI // 2
 
 
 def test_grange_engine_fused_interpret(monkeypatch):
