@@ -160,17 +160,23 @@ def _route_right(vals, act, tgt):
     return vals, act
 
 
-def _repack1_flat_kernel(v_in, v_out, *, cap):
-    """Compact one flat [rows, 256] window's live (non-sentinel) entries
-    to its first ``cap`` slots in flat order (LSB-first butterfly —
-    strides > 256 route via sublane rolls, ~5x cheaper than lane rolls)."""
-    v = v_in[...]
-    keep = v != SENT
-    (v,), act = _route_left((v,), keep)
-    rows_out = v_out.shape[0]
-    pos = _flat_pos((rows_out, _LANES))
-    a = act[:rows_out] & (pos < cap)
-    v_out[...] = jnp.where(a, v[:rows_out], SENT)
+_WPB = 8          # windows per grid step (8-sublane output-block minimum)
+
+
+def _repack1_flat_kernel(v_in, v_out, *, rows_in, rows_out, cap):
+    """Compact _WPB flat [rows_in, 256] windows' live (non-sentinel)
+    entries to their first ``cap`` slots in flat order (LSB-first
+    butterfly — strides > 256 route via sublane rolls, ~5x cheaper than
+    lane rolls). Windows are independent; the static loop keeps each
+    window's temporaries at [rows_in, 256]."""
+    for w in range(_WPB):
+        v = v_in[w * rows_in:(w + 1) * rows_in, :]
+        keep = v != SENT
+        (v,), act = _route_left((v,), keep)
+        pos = _flat_pos((rows_out, _LANES))
+        a = act[:rows_out] & (pos < cap)
+        v_out[w * rows_out:(w + 1) * rows_out, :] = jnp.where(
+            a, v[:rows_out], SENT)
 
 
 @functools.partial(jax.jit, static_argnames=("row", "cap", "interpret"))
@@ -181,26 +187,29 @@ def repack1_flat(v, *, row: int, cap: int, interpret: bool = False):
     conservation downstream). Unlike pallas_seeding.repack1_pallas (one
     VMEM row per window, lane rolls across the whole row), windows here
     are [row/256, 256] tiles routed with flat rolls, so wide windows
-    (32k slots) compact in one cheap pass with ~128 KB blocks."""
+    (32k slots) compact in one cheap pass with ~128 KB temporaries."""
     if row % _LANES != 0 or cap % _LANES != 0 or cap > row:
         raise ValueError(f"row/cap must be multiples of {_LANES} with "
                          f"cap <= row (got row={row} cap={cap})")
     flat = v.reshape(-1)
     n = flat.shape[0]
-    nwin = -(-n // row)
+    nwin = _WPB * (-(-n // (row * _WPB)))
     pad = nwin * row - n
     if pad:
         flat = jnp.pad(flat, (0, pad), constant_values=SENT)
     rows_in = row // _LANES
     rows_out = cap // _LANES
     m = flat.reshape(nwin * rows_in, _LANES)
-    kern = functools.partial(_repack1_flat_kernel, cap=cap)
+    kern = functools.partial(_repack1_flat_kernel, rows_in=rows_in,
+                             rows_out=rows_out, cap=cap)
     out = pl.pallas_call(
         kern,
-        grid=(nwin,),
-        in_specs=[pl.BlockSpec((rows_in, _LANES), lambda i: (i, 0),
+        grid=(nwin // _WPB,),
+        in_specs=[pl.BlockSpec((_WPB * rows_in, _LANES),
+                               lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rows_out, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_WPB * rows_out, _LANES),
+                               lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nwin * rows_out, _LANES),
                                        jnp.uint32),

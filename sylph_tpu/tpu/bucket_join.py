@@ -213,7 +213,12 @@ def _join_codes_compact_kernel(ihi, ilo, gid, shi, slo, sw, out, nlive, *,
         (shi[...], slo[...], sw[...], jnp.zeros(a_hi.shape, jnp.int32)))
     g = gid[...]
     live = (counts > 0) & (g < G)
-    nlive[0, 0] = jnp.sum(live.astype(jnp.int32))
+    # per-block live count in a (8, 128) VMEM tile (scalar SMEM outputs
+    # fail the Mosaic block-divisibility check): count at [0, 0], zeros
+    # elsewhere; the caller sums the whole array
+    nz = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + \
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    nlive[...] = jnp.where(nz == 0, jnp.sum(live.astype(jnp.int32)), 0)
     codes = (g.astype(jnp.uint32) * np.uint32(H)
              + jnp.minimum(counts, H - 1).astype(jnp.uint32))
     if batched:

@@ -406,10 +406,10 @@ def _codes_from_buckets_compact(ihi, ilo, gidg, dh, dl, dw, *, G, H,
         in_specs=[spec_i, spec_i, spec_i, spec_s, spec_s, spec_s],
         out_specs=(pl.BlockSpec((CAPR, CI), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((B // TB * CAPR, CI), jnp.uint32),
-                   jax.ShapeDtypeStruct((B // TB, 1), jnp.int32)),
+                   jax.ShapeDtypeStruct((B // TB * 8, 128), jnp.int32)),
         interpret=_CODES_INTERPRET,
     )(ihi, ilo, gidg, dh, dl, dw)
     return codes, jnp.sum(nl)

@@ -40,7 +40,7 @@ def test_repack1_flat_matches_oracle(seed, n, row, cap, dens):
     v[rng.random(n) > dens] = SENT
     got = np.asarray(repack1_flat(jnp.asarray(v), row=row, cap=cap,
                                   interpret=True))
-    nwin = -(-n // row)
+    nwin = 8 * (-(-n // (row * 8)))          # padded to 8-window blocks
     pad = np.full(nwin * row - n, SENT, np.uint32)
     vin = np.concatenate([v, pad]).reshape(nwin, row)
     want = np.full((nwin, cap), SENT, np.uint32)
