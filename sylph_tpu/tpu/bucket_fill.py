@@ -219,7 +219,8 @@ def repack1_flat(v, *, row: int, cap: int, interpret: bool = False):
 
 
 def _fill_kernel(sblk_ref, base_ref, hi0, hi1, lo0, lo1, w0, w1,
-                 hi_out, lo_out, w_out, *, width, TBK, CS):
+                 hi_out, lo_out, w_out, *, width, TBK, CS, nt=1,
+                 subwidth=0):
     r = pl.program_id(0)
     hi = jnp.concatenate([hi0[...], hi1[...]], axis=0)
     lo = jnp.concatenate([lo0[...], lo1[...]], axis=0)
@@ -228,7 +229,13 @@ def _fill_kernel(sblk_ref, base_ref, hi0, hi1, lo0, lo1, w0, w1,
 
     # hash_hi < 2^32/c <= 2^31 for c >= 2, so u32 division stays exact;
     # hashes below base (or sentinels) wrap to huge buckets and drop.
-    bucket = (hi - base) // jnp.uint32(width)
+    # nt > 1: cell = bucket*nt + hash sub-range (tiled grange layout).
+    off = hi - base
+    bucket = off // jnp.uint32(width)
+    if nt > 1:
+        sub = jnp.minimum((off - bucket * jnp.uint32(width))
+                          // jnp.uint32(subwidth), jnp.uint32(nt - 1))
+        bucket = bucket * jnp.uint32(nt) + sub
     lo_b = jnp.uint32(r * TBK)
     in_win = (bucket >= lo_b) & (bucket < lo_b + jnp.uint32(TBK))
     local_b = jnp.where(in_win, (bucket - lo_b).astype(jnp.int32), TBK)
@@ -287,22 +294,26 @@ def _lower_bound_hi(shi, q):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "B", "CS", "interpret"))
+    "width", "B", "CS", "interpret", "nt", "subwidth"))
 def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
-                       interpret: bool = False):
-    """[B, CS] dense bucket grid of a HASH-SORTED sample slice.
+                       interpret: bool = False, nt: int = 1,
+                       subwidth: int = 0):
+    """[B*nt, CS] dense cell grid of a HASH-SORTED sample slice.
 
     Drop-in replacement for `bucket_join._sample_to_buckets` (same
     semantics: zero-weight and over-capacity entries dropped, bucket =
     (hash_hi - base) // width, SENT padding) built on butterfly routing
     instead of an XLA scatter. ``base`` is traced (per-chunk); ``width``,
-    ``B``, ``CS`` are static. Callers must check `fill_geometry(B, CS)`
-    first and must verify conservation downstream (entries outside a
-    window's two fetched input blocks are dropped)."""
-    geom = fill_geometry(B, CS)
+    ``B``, ``CS`` are static. ``nt`` > 1 routes to hash-tiled cells
+    (bucket*nt + sub-range of ``subwidth`` hash_hi units). Callers must
+    check `fill_geometry(B*nt, CS)` first and must verify conservation
+    downstream (entries outside a window's two fetched input blocks are
+    dropped)."""
+    NC = B * max(nt, 1)
+    geom = fill_geometry(NC, CS)
     assert geom is not None, "call fill_geometry first"
     TBK, W_out = geom
-    R = B // TBK
+    R = NC // TBK
     P = int(shi.shape[0])
     rows = _IN_W // _LANES          # 8 — fixed block height
 
@@ -318,8 +329,12 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
     sw2 = sw2.reshape(nblk * rows, _LANES)
 
     # first slice position of each window's bucket range -> input block
-    bh = base + jnp.uint32(width) * (
-        jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(TBK))
+    c0 = np.arange(R, dtype=np.int64) * TBK
+    if nt > 1:
+        bh = base + jnp.asarray(
+            (c0 // nt) * width + (c0 % nt) * subwidth, jnp.uint32)
+    else:
+        bh = base + jnp.asarray(c0 * width, jnp.uint32)
     sblk = jnp.minimum(_lower_bound_hi(shi, bh) // _IN_W,
                        jnp.int32(nblk - 2))
     base_arr = jnp.reshape(base.astype(jnp.int32), (1,))
@@ -336,7 +351,8 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
         num_scalar_prefetch=2, grid=(R,),
         in_specs=[spec_in, spec_in2, spec_in, spec_in2, spec_in, spec_in2],
         out_specs=(spec_out, spec_out, spec_out))
-    kern = functools.partial(_fill_kernel, width=width, TBK=TBK, CS=CS)
+    kern = functools.partial(_fill_kernel, width=width, TBK=TBK, CS=CS,
+                             nt=nt, subwidth=subwidth)
     oh, ol, ow = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((R * rows, _LANES), jnp.uint32),
@@ -346,7 +362,7 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
     )(sblk, base_arr, shi2, shi2, slo2, slo2, sw2, sw2)
     # each grid step fills a full 8x256 tile; only the first W_out slots
     # are real targets — slice them out, then lay out as [B, CS]
-    oh = oh.reshape(R, _IN_W)[:, :W_out].reshape(B, CS)
-    ol = ol.reshape(R, _IN_W)[:, :W_out].reshape(B, CS)
-    ow = ow.reshape(R, _IN_W)[:, :W_out].reshape(B, CS)
+    oh = oh.reshape(R, _IN_W)[:, :W_out].reshape(NC, CS)
+    ol = ol.reshape(R, _IN_W)[:, :W_out].reshape(NC, CS)
+    ow = ow.reshape(R, _IN_W)[:, :W_out].reshape(NC, CS)
     return oh, ol, ow

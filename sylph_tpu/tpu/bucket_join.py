@@ -67,22 +67,41 @@ def build_bucketed_index(hi: np.ndarray, lo: np.ndarray, c: int,
     return BucketedIndex(out_hi, out_lo, out_pos, width, B, m)
 
 
+def _cell_ids(shi, *, width: int, B: int, base, nt: int = 1,
+              subwidth: int = 0):
+    """(cell, n_cells, in_range) — elementwise hash -> routing cell.
+
+    nt == 1: cell = bucket = (hash_hi - base) // width. nt > 1 (tiled
+    grange layout): cell = bucket*nt + hash sub-range within the bucket.
+    hash_hi < 2^32/c <= 2^31 for c >= 2, so u32 division stays exact."""
+    off = shi - jnp.asarray(base, jnp.uint32)
+    raw = off // jnp.uint32(width)
+    in_range = raw < jnp.uint32(B)
+    if nt <= 1:
+        return raw, B, in_range
+    within = off - raw * jnp.uint32(width)
+    sub = jnp.minimum(within // jnp.uint32(subwidth), jnp.uint32(nt - 1))
+    return raw * jnp.uint32(nt) + sub, B * nt, in_range
+
+
 def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int,
-                       base: int = 0):
+                       base: int = 0, nt: int = 1, subwidth: int = 0):
     """Dense [B(+1), CS] layout of a HASH-SORTED sample table (jnp).
 
     Zero-weight rows (padding) route to the overflow bucket B. Rank within
     bucket via run-start cummax — the input is sorted so bucket ids are
     nondecreasing. ``base`` shifts the bucket origin for range-chunked
     indexes (grange join): bucket = (hash_hi - base) // width; values below
-    base wrap to huge u32 and land in the overflow bucket.
+    base wrap to huge u32 and land in the overflow bucket. ``nt`` > 1
+    routes to hash-tiled cells (bucket*nt + sub-range) — B then means
+    B*nt output rows.
     """
     t = shi.shape[0]
-    # hash_hi < 2^32/c <= 2^31 for c >= 2, so u32 division stays exact.
     # Hashes past the index's range (a sample sketched with smaller c) can
     # match nothing — route them to the overflow bucket with the padding.
-    raw = (shi - jnp.asarray(base, jnp.uint32)) // jnp.uint32(width)
-    in_range = raw < jnp.uint32(B)
+    raw, NC, in_range = _cell_ids(shi, width=width, B=B, base=base,
+                                  nt=nt, subwidth=subwidth)
+    B = NC
     live = in_range & (sw > 0)
     b = jnp.where(live, raw.astype(jnp.int32), B)
     idx = jnp.arange(t, dtype=jnp.int32)
@@ -105,13 +124,14 @@ def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int,
             dw[:B * CS].reshape(B, CS))
 
 
-def _join_kernel(ihi, ilo, shi, slo, sw, out, *, CS):
-    a_hi = ihi[...]
-    a_lo = ilo[...]
+def _counts_vs_lanes(a_hi, a_lo, dh, dl, dw):
+    """All-pairs weighted equality counts: index columns [TB, W] vs CS
+    sample lanes [TB, CS]. Compares one lane column at a time, rotating
+    the lane tile left so the live column is always 0 (static slice);
+    fori_loop keeps VMEM flat — an unrolled loop made Mosaic
+    stack-allocate every intermediate."""
+    CS = dh.shape[1]
 
-    # compare the sample tile one column at a time, rotating it left so the
-    # live column is always 0 (static slice); fori_loop keeps VMEM flat —
-    # an unrolled loop made Mosaic stack-allocate every intermediate.
     def body(_, carry):
         dh, dl, dw, counts = carry
         eq = (a_hi == dh[:, 0:1]) & (a_lo == dl[:, 0:1])
@@ -121,33 +141,54 @@ def _join_kernel(ihi, ilo, shi, slo, sw, out, *, CS):
                 pltpu.roll(dw, r, axis=1), counts)
 
     _, _, _, counts = jax.lax.fori_loop(
-        0, CS, body,
-        (shi[...], slo[...], sw[...], jnp.zeros(a_hi.shape, jnp.int32)))
-    out[...] = counts
+        0, CS, body, (dh, dl, dw, jnp.zeros(a_hi.shape, jnp.int32)))
+    return counts
+
+
+def _block_counts(ihi, ilo, shi, slo, sw, *, NT=1, TILE=0):
+    """Per-slot sample multiplicities for one [TB, CI] index block.
+
+    NT == 1: every slot vs every lane (the sample block is [TB, CS]).
+    NT > 1 (hash-tiled layout): index columns [t*TILE, (t+1)*TILE) only
+    see lanes [t*CS_T, (t+1)*CS_T) of the [TB, NT*CS_T] sample block (a
+    sample hash can only match index slots of its own sub-range); the
+    trailing overflow columns see every lane. Compare work drops from
+    CI*(NT*CS_T) to CI*CS_T + OV*NT*CS_T."""
+    A_hi = ihi[...]
+    A_lo = ilo[...]
+    SH = shi[...]
+    SL = slo[...]
+    SW = sw[...]
+    if NT <= 1:
+        return _counts_vs_lanes(A_hi, A_lo, SH, SL, SW)
+    CS_T = SH.shape[1] // NT
+    parts = []
+    for t in range(NT):
+        s0 = t * CS_T
+        parts.append(_counts_vs_lanes(
+            A_hi[:, t * TILE:(t + 1) * TILE],
+            A_lo[:, t * TILE:(t + 1) * TILE],
+            SH[:, s0:s0 + CS_T], SL[:, s0:s0 + CS_T],
+            SW[:, s0:s0 + CS_T]))
+    if A_hi.shape[1] > NT * TILE:          # shared overflow columns
+        parts.append(_counts_vs_lanes(
+            A_hi[:, NT * TILE:], A_lo[:, NT * TILE:], SH, SL, SW))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _join_kernel(ihi, ilo, shi, slo, sw, out, *, CS, NT=1, TILE=0):
+    out[...] = _block_counts(ihi, ilo, shi, slo, sw, NT=NT, TILE=TILE)
 
 
 def _join_codes_kernel(ihi, ilo, gid, shi, slo, sw, out, *, CS, G, H,
-                       batched=False):
+                       batched=False, NT=1, TILE=0):
     """_join_kernel fused with code emission: instead of materializing the
     [B, CI] count grid to HBM and re-reading it (plus the gid grid) to form
     gid*H+mult codes, emit the sentinel-coded u32 stream directly — one
     output write replaces a write + two reads of full grids per chunk.
     ``batched`` adds the sample tag s*(G*H) from the second grid axis
     (the _grid_from_buckets_batched layout)."""
-    a_hi = ihi[...]
-    a_lo = ilo[...]
-
-    def body(_, carry):
-        dh, dl, dw, counts = carry
-        eq = (a_hi == dh[:, 0:1]) & (a_lo == dl[:, 0:1])
-        counts = counts + jnp.where(eq, dw[:, 0:1], 0)
-        r = CS - 1
-        return (pltpu.roll(dh, r, axis=1), pltpu.roll(dl, r, axis=1),
-                pltpu.roll(dw, r, axis=1), counts)
-
-    _, _, _, counts = jax.lax.fori_loop(
-        0, CS, body,
-        (shi[...], slo[...], sw[...], jnp.zeros(a_hi.shape, jnp.int32)))
+    counts = _block_counts(ihi, ilo, shi, slo, sw, NT=NT, TILE=TILE)
     g = gid[...]
     live = (counts > 0) & (g < G)
     codes = (g.astype(jnp.uint32) * np.uint32(H)
@@ -189,28 +230,16 @@ def _route_up1(v, keep, rows):
 
 
 def _join_codes_compact_kernel(ihi, ilo, gid, shi, slo, sw, out, nlive, *,
-                               CS, G, H, CAPR, batched=False):
+                               CS, G, H, CAPR, batched=False, NT=1,
+                               TILE=0):
     """_join_codes_kernel + in-kernel column compaction: emit only the
     top CAPR rows of each lane column (codes are ~0.5% dense at database
     scale, so writing the full [TB, CI] block to HBM and re-reading it
     for the first repack pass dominated the code-stage cost). ``nlive``
-    (SMEM, per block) carries the pre-compaction live count for the
+    (per block) carries the pre-compaction live count for the
     caller's conservation check — a column overflowing CAPR is detected
     as n_live != n_comp, never silent."""
-    a_hi = ihi[...]
-    a_lo = ilo[...]
-
-    def body(_, carry):
-        dh, dl, dw, counts = carry
-        eq = (a_hi == dh[:, 0:1]) & (a_lo == dl[:, 0:1])
-        counts = counts + jnp.where(eq, dw[:, 0:1], 0)
-        r = CS - 1
-        return (pltpu.roll(dh, r, axis=1), pltpu.roll(dl, r, axis=1),
-                pltpu.roll(dw, r, axis=1), counts)
-
-    _, _, _, counts = jax.lax.fori_loop(
-        0, CS, body,
-        (shi[...], slo[...], sw[...], jnp.zeros(a_hi.shape, jnp.int32)))
+    counts = _block_counts(ihi, ilo, shi, slo, sw, NT=NT, TILE=TILE)
     g = gid[...]
     live = (counts > 0) & (g < G)
     # per-block live count in a (8, 128) VMEM tile (scalar SMEM outputs
@@ -245,6 +274,27 @@ def _join_xla(ihi, ilo, shi, slo, sw):
 
     return jax.lax.fori_loop(0, CS, body,
                              jnp.zeros(ihi.shape, jnp.int32))
+
+
+def _join_xla_tiled(ihi, ilo, dh, dl, dw, *, nt: int, tile: int):
+    """XLA fallback of _block_counts for the hash-tiled layout: the cell
+    grids arrive as [B, nt*CS_T]; tile t's index columns join only cell
+    lane-group t, the trailing overflow columns join every lane."""
+    B, CI = ihi.shape
+    CS_T = dh.shape[1] // nt
+    dh3, dl3, dw3 = dh, dl, dw
+    parts = []
+    for t in range(nt):
+        s0 = t * CS_T
+        parts.append(_join_xla(
+            ihi[:, t * tile:(t + 1) * tile],
+            ilo[:, t * tile:(t + 1) * tile],
+            dh3[:, s0:s0 + CS_T], dl3[:, s0:s0 + CS_T],
+            dw3[:, s0:s0 + CS_T]))
+    if CI > nt * tile:
+        parts.append(_join_xla(ihi[:, nt * tile:], ilo[:, nt * tile:],
+                               dh3, dl3, dw3))
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "B", "CS", "base",
@@ -315,6 +365,17 @@ def sample_cs(t_real: int, B: int, granularity: int = 128) -> int:
     mean = max(1.0, t_real / B)
     cs = int(np.ceil(mean + 6.0 * np.sqrt(mean) + 8))
     return -(-cs // granularity) * granularity if cs > 8 else 8
+
+
+def cell_cs(t_real: int, n_cells: int) -> int:
+    """Per-CELL sample lane capacity for the hash-tiled layout. Cells
+    are ~nt-fold finer than buckets, so the +8 constant in sample_cs
+    would dominate the small means; 4-granular with a +3 pad keeps
+    overflow probability per run astronomically small while the compare
+    work (linear in CS) stays near the mean."""
+    mean = max(0.25, t_real / n_cells)
+    cs = int(np.ceil(mean + 6.0 * np.sqrt(mean) + 3))
+    return max(4, -(-cs // 4) * 4)
 
 
 def bucket_join_counts(bidx: BucketedIndex, shi, slo, sw, t_real: int,

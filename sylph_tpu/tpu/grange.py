@@ -62,13 +62,15 @@ _USE_BUCKET_FILL = os.environ.get("SYLPH_BUCKET_FILL", "1") in (
 _FILL_INTERPRET = os.environ.get("SYLPH_BUCKET_FILL", "0") == "interpret"
 
 
-def _fill_or_scatter(shi, slo, sw, base, *, width, B, CS, use_fill):
+def _fill_or_scatter(shi, slo, sw, base, *, width, B, CS, use_fill,
+                     nt=1, subwidth=0):
     if use_fill:
         from .bucket_fill import bucket_fill_pallas
         return bucket_fill_pallas(shi, slo, sw, base, width=width, B=B,
-                                  CS=CS, interpret=_FILL_INTERPRET)
+                                  CS=CS, interpret=_FILL_INTERPRET,
+                                  nt=nt, subwidth=subwidth)
     return _sample_to_buckets(shi, slo, sw, width=width, B=B, CS=CS,
-                              base=base)
+                              base=base, nt=nt, subwidth=subwidth)
 
 
 def _fill_supported(B: int, CS: int) -> bool:
@@ -79,7 +81,17 @@ def _fill_supported(B: int, CS: int) -> bool:
 
 
 class GRangeIndex(NamedTuple):
-    """Host-side chunked layout; device residency is managed by the engine."""
+    """Host-side chunked layout; device residency is managed by the engine.
+
+    ``nt`` > 1 selects the hash-tiled bucket layout: each bucket's CI
+    columns split into nt TILEs of (CI - ov)/nt slots holding the
+    bucket's t-th hash sub-range ([t*subwidth, (t+1)*subwidth) within the
+    bucket, subwidth = ceil(width/nt)), plus a shared ``ov``-column
+    overflow region for sub-ranges deeper than a tile. A sample k-mer's
+    tile is hash-derived (elementwise), so the compare kernel only scans
+    its own tile's sample lanes plus the overflow columns — ~2x less
+    compare work with zero probabilistic routing (a hash run always lies
+    in one sub-range)."""
     chunk_hi: List[np.ndarray]    # per chunk [B, CI] uint32
     chunk_lo: List[np.ndarray]
     chunk_gid: List[np.ndarray]   # per chunk [B, CI] int32 (pad: n_genomes)
@@ -92,19 +104,36 @@ class GRangeIndex(NamedTuple):
     spill_gids: np.ndarray        # [S] int32
     m: int                        # live index k-mers (incl. spill)
     n_genomes: int
+    nt: int = 1                   # hash sub-range tiles per bucket
+    ov: int = 0                   # shared overflow columns per bucket
+
+    @property
+    def tile(self) -> int:
+        return (self.CI - self.ov) // max(self.nt, 1)
+
+    @property
+    def subwidth(self) -> int:
+        return -(-self.width // max(self.nt, 1))
 
 
 def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
                        n_genomes: int, chunk_slots: int = 1 << 25,
                        target_mean: int = 512,
                        ci_cap: Optional[int] = None,
-                       presorted: bool = False) -> GRangeIndex:
+                       presorted: bool = False,
+                       nt: Optional[int] = None,
+                       ov: int = 128) -> GRangeIndex:
     """Sort the flat (kmer, gid) index by hash and lay it out in range
     chunks. ``ci_cap`` bounds the bucket capacity (defaults to a generous
     Poisson tail); deeper buckets (heavy k-mer duplication across genomes)
     spill to the overflow list. ``presorted`` skips the (expensive) global
-    sort when the caller's arrays are already hash-ascending."""
+    sort when the caller's arrays are already hash-ascending. ``nt`` > 1
+    selects the hash-tiled layout (see GRangeIndex): per-tile capacity is
+    sized at the sub-range mean (the shared ``ov`` columns absorb the
+    Poisson tail; anything deeper spills)."""
     m = int(kmers_u64.size)
+    if nt is None:
+        nt = int(os.environ.get("SYLPH_NT", "1"))
     if presorted:
         su = kmers_u64
         sg = np.ascontiguousarray(gids, np.int32)
@@ -136,12 +165,19 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
         ci_cap = int(mean + z * np.sqrt(mean) + 8)
         ci_cap = -(-ci_cap // 128) * 128
 
+    if nt > 1:
+        # per-tile capacity at the sub-range mean; the shared overflow
+        # region takes the Poisson tail (compare work per sample entry
+        # is TILE + ov instead of the whole bucket)
+        tile = max(128, 128 * int(round(mean / nt / 128 + 0.25)))
+        ov = max(128, -(-ov // 128) * 128)
+        subwidth = -(-width // nt)
     chunk_hi, chunk_lo, chunk_gid = [], [], []
     bases = np.zeros(n_chunks, np.uint32)
     edges = np.zeros((n_chunks, 2), np.uint64)
     spill_k, spill_g = [], []
     ci_used = 8
-    per_chunk = []                # (b, rank, hi32, lo32, gid) per chunk
+    per_chunk = []                # (b, col, hi32, lo32, gid) per chunk
     for ci_i, (s, e) in enumerate(zip(starts, ends)):
         cu = su[s:e]
         cg = sg[s:e]
@@ -152,28 +188,50 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
         lo32 = (cu & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         b = ((hi32.astype(np.int64) - int(base)) // width)
         # width covers the span, so b < B by construction
-        counts = np.bincount(b, minlength=B)
-        # stable rank within bucket
-        rank = np.arange(cu.size, dtype=np.int64) - np.concatenate(
-            [[0], np.cumsum(counts)])[b]
-        over = rank >= ci_cap
+        if nt > 1:
+            within = hi32.astype(np.int64) - int(base) - b * width
+            sub = np.minimum(within // subwidth, nt - 1)
+            cell = b * nt + sub
+            cc = np.bincount(cell, minlength=B * nt)
+            rank_c = np.arange(cu.size, dtype=np.int64) - np.concatenate(
+                [[0], np.cumsum(cc)])[cell]
+            in_tile = rank_c < tile
+            # overflow entries rank within their BUCKET (stable: input is
+            # hash-sorted, so bucket ids are nondecreasing)
+            ovf = ~in_tile
+            bo = b[ovf]
+            cb = np.bincount(bo, minlength=B)
+            rank_o = np.arange(bo.size, dtype=np.int64) - np.concatenate(
+                [[0], np.cumsum(cb)])[bo]
+            col = np.where(in_tile, sub * tile + rank_c, 0)
+            col[ovf] = nt * tile + rank_o
+            over = np.zeros(cu.size, bool)
+            over[ovf] = rank_o >= ov
+        else:
+            counts = np.bincount(b, minlength=B)
+            # stable rank within bucket
+            col = np.arange(cu.size, dtype=np.int64) - np.concatenate(
+                [[0], np.cumsum(counts)])[b]
+            over = col >= ci_cap
         if over.any():
             spill_k.append(cu[over])
             spill_g.append(cg[over])
-            b, rank, hi32, lo32, cg = (b[~over], rank[~over], hi32[~over],
-                                       lo32[~over], cg[~over])
-            counts = np.minimum(counts, ci_cap)
-        ci_used = max(ci_used, int(counts.max()) if counts.size else 0)
-        per_chunk.append((b, rank, hi32, lo32, cg))
+            keep = ~over
+            b, col, hi32, lo32, cg = (b[keep], col[keep], hi32[keep],
+                                      lo32[keep], cg[keep])
+        if nt == 1:
+            ci_used = max(ci_used,
+                          int(col.max()) + 1 if col.size else 0)
+        per_chunk.append((b, col, hi32, lo32, cg))
 
-    CI = max(8, -(-ci_used // 8) * 8)
-    for b, rank, hi32, lo32, cg in per_chunk:
+    CI = (nt * tile + ov) if nt > 1 else max(8, -(-ci_used // 8) * 8)
+    for b, col, hi32, lo32, cg in per_chunk:
         oh = np.full((B, CI), SENT, np.uint32)
         ol = np.full((B, CI), SENT, np.uint32)
         og = np.full((B, CI), n_genomes, np.int32)
-        oh[b, rank] = hi32
-        ol[b, rank] = lo32
-        og[b, rank] = cg
+        oh[b, col] = hi32
+        ol[b, col] = lo32
+        og[b, col] = cg
         chunk_hi.append(oh)
         chunk_lo.append(ol)
         chunk_gid.append(og)
@@ -182,7 +240,7 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
         chunk_hi, chunk_lo, chunk_gid, bases, edges, width, B, CI,
         np.concatenate(spill_k) if spill_k else np.empty(0, np.uint64),
         np.concatenate(spill_g) if spill_g else np.empty(0, np.int32),
-        m, n_genomes)
+        m, n_genomes, nt=nt if nt > 1 else 1, ov=ov if nt > 1 else 0)
 
 
 def slice_sample(gidx: GRangeIndex, skmers_u64: np.ndarray
@@ -298,11 +356,12 @@ def _capr(density: float, TB: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
-    "fused", "kcompact"))
+    "fused", "kcompact", "nt", "subwidth", "ov"))
 def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
                  B: int, CS: int, n_genomes: int, density: float,
                  use_pallas: bool, use_fill: bool = False,
-                 fused: bool = False, kcompact: bool = False):
+                 fused: bool = False, kcompact: bool = False,
+                 nt: int = 1, subwidth: int = 0, ov: int = 0):
     """One chunk: join + nonzero-slot compaction to gid*H+mult codes.
 
     Returns (codes, n_live, n_compacted, w_lost) — callers verify
@@ -312,25 +371,37 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
     a larger CS on mismatch. Codes from many chunks concatenate into ONE
     histogram bincount (the scatter then runs once over the small hit
     stream instead of once per chunk). ``fused`` emits codes straight
-    from the compare kernel (no [B, CI] grid round-trip through HBM)."""
+    from the compare kernel (no [B, CI] grid round-trip through HBM).
+    ``nt`` > 1: hash-tiled index layout — CS is the per-CELL lane
+    capacity and the cell grids are reshaped to [B, nt*CS] so each index
+    tile only scans its own lane group."""
     dh, dl, dw = _fill_or_scatter(shi, slo, sw, base, width=width, B=B,
-                                  CS=CS, use_fill=use_fill)
+                                  CS=CS, use_fill=use_fill, nt=nt,
+                                  subwidth=subwidth)
+    if nt > 1:
+        dh = dh.reshape(B, nt * CS)
+        dl = dl.reshape(B, nt * CS)
+        dw = dw.reshape(B, nt * CS)
     raw = (shi - base) // jnp.uint32(width)
     w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw, 0))
     G, H = n_genomes, HIST_H
+    CI = ihi.shape[1]
+    tile = (CI - ov) // nt if nt > 1 else 0
     TB = max(1, min(64, B))
     capr = _capr(density, TB) if B % TB == 0 else TB
     if fused and kcompact and capr < TB:
         codes, n_live = _codes_from_buckets_compact(
-            ihi, ilo, gid_grid, dh, dl, dw, G=G, H=H, CAPR=capr)
+            ihi, ilo, gid_grid, dh, dl, dw, G=G, H=H, CAPR=capr,
+            nt=nt, tile=tile)
         density = density * TB / capr
     elif fused:
         codes = _codes_from_buckets(ihi, ilo, gid_grid, dh, dl, dw,
-                                    G=G, H=H)
+                                    G=G, H=H, nt=nt, tile=tile)
         n_live = jnp.sum((codes != SENT).astype(jnp.int32))
     else:
         grid = _grid_from_buckets(ihi, ilo, dh, dl, dw,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, nt=nt,
+                                  tile=tile)
         live = (grid > 0) & (gid_grid < G)
         n_live = jnp.sum(live.astype(jnp.int32))
         codes = jnp.where(
@@ -345,7 +416,8 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
     return codes.reshape(-1), n_live, n_comp, jnp.abs(w_in - jnp.sum(dw))
 
 
-def _codes_from_buckets(ihi, ilo, gidg, dh, dl, dw, *, G, H):
+def _codes_from_buckets(ihi, ilo, gidg, dh, dl, dw, *, G, H, nt=1,
+                        tile=0):
     """Fused compare + code emission: [B, CI] sentinel-coded u32 codes
     without materializing the count grid (bucket_join._join_codes_kernel)."""
     import functools as ft
@@ -355,14 +427,16 @@ def _codes_from_buckets(ihi, ilo, gidg, dh, dl, dw, *, G, H):
 
     from .bucket_join import _join_codes_kernel
     B, CI = ihi.shape
-    CS = dh.shape[1]
+    CS = dh.shape[1] if nt <= 1 else dh.shape[1] // nt
+    LW = dh.shape[1]
     TB = max(1, min(64, B))
     if B % TB != 0:
         TB = 1
-    kern = ft.partial(_join_codes_kernel, CS=CS, G=G, H=H)
+    kern = ft.partial(_join_codes_kernel, CS=CS, G=G, H=H, NT=nt,
+                      TILE=tile)
     spec_i = pl.BlockSpec((TB, CI), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((TB, CS), lambda i: (i, 0),
+    spec_s = pl.BlockSpec((TB, LW), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -376,7 +450,7 @@ def _codes_from_buckets(ihi, ilo, gidg, dh, dl, dw, *, G, H):
 
 
 def _codes_from_buckets_compact(ihi, ilo, gidg, dh, dl, dw, *, G, H,
-                                CAPR):
+                                CAPR, nt=1, tile=0):
     """Fused compare + code emission + in-kernel column compaction:
     returns (codes [B/TB*CAPR, CI], n_live). The code stream leaves the
     kernel already TB/CAPR-fold compacted (sublane butterfly), so the
@@ -390,15 +464,16 @@ def _codes_from_buckets_compact(ihi, ilo, gidg, dh, dl, dw, *, G, H,
 
     from .bucket_join import _join_codes_compact_kernel
     B, CI = ihi.shape
-    CS = dh.shape[1]
+    CS = dh.shape[1] if nt <= 1 else dh.shape[1] // nt
+    LW = dh.shape[1]
     TB = max(1, min(64, B))
     if B % TB != 0:
         TB = 1
     kern = ft.partial(_join_codes_compact_kernel, CS=CS, G=G, H=H,
-                      CAPR=CAPR)
+                      CAPR=CAPR, NT=nt, TILE=tile)
     spec_i = pl.BlockSpec((TB, CI), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((TB, CS), lambda i: (i, 0),
+    spec_s = pl.BlockSpec((TB, LW), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     codes, nl = pl.pallas_call(
         kern,
@@ -453,8 +528,12 @@ def _joined_grid(ihi, ilo, shi, slo, sw, base, *, width, B, CS, use_pallas):
     return _grid_from_buckets(ihi, ilo, dh, dl, dw, use_pallas=use_pallas)
 
 
-def _grid_from_buckets(ihi, ilo, dh, dl, dw, *, use_pallas):
+def _grid_from_buckets(ihi, ilo, dh, dl, dw, *, use_pallas, nt=1,
+                       tile=0):
     if not use_pallas:
+        if nt > 1:
+            from .bucket_join import _join_xla_tiled
+            return _join_xla_tiled(ihi, ilo, dh, dl, dw, nt=nt, tile=tile)
         from .bucket_join import _join_xla
         return _join_xla(ihi, ilo, dh, dl, dw)
     import functools as ft
@@ -464,14 +543,15 @@ def _grid_from_buckets(ihi, ilo, dh, dl, dw, *, use_pallas):
 
     from .bucket_join import _join_kernel
     B, CI = ihi.shape
-    CS = dh.shape[1]
+    LW = dh.shape[1]
+    CS = LW if nt <= 1 else LW // nt
     TB = max(1, min(64, B))
     if B % TB != 0:
         TB = 1
-    kern = ft.partial(_join_kernel, CS=CS)
+    kern = ft.partial(_join_kernel, CS=CS, NT=nt, TILE=tile)
     spec_i = pl.BlockSpec((TB, CI), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((TB, CS), lambda i: (i, 0),
+    spec_s = pl.BlockSpec((TB, LW), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -483,7 +563,8 @@ def _grid_from_buckets(ihi, ilo, dh, dl, dw, *, use_pallas):
     )(ihi, ilo, dh, dl, dw)
 
 
-def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas):
+def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas,
+                               nt=1, tile=0):
     """S-sample compare: [S, B, CS] buckets vs ONE [B, CI] chunk -> [S, B, CI].
 
     The Pallas grid is (B/TB, S) with the sample axis fastest, so each
@@ -491,6 +572,10 @@ def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas):
     — the index HBM traffic (the dominant stream at database scale) is
     amortized S-fold versus S independent joins."""
     if not use_pallas:
+        if nt > 1:
+            from .bucket_join import _join_xla_tiled
+            return jax.vmap(lambda a, b, c: _join_xla_tiled(
+                ihi, ilo, a, b, c, nt=nt, tile=tile))(dh, dl, dw)
         from .bucket_join import _join_xla
         return jax.vmap(
             lambda a, b, c: _join_xla(ihi, ilo, a, b, c))(dh, dl, dw)
@@ -501,14 +586,15 @@ def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas):
 
     from .bucket_join import _join_kernel
     B, CI = ihi.shape
-    S, _, CS = dh.shape
+    S, _, LW = dh.shape
+    CS = LW if nt <= 1 else LW // nt
     TB = max(1, min(64, B))
     if B % TB != 0:
         TB = 1
-    kern = ft.partial(_join_kernel, CS=CS)
+    kern = ft.partial(_join_kernel, CS=CS, NT=nt, TILE=tile)
     spec_i = pl.BlockSpec((TB, CI), lambda i, s: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((None, TB, CS), lambda i, s: (s, i, 0),
+    spec_s = pl.BlockSpec((None, TB, LW), lambda i, s: (s, i, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -522,11 +608,12 @@ def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
-    "fused"))
+    "fused", "nt", "subwidth", "ov"))
 def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
                          width: int, B: int, CS: int, n_genomes: int,
                          density: float, use_pallas: bool,
-                         use_fill: bool = False, fused: bool = False):
+                         use_fill: bool = False, fused: bool = False,
+                         nt: int = 1, subwidth: int = 0, ov: int = 0):
     """S samples x one chunk -> one compacted code stream.
 
     Codes are sample-tagged: s*(G*H) + gid*H + mult, so ONE compaction +
@@ -536,26 +623,36 @@ def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
         # unrolled loop (S is small/static): vmap over a scalar-prefetch
         # pallas_call is not supported
         parts = [_fill_or_scatter(shi_s[s], slo_s[s], sw_s[s], base,
-                                  width=width, B=B, CS=CS, use_fill=True)
+                                  width=width, B=B, CS=CS, use_fill=True,
+                                  nt=nt, subwidth=subwidth)
                  for s in range(shi_s.shape[0])]
         dh = jnp.stack([p[0] for p in parts])
         dl = jnp.stack([p[1] for p in parts])
         dw = jnp.stack([p[2] for p in parts])
     else:
         dh, dl, dw = jax.vmap(lambda a, b, c: _sample_to_buckets(
-            a, b, c, width=width, B=B, CS=CS, base=base))(shi_s, slo_s,
-                                                          sw_s)
+            a, b, c, width=width, B=B, CS=CS, base=base, nt=nt,
+            subwidth=subwidth))(shi_s, slo_s, sw_s)
+    if nt > 1:
+        S0 = shi_s.shape[0]
+        dh = dh.reshape(S0, B, nt * CS)
+        dl = dl.reshape(S0, B, nt * CS)
+        dw = dw.reshape(S0, B, nt * CS)
     raw = (shi_s - base) // jnp.uint32(width)
     w_in = jnp.sum(jnp.where(raw < jnp.uint32(B), sw_s, 0))
     G, H = n_genomes, HIST_H
     S = shi_s.shape[0]
+    CI = ihi.shape[1]
+    tile = (CI - ov) // nt if nt > 1 else 0
     if fused:
         codes = _codes_from_buckets_batched(ihi, ilo, gid_grid, dh, dl,
-                                            dw, G=G, H=H)
+                                            dw, G=G, H=H, nt=nt,
+                                            tile=tile)
         n_live = jnp.sum((codes != SENT).astype(jnp.int32))
     else:
         grid = _grid_from_buckets_batched(ihi, ilo, dh, dl, dw,
-                                          use_pallas=use_pallas)
+                                          use_pallas=use_pallas, nt=nt,
+                                          tile=tile)
         live = (grid > 0) & (gid_grid[None, :, :] < G)
         n_live = jnp.sum(live.astype(jnp.int32))
         sid = jax.lax.broadcasted_iota(jnp.uint32, grid.shape, 0)
@@ -572,7 +669,8 @@ def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
     return codes.reshape(-1), n_live, n_comp, jnp.abs(w_in - jnp.sum(dw))
 
 
-def _codes_from_buckets_batched(ihi, ilo, gidg, dh, dl, dw, *, G, H):
+def _codes_from_buckets_batched(ihi, ilo, gidg, dh, dl, dw, *, G, H,
+                                nt=1, tile=0):
     """Batched _codes_from_buckets: [S, B, CS] buckets vs one [B, CI]
     chunk -> [S, B, CI] sample-tagged codes, index blocks VMEM-resident
     across the batch (same grid order as _grid_from_buckets_batched)."""
@@ -583,14 +681,16 @@ def _codes_from_buckets_batched(ihi, ilo, gidg, dh, dl, dw, *, G, H):
 
     from .bucket_join import _join_codes_kernel
     B, CI = ihi.shape
-    S, _, CS = dh.shape
+    S, _, LW = dh.shape
+    CS = LW if nt <= 1 else LW // nt
     TB = max(1, min(64, B))
     if B % TB != 0:
         TB = 1
-    kern = ft.partial(_join_codes_kernel, CS=CS, G=G, H=H, batched=True)
+    kern = ft.partial(_join_codes_kernel, CS=CS, G=G, H=H, batched=True,
+                      NT=nt, TILE=tile)
     spec_i = pl.BlockSpec((TB, CI), lambda i, s: (i, 0),
                           memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((None, TB, CS), lambda i, s: (s, i, 0),
+    spec_s = pl.BlockSpec((None, TB, LW), lambda i, s: (s, i, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -740,10 +840,15 @@ class GRangeEngine:
         # per-bucket sample capacity CS then scales with UNIQUE hashes,
         # which is what bounds compare work in the join kernel.
         shi, slo, w = _fold_weights(shi, slo)
-        CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
-                       gidx.B, granularity=8)
+        if gidx.nt > 1:
+            from .bucket_join import cell_cs
+            CS = cell_cs(max(1, (n_unique or n_live) // n_chunks),
+                         gidx.B * gidx.nt)
+        else:
+            CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
+                           gidx.B, granularity=8)
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
-                    and _fill_supported(gidx.B, CS))
+                    and _fill_supported(gidx.B * gidx.nt, CS))
         # live codes per chunk <= unique sample hashes in the chunk times
         # the cross-genome duplication factor; estimate 2x unique (or the
         # live count when unique is unknown) — _compact_codes layers its
@@ -773,7 +878,8 @@ class GRangeEngine:
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
-                fused=self._fused, kcompact=self._kcompact)
+                fused=self._fused, kcompact=self._kcompact,
+                nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
             codes_parts.append(cod)
             diag_parts.append(jnp.abs(nl - nc) + wlost)
         all_codes = (jnp.concatenate(codes_parts)
@@ -832,10 +938,15 @@ class GRangeEngine:
         if w_s is None:
             shi_s, slo_s, w_s = jax.vmap(_fold_weights)(shi_s, slo_s)
         from .bucket_join import sample_cs
-        CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
-                       gidx.B, granularity=8)
+        if gidx.nt > 1:
+            from .bucket_join import cell_cs
+            CS = cell_cs(max(1, (n_unique or n_live) // n_chunks),
+                         gidx.B * gidx.nt)
+        else:
+            CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
+                           gidx.B, granularity=8)
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
-                    and _fill_supported(gidx.B, CS))
+                    and _fill_supported(gidx.B * gidx.nt, CS))
         est_codes = S * ((1.25 * n_matches) if n_matches is not None
                          else 2.0 * (n_unique if n_unique else n_live)
                          ) / n_chunks
@@ -857,7 +968,8 @@ class GRangeEngine:
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
-                fused=self._fused)
+                fused=self._fused,
+                nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
             codes_parts.append(cod)
             diag.append(jnp.abs(nl - nc) + wlost)
         # codes are (s*G + gid)*H + mult — one bincount over S*G bins
@@ -945,10 +1057,14 @@ class GRangeEngine:
         max_n = max((e - s for s, e in slices), default=0)
         P = _quantize_p(float(max(max_n, 1)))
         from .bucket_join import sample_cs
-        CS = sample_cs(P, gidx.B, granularity=8)
+        if gidx.nt > 1:
+            from .bucket_join import cell_cs
+            CS = cell_cs(P, gidx.B * gidx.nt)
+        else:
+            CS = sample_cs(P, gidx.B, granularity=8)
         density = min(1.0, 4.0 * P / max(1, gidx.B * gidx.CI))
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
-                    and _fill_supported(gidx.B, CS))
+                    and _fill_supported(gidx.B * gidx.nt, CS))
 
         # dispatch every chunk asynchronously; retain the (small) sample
         # slices so a failed conservation check can be patched without
@@ -969,7 +1085,8 @@ class GRangeEngine:
                 ihi, ilo, gidg, *smp, base, width=gidx.width, B=gidx.B,
                 CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
-                fused=self._fused, kcompact=self._kcompact)
+                fused=self._fused, kcompact=self._kcompact,
+                nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
             parts.append((di, cod, jnp.abs(nl - nc) + wlost,
                           (i, smp, base)))
 

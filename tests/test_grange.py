@@ -49,6 +49,52 @@ def test_grange_hist_matches_oracle(seed, chunk_slots, target_mean):
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("seed,nt,ov,target_mean", [
+    (0, 4, 128, 512), (1, 2, 128, 1024), (3, 4, 128, 2048)])
+def test_grange_tiled_hist_matches_oracle(seed, nt, ov, target_mean):
+    """Hash-tiled layout (nt > 1): exact vs the same numpy oracle, heavy
+    duplication included (runs never straddle sub-ranges by value)."""
+    kmers, gids, sk, sc = _world(seed, dup_frac=0.3)
+    G = 50
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 16,
+                              target_mean=target_mean, nt=nt, ov=ov)
+    assert gidx.nt == nt and gidx.ov > 0
+    assert gidx.CI == nt * gidx.tile + gidx.ov
+    eng = GRangeEngine(gidx)
+    got = eng.hists(sk, sc)
+    want = _oracle_hists(kmers, gids, G, sk, sc)
+    assert (got == want).all()
+
+
+def test_grange_tiled_stream_matches_untiled():
+    """hist_device_stream over a tiled index == untiled index exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sylph_tpu.tpu import u64
+
+    kmers, gids, sk, sc = _world(8, m=120_000, t=4_000)
+    order = np.argsort(kmers, kind="stable")
+    kws = dict(chunk_slots=1 << 15, target_mean=256, presorted=True)
+    g1 = build_grange_index(kmers[order], gids[order], 50, **kws)
+    g4 = build_grange_index(kmers[order], gids[order], 50, nt=4, **kws)
+    dev = [jax.devices()[0]]
+    sc_small = np.minimum(sc, 3)
+    occ = np.repeat(sk, sc_small)
+    hi, lo = u64.from_u64_np(occ)
+    shi, slo = jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)),
+                            num_keys=2)
+    h1, c1 = GRangeEngine(g1, devices=dev).hist_device_stream(
+        shi, slo, n_live=occ.size, n_unique=sk.size)
+    h4, c4 = GRangeEngine(g4, devices=dev).hist_device_stream(
+        shi, slo, n_live=occ.size, n_unique=sk.size)
+    assert c1() and c4()
+    # tiled index may spill differently; compare only when neither spills
+    if not g1.spill_kmers.size and not g4.spill_kmers.size:
+        GH = 50 * 64           # last bin counts sentinels (layout-sized)
+        assert np.array_equal(np.asarray(h1)[:GH], np.asarray(h4)[:GH])
+
+
 def test_grange_spill_forced():
     # tiny ci_cap forces heavy spill; result must still be exact
     kmers, gids, sk, sc = _world(3, m=50_000, dup_frac=0.4)
