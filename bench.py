@@ -206,7 +206,8 @@ def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None):
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_data",
                              f"plants_{sg}_{skpg}_{total}_{n_abundant}"
-                             f"_{abundant_mult}_c{C}.npz")
+                             f"_{abundant_mult}_c{C}"
+                             f"_nt{os.environ.get('SYLPH_NT', '1')}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             ab_k, bg_k = z["ab_k"], z["bg_k"]

@@ -34,6 +34,7 @@ total live count m (exact, returned) matters downstream.
 
 import functools
 import math
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -47,6 +48,31 @@ from .grange import GRangeIndex
 SALT_V = np.uint64(0x9E3779B97F4A7C15)
 SALT_G = np.uint64(0xC2B2AE3D27D4EB4F)
 SALT_C = np.uint64(0x165667B19E3779F9)
+
+SYNTH_OV = 128                # overflow columns for the tiled layout
+
+
+def _default_nt() -> int:
+    return int(os.environ.get("SYLPH_NT", "1"))
+
+
+def _tgeom(B: int, CI: int, width: int, mean: float, spread: int,
+           nt: int):
+    """Tiled-layout derived geometry: per-cell mean/spread, tile width,
+    per-tile overflow share, counter stride and hash sub-range width.
+
+    Per-cell counts are uniform in [mean_t - spread_t, mean_t + spread_t]
+    CAPPED at tile + ovpt so a bucket's total overflow always fits the
+    shared region (the synthetic index has no spill list)."""
+    mean_t = mean / nt
+    spread_t = max(1, int(3.5 * math.sqrt(mean_t)))
+    tile = 128 * max(1, int(round(mean_t / 128 + 0.25)))
+    ovpt = SYNTH_OV // nt
+    stride = tile + ovpt
+    subwidth = -(-width // nt)
+    cbase = max(0, int(mean_t) - spread_t)
+    cmod = 2 * spread_t + 1
+    return mean_t, spread_t, tile, ovpt, stride, subwidth, cbase, cmod
 
 
 def _geometry(G: int, KPG: int, c: int, chunk_slots: int = 1 << 25,
@@ -122,10 +148,108 @@ def _gen_chunk(chunk_u32, *, B: int, CI: int, width: int, G: int,
     return out_hi, out_lo, gid
 
 
+def _counts_np_tiled(chunk: int, B: int, nt: int, cbase: int, cmod: int,
+                     cap: int) -> np.ndarray:
+    """[B*nt] per-CELL live counts for one chunk (host replay)."""
+    gcell = np.arange(B * nt, dtype=np.uint64) + np.uint64(chunk * B * nt)
+    r = mm_hash64_np(gcell ^ SALT_C).astype(np.uint64)
+    ct = (cbase + (r & np.uint64(0xFFFFFFFF)) % np.uint64(cmod))
+    return np.minimum(ct, cap).astype(np.int64)
+
+
+def _slot_values_np_tiled(counter: np.ndarray, *, B: int, nt: int,
+                          stride: int, subwidth: int, width: int, G: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """(hash u64, gid) for tiled-layout slot counters (host replay)."""
+    counter = counter.astype(np.uint64)
+    gcell = counter // np.uint64(stride)
+    t = (gcell % np.uint64(nt)).astype(np.int64)
+    j = ((gcell // np.uint64(nt)) % np.uint64(B)).astype(np.int64)
+    chunk = (gcell // np.uint64(B * nt)).astype(np.int64)
+    span = np.maximum(1, np.minimum(subwidth, width - t * subwidth))
+    v = mm_hash64_np(counter ^ SALT_V)
+    g = mm_hash64_np(counter ^ SALT_G)
+    hi = (chunk * (B * width) + j * width + t * subwidth
+          + ((v >> np.uint64(32)).astype(np.int64) % span)).astype(
+              np.uint64)
+    h = (hi << np.uint64(32)) | (v & np.uint64(0xFFFFFFFF))
+    gid = ((g & np.uint64(0xFFFFFFFF)) % np.uint64(G)).astype(np.int32)
+    return h, gid
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "CI", "width", "G", "nt", "tile", "ovpt", "cbase", "cmod",
+    "subwidth"))
+def _gen_chunk_tiled(chunk_u32, *, B: int, CI: int, width: int, G: int,
+                     nt: int, tile: int, ovpt: int, cbase: int,
+                     cmod: int, subwidth: int):
+    """[B, CI] (hi, lo, gid) in the hash-tiled layout: columns
+    [t*tile, (t+1)*tile) hold sub-range t's first ``tile`` entries, the
+    trailing SYNTH_OV columns hold the per-bucket overflow (entries
+    tile..ct of each over-full cell, packed in tile order)."""
+    stride = tile + ovpt
+    j = jax.lax.broadcasted_iota(jnp.uint32, (B, CI), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (B, CI), 1)
+    jg = j + chunk_u32 * jnp.uint32(B)
+
+    def mix(ctr, salt):
+        sh, sl = u64.const(int(salt))
+        return u64.mm_hash64((ctr[0] ^ sh, ctr[1] ^ sl))
+
+    # per-tile counts/overflows for the row's bucket: [B, 1] each
+    cts, ots, cums = [], [], [jnp.zeros((B, 1), jnp.int32)]
+    for t in range(nt):
+        gcell_t = jg[:, :1] * jnp.uint32(nt) + jnp.uint32(t)
+        _, clo = mix((jnp.zeros_like(gcell_t), gcell_t), SALT_C)
+        ct = jnp.minimum(jnp.int32(cbase)
+                         + (clo % jnp.uint32(cmod)).astype(jnp.int32),
+                         stride)
+        cts.append(ct)
+        ots.append(jnp.maximum(ct - tile, 0))
+        cums.append(cums[-1] + ots[-1])
+
+    in_tiles = s < nt * tile
+    t_of_s = jnp.minimum(s // tile, nt - 1)
+    ct_sel = sum(jnp.where(t_of_s == t, cts[t], 0) for t in range(nt))
+    live_tile = in_tiles & ((s % tile) < jnp.minimum(ct_sel, tile))
+
+    k = s - nt * tile
+    tau = sum((k >= cums[t]).astype(jnp.int32) for t in range(1, nt))
+    cum_tau = sum(jnp.where(tau == t, cums[t], 0) for t in range(nt))
+    live_ov = (~in_tiles) & (k < cums[nt])
+
+    live = live_tile | live_ov
+    tt = jnp.where(in_tiles, t_of_s, tau)
+    s_local = jnp.where(in_tiles, s % tile, tile + (k - cum_tau))
+    gcell = jg * jnp.uint32(nt) + tt.astype(jnp.uint32)
+    counter = gcell * jnp.uint32(stride) + s_local.astype(jnp.uint32)
+
+    zero = jnp.zeros_like(counter)
+    vhi, vlo = mix((zero, counter), SALT_V)
+    _, glo = mix((zero, counter), SALT_G)
+    span = jnp.maximum(1, jnp.minimum(subwidth, width - tt * subwidth)
+                       ).astype(jnp.uint32)
+    hi = (chunk_u32 * jnp.uint32(B * width) + j * jnp.uint32(width)
+          + tt.astype(jnp.uint32) * jnp.uint32(subwidth) + vhi % span)
+    sent = jnp.uint32(0xFFFFFFFF)
+    out_hi = jnp.where(live, hi, sent)
+    out_lo = jnp.where(live, vlo, sent)
+    gid = jnp.where(live, (glo % jnp.uint32(G)).astype(jnp.int32),
+                    jnp.int32(G))
+    return out_hi, out_lo, gid
+
+
 def _chunk_device(chunk: int, *, B: int, CI: int, width: int, G: int,
-                  mean: float, spread: int, device):
+                  mean: float, spread: int, device, nt: int = 1):
     """One [B, CI] (hi, lo, gid) chunk materialized on ``device``."""
     with jax.default_device(device):
+        if nt > 1:
+            _mt, _st, tile, ovpt, _stride, subw, cbase, cmod = _tgeom(
+                B, CI, width, mean, spread, nt)
+            return _gen_chunk_tiled(
+                jnp.uint32(chunk), B=B, CI=nt * tile + SYNTH_OV,
+                width=width, G=G, nt=nt, tile=tile, ovpt=ovpt,
+                cbase=cbase, cmod=cmod, subwidth=subw)
         return _gen_chunk(jnp.uint32(chunk), B=B, CI=CI, width=width,
                           G=G, cbase=max(0, int(mean) - spread),
                           cmod=2 * spread + 1)
@@ -134,16 +258,26 @@ def _chunk_device(chunk: int, *, B: int, CI: int, width: int, G: int,
 def synth_index_device(G: int, KPG: int, c: int = 200,
                        devices: Optional[List] = None,
                        chunk_slots: int = 1 << 25,
-                       target_mean: int = 1024) -> GRangeIndex:
+                       target_mean: int = 1024,
+                       nt: Optional[int] = None) -> GRangeIndex:
     """GRangeIndex whose chunk arrays are device-resident jax arrays.
 
     GRangeEngine device_puts chunks it is handed; for already-committed
     arrays that is a no-op, so the engine serves this index with zero
-    host->device index traffic.
+    host->device index traffic. ``nt`` (default env SYLPH_NT) > 1
+    generates the hash-tiled layout.
     """
     devs = devices if devices is not None else jax.devices()
+    if nt is None:
+        nt = _default_nt()
     M, n_chunks, B, CI, width, mean, spread = _geometry(
         G, KPG, c, chunk_slots, target_mean)
+    ov = 0
+    if nt > 1:
+        _mt, _st, tile, ovpt, stride, _sw, cbase, cmod = _tgeom(
+            B, CI, width, mean, spread, nt)
+        CI = nt * tile + SYNTH_OV
+        ov = SYNTH_OV
     chunk_hi, chunk_lo, chunk_gid = [], [], []
     m = 0
     bases = np.zeros(n_chunks, np.uint32)
@@ -151,11 +285,15 @@ def synth_index_device(G: int, KPG: int, c: int = 200,
     for i in range(n_chunks):
         h, l, g = _chunk_device(i, B=B, CI=CI, width=width, G=G,
                                 mean=mean, spread=spread,
-                                device=devs[i % len(devs)])
+                                device=devs[i % len(devs)], nt=nt)
         chunk_hi.append(h)
         chunk_lo.append(l)
         chunk_gid.append(g)
-        m += int(_counts_np(i, B, mean, spread).sum())
+        if nt > 1:
+            m += int(_counts_np_tiled(i, B, nt, cbase, cmod,
+                                      stride).sum())
+        else:
+            m += int(_counts_np(i, B, mean, spread).sum())
         lo_edge = np.uint64(i * B * width) << np.uint64(32)
         hi_edge = (np.uint64((i + 1) * B * width) << np.uint64(32)) \
             - np.uint64(1)
@@ -163,15 +301,32 @@ def synth_index_device(G: int, KPG: int, c: int = 200,
         edges[i] = (lo_edge, hi_edge)
     return GRangeIndex(chunk_hi, chunk_lo, chunk_gid, bases, edges,
                        width, B, CI, np.empty(0, np.uint64),
-                       np.empty(0, np.int32), m, G)
+                       np.empty(0, np.int32), m, G,
+                       nt=nt if nt > 1 else 1, ov=ov)
+
+
+def _enum_cells_np(counts: np.ndarray, stride: int, first: np.ndarray,
+                   n_each: np.ndarray):
+    """Ragged per-cell counter enumeration: for each selected cell i,
+    counters first[i] + [0, n_each[i])."""
+    total = int(n_each.sum())
+    starts = np.concatenate([[0], np.cumsum(n_each)[:-1]])
+    r = np.arange(total, dtype=np.int64) - np.repeat(starts, n_each)
+    return np.repeat(first, n_each) + r
 
 
 def synth_chunks_host(G: int, KPG: int, c: int = 200,
                       chunk_slots: int = 1 << 25,
-                      target_mean: int = 1024):
+                      target_mean: int = 1024,
+                      nt: Optional[int] = None):
     """Host numpy replay of every chunk (tests / small sizes only)."""
+    if nt is None:
+        nt = _default_nt()
     M, n_chunks, B, CI, width, mean, spread = _geometry(
         G, KPG, c, chunk_slots, target_mean)
+    if nt > 1:
+        return _synth_chunks_host_tiled(G, n_chunks, B, CI, width, mean,
+                                        spread, nt)
     out = []
     for i in range(n_chunks):
         cnt = _counts_np(i, B, mean, spread)
@@ -189,10 +344,53 @@ def synth_chunks_host(G: int, KPG: int, c: int = 200,
     return out
 
 
+def _synth_chunks_host_tiled(G, n_chunks, B, CI, width, mean, spread,
+                             nt):
+    """Host numpy replay of _gen_chunk_tiled (tests / small sizes)."""
+    _mt, _st, tile, ovpt, stride, subw, cbase, cmod = _tgeom(
+        B, CI, width, mean, spread, nt)
+    CI = nt * tile + SYNTH_OV
+    sent = np.uint32(0xFFFFFFFF)
+    out = []
+    for i in range(n_chunks):
+        cts = _counts_np_tiled(i, B, nt, cbase, cmod, stride).reshape(
+            B, nt)
+        hh = np.full((B, CI), sent, np.uint32)
+        hl = np.full((B, CI), sent, np.uint32)
+        hg = np.full((B, CI), np.int32(G), np.int32)
+        # enumerate every live slot: (cell, s_local) pairs
+        nct = cts.reshape(-1)
+        first = ((np.arange(B * nt, dtype=np.int64)
+                  + np.int64(i) * B * nt) * stride)
+        counters = _enum_cells_np(nct, stride, first, nct)
+        h, gid = _slot_values_np_tiled(counters, B=B, nt=nt,
+                                       stride=stride, subwidth=subw,
+                                       width=width, G=G)
+        # columns: tile part at t*tile + s; overflow packed per bucket
+        cell = (counters // stride).astype(np.int64) - np.int64(i) * B * nt
+        s_loc = (counters % stride).astype(np.int64)
+        j = cell // nt
+        t = cell % nt
+        in_tile = s_loc < tile
+        col = np.where(in_tile, t * tile + s_loc, 0)
+        ots = np.maximum(cts - tile, 0)
+        cums = np.concatenate([np.zeros((B, 1), np.int64),
+                               np.cumsum(ots, axis=1)], axis=1)
+        ovf = ~in_tile
+        col[ovf] = (nt * tile + cums[j[ovf], t[ovf]]
+                    + (s_loc[ovf] - tile))
+        hh[j, col] = (h >> np.uint64(32)).astype(np.uint32)
+        hl[j, col] = h.astype(np.uint32)
+        hg[j, col] = gid
+        out.append((hh, hl, hg))
+    return out
+
+
 def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
                       gid_max: Optional[int] = None,
                       chunk_slots: int = 1 << 25,
-                      target_mean: int = 1024
+                      target_mean: int = 1024,
+                      nt: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """(kmer u64, gid) plantable index entries, regenerated on the host.
 
@@ -203,24 +401,37 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
     """
     from bench import _rc31_np                      # local: avoids a cycle
 
+    if nt is None:
+        nt = _default_nt()
     M, n_chunks, B, CI, width, mean, spread = _geometry(
         G, KPG, c, chunk_slots, target_mean)
+    if nt > 1:
+        _mt, _st, _tile, _ovpt, stride, subw, cbase, cmod = _tgeom(
+            B, CI, width, mean, spread, nt)
     ks, gs = [], []
     for i in range(n_chunks):
-        cnt = _counts_np(i, B, mean, spread)
-        # enumeration is vectorized (ragged arange over selected buckets);
-        # subsample buckets when only ~per_chunk plants are wanted
+        if nt > 1:
+            cnt = _counts_np_tiled(i, B, nt, cbase, cmod, stride)
+            n_units, unit_mean = B * nt, mean / nt
+        else:
+            cnt = _counts_np(i, B, mean, spread)
+            n_units, unit_mean = B, mean
+        # enumeration is vectorized (ragged arange over selected cells);
+        # subsample cells when only ~per_chunk plants are wanted
         want = max(per_chunk, 1)
         # worst case ~7/8 rejected by invertibility + gid_max filter
         over = 8 if gid_max is None else max(8, 8 * G // max(gid_max, 1))
-        n_buckets = min(B, max(1, -(-want * over // int(mean))))
-        step = max(1, B // n_buckets)
-        jj = np.arange(0, B, step, dtype=np.int64)
+        n_cells = min(n_units, max(1, -(-want * over // max(
+            1, int(unit_mean)))))
+        step = max(1, n_units // n_cells)
+        jj = np.arange(0, n_units, step, dtype=np.int64)
         cj = cnt[jj]
         total = int(cj.sum())
         starts = np.concatenate([[0], np.cumsum(cj)[:-1]])
         r = np.arange(total, dtype=np.int64) - np.repeat(starts, cj)
-        counter = np.repeat((np.int64(i * B) + jj) * CI, cj) + r
+        unit_stride = stride if nt > 1 else CI
+        counter = np.repeat(
+            (np.int64(i * n_units) + jj) * unit_stride, cj) + r
         if gid_max is not None:
             # cheap gid pass first: full-chunk scans (abundant-taxa pool)
             # only hash the ~gid_max/G survivors
@@ -228,7 +439,12 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
             counter = counter[((g0 & np.uint64(0xFFFFFFFF))
                                % np.uint64(G)) < gid_max]
             del g0
-        h, gid = _slot_values_np(counter, i, B, CI, width, G)
+        if nt > 1:
+            h, gid = _slot_values_np_tiled(counter, B=B, nt=nt,
+                                           stride=stride, subwidth=subw,
+                                           width=width, G=G)
+        else:
+            h, gid = _slot_values_np(counter, i, B, CI, width, G)
         keep = np.ones(h.size, bool)
         if gid_max is not None:
             assert (gid < gid_max).all()

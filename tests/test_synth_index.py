@@ -127,3 +127,108 @@ def test_plants_are_live_invertible_entries(small_synth):
 
     pa, ga = synth_plants_host(G, KPG, C, per_chunk=256, gid_max=13, **kw)
     assert pa.size and (ga < 13).all()
+
+
+# ---- hash-tiled layout (nt > 1) ----
+
+@pytest.fixture(scope="module")
+def small_synth_t():
+    kw = dict(chunk_slots=1 << 16, target_mean=64)
+    gidx = synth_index_device(G, KPG, C, devices=[jax.devices("cpu")[0]],
+                              nt=4, **kw)
+    host = synth_chunks_host(G, KPG, C, nt=4, **kw)
+    return gidx, host, kw
+
+
+def test_tiled_device_matches_host_replay(small_synth_t):
+    gidx, host, _ = small_synth_t
+    assert gidx.nt == 4 and gidx.ov > 0
+    assert len(gidx.chunk_hi) == len(host) >= 3
+    for (dh, dl, dg), (hh, hl, hg) in zip(
+            zip(gidx.chunk_hi, gidx.chunk_lo, gidx.chunk_gid), host):
+        np.testing.assert_array_equal(np.asarray(dh), hh)
+        np.testing.assert_array_equal(np.asarray(dl), hl)
+        np.testing.assert_array_equal(np.asarray(dg), hg)
+
+
+def test_tiled_layout_invariants(small_synth_t):
+    """Every live slot's hash lies inside its tile's hash sub-range (the
+    compare kernel's correctness precondition), overflow slots included;
+    total live count matches gidx.m."""
+    gidx, host, kw = small_synth_t
+    nt, tile, ov = gidx.nt, gidx.tile, gidx.ov
+    subw = gidx.subwidth
+    width = gidx.width
+    total_live = 0
+    for ci, (hh, hl, hg) in enumerate(host):
+        B, CI = hh.shape
+        assert CI == nt * tile + ov
+        live = hh != SENT
+        total_live += int(live.sum())
+        j, s = np.nonzero(live)
+        within = (hh[live].astype(np.int64) - int(gidx.bases[ci])
+                  - j * width)
+        assert (within >= 0).all() and (within < width).all()
+        sub = np.minimum(within // subw, nt - 1)
+        t_col = s // tile                   # tile slots only
+        in_tile = s < nt * tile
+        assert (sub[in_tile] == t_col[in_tile]).all()
+    assert total_live == gidx.m
+
+
+def test_tiled_engine_matches_untiled_engine(small_synth_t, small_synth):
+    """Same sample stream against nt=4 and nt=1 SYNTH indexes: not the
+    same k-mer population (layout changes the counters), so assert via
+    each engine's own host-built oracle instead."""
+    gidx, host, kw = small_synth_t
+    ks, gs = [], []
+    for hh, hl, hg in host:
+        live = hh.reshape(-1) != SENT
+        ks.append(((hh.reshape(-1)[live].astype(np.uint64)
+                    << np.uint64(32))
+                   | hl.reshape(-1)[live].astype(np.uint64)))
+        gs.append(hg.reshape(-1)[live])
+    kmers = np.concatenate(ks)
+    gids = np.concatenate(gs).astype(np.int32)
+    order = np.argsort(kmers, kind="stable")
+    built = build_grange_index(kmers[order], gids[order], G,
+                               chunk_slots=1 << 15, target_mean=32,
+                               presorted=True)
+    rng = np.random.default_rng(1)
+    plants = kmers[:: max(1, kmers.size // 4096)][:4096]
+    noise = rng.integers(0, (1 << 63), size=4096, dtype=np.uint64) \
+        % np.uint64(((1 << 64) - 1) // C)
+    sample = np.sort(np.concatenate([plants, noise, plants[:777]]))
+    shi = jax.numpy.asarray((sample >> np.uint64(32)).astype(np.uint32))
+    slo = jax.numpy.asarray(sample.astype(np.uint32))
+    dev = [jax.devices("cpu")[0]]
+    h1, ok1 = GRangeEngine(gidx, devices=dev).hist_device_stream(
+        shi, slo, n_live=sample.size)
+    h2, ok2 = GRangeEngine(built, devices=dev).hist_device_stream(
+        shi, slo, n_live=sample.size)
+    assert ok1() and ok2()
+    np.testing.assert_array_equal(np.asarray(h1)[: G * 64],
+                                  np.asarray(h2)[: G * 64])
+    assert int(np.asarray(h1)[: G * 64].sum()) >= plants.size
+
+
+def test_tiled_plants_are_live_members(small_synth_t):
+    gidx, host, kw = small_synth_t
+    from bench import _rc31_np
+
+    plants, gids = synth_plants_host(G, KPG, C, per_chunk=256, nt=4,
+                                     **kw)
+    assert plants.size >= 256
+    v = inv_mm_hash64_np(plants)
+    assert (v <= _rc31_np(v)).all()
+    np.testing.assert_array_equal(mm_hash64_np(v), plants)
+    all_k = set()
+    for hh, hl, _hg in host:
+        live = hh.reshape(-1) != SENT
+        all_k.update(((hh.reshape(-1)[live].astype(np.uint64)
+                       << np.uint64(32))
+                      | hl.reshape(-1)[live].astype(np.uint64)).tolist())
+    assert all(int(p) in all_k for p in plants.tolist())
+    pa, ga = synth_plants_host(G, KPG, C, per_chunk=256, gid_max=13,
+                               nt=4, **kw)
+    assert pa.size and (ga < 13).all()
