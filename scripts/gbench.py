@@ -192,10 +192,14 @@ def main():
         mean = n_live / n_chunks
         P = gr._quantize_p(1.3 * mean + 6.0 * np.sqrt(mean) + 64,
                            int(shi_s.shape[0]))
-        from sylph_tpu.tpu.bucket_join import sample_cs
-        CS = sample_cs(max(1, n_unique // n_chunks), gx.B, granularity=8)
+        from sylph_tpu.tpu.bucket_join import cell_cs, sample_cs
+        if gx.nt > 1:
+            CS = cell_cs(max(1, n_unique // n_chunks), gx.B * gx.nt)
+        else:
+            CS = sample_cs(max(1, n_unique // n_chunks), gx.B,
+                           granularity=8)
         use_fill = ((eng._use_pallas or gr._FILL_INTERPRET)
-                    and gr._fill_supported(gx.B, CS))
+                    and gr._fill_supported(gx.B * gx.nt, CS))
         est = 1.25 * n_matches / n_chunks
         density = min(1.0, max(est, 512.0) / max(1, gx.B * gx.CI))
         print(f"# joinstages: P={P} CS={CS} fill={use_fill} "
@@ -208,20 +212,31 @@ def main():
             fhi, flo, fw = gr._fold_weights(shi_s, slo_s)
             return starts, fhi, flo, fw
 
+        tile = gx.tile if gx.nt > 1 else 0
+
         @jax.jit
         def _fill_one(ihi, ilo, ch, cl, cw, base):
             dh, dl, dw = gr._fill_or_scatter(ch, cl, cw, base,
                                              width=gx.width, B=gx.B,
-                                             CS=CS, use_fill=use_fill)
+                                             CS=CS, use_fill=use_fill,
+                                             nt=gx.nt,
+                                             subwidth=gx.subwidth)
             return dh[0, 0].astype(jnp.int32) + dw.sum()
 
         @jax.jit
         def _grid_one(ihi, ilo, ch, cl, cw, base):
             dh, dl, dw = gr._fill_or_scatter(ch, cl, cw, base,
                                              width=gx.width, B=gx.B,
-                                             CS=CS, use_fill=use_fill)
+                                             CS=CS, use_fill=use_fill,
+                                             nt=gx.nt,
+                                             subwidth=gx.subwidth)
+            if gx.nt > 1:
+                dh = dh.reshape(gx.B, gx.nt * CS)
+                dl = dl.reshape(gx.B, gx.nt * CS)
+                dw = dw.reshape(gx.B, gx.nt * CS)
             grid = gr._grid_from_buckets(ihi, ilo, dh, dl, dw,
-                                         use_pallas=True)
+                                         use_pallas=True, nt=gx.nt,
+                                         tile=tile)
             return grid.sum()
 
         def _codes_one(ihi, ilo, gidg, ch, cl, cw, base):
@@ -229,7 +244,8 @@ def main():
                 ihi, ilo, gidg, ch, cl, cw, base, width=gx.width,
                 B=gx.B, CS=CS, n_genomes=G2, density=density,
                 use_pallas=eng._use_pallas, use_fill=use_fill,
-                fused=eng._fused)
+                fused=eng._fused, kcompact=eng._kcompact,
+                nt=gx.nt, subwidth=gx.subwidth, ov=gx.ov)
             return nc + wl
 
         def _sweep(one, gid=False):

@@ -233,9 +233,11 @@ def _fill_kernel(sblk_ref, base_ref, hi0, hi1, lo0, lo1, w0, w1,
     off = hi - base
     bucket = off // jnp.uint32(width)
     if nt > 1:
-        sub = jnp.minimum((off - bucket * jnp.uint32(width))
-                          // jnp.uint32(subwidth), jnp.uint32(nt - 1))
-        bucket = bucket * jnp.uint32(nt) + sub
+        # min in i32 (Mosaic cannot legalize vector minui); sub < nt tiny
+        sub = jnp.minimum(((off - bucket * jnp.uint32(width))
+                           // jnp.uint32(subwidth)).astype(jnp.int32),
+                          nt - 1)
+        bucket = bucket * jnp.uint32(nt) + sub.astype(jnp.uint32)
     lo_b = jnp.uint32(r * TBK)
     in_win = (bucket >= lo_b) & (bucket < lo_b + jnp.uint32(TBK))
     local_b = jnp.where(in_win, (bucket - lo_b).astype(jnp.int32), TBK)

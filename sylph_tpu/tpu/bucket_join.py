@@ -22,6 +22,7 @@ Counts return in index order via the host-side position map.
 """
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -124,13 +125,29 @@ def _sample_to_buckets(shi, slo, sw, *, width: int, B: int, CS: int,
             dw[:B * CS].reshape(B, CS))
 
 
+# roll-free compare loop: static lane-column extracts instead of rotating
+# the lane tile. DEFAULT ON since the v5e battery (2026-08-19): the three
+# per-iteration rolls were ~half the compare kernel's cost (grange join
+# 486 -> 296 ms at GTDB scale). Bounded at 96 lanes — beyond that the
+# unrolled program grows without bound and the rolled fori_loop returns.
+_JOIN_UNROLL = os.environ.get("SYLPH_JOIN_UNROLL", "1") == "1"
+_UNROLL_MAX = 96
+
+
 def _counts_vs_lanes(a_hi, a_lo, dh, dl, dw):
     """All-pairs weighted equality counts: index columns [TB, W] vs CS
-    sample lanes [TB, CS]. Compares one lane column at a time, rotating
-    the lane tile left so the live column is always 0 (static slice);
-    fori_loop keeps VMEM flat — an unrolled loop made Mosaic
-    stack-allocate every intermediate."""
+    sample lanes [TB, CS]. Compares one lane column at a time — unrolled
+    static lane extracts by default (no rolls, no carried mutation); the
+    rolled fori_loop remains for wide lane tiles (a fully unrolled loop
+    with ROLLED carries made Mosaic stack-allocate every intermediate,
+    which is why the carries stay in the fori variant)."""
     CS = dh.shape[1]
+    if _JOIN_UNROLL and CS <= _UNROLL_MAX:
+        counts = jnp.zeros(a_hi.shape, jnp.int32)
+        for j in range(CS):
+            eq = (a_hi == dh[:, j:j + 1]) & (a_lo == dl[:, j:j + 1])
+            counts = counts + jnp.where(eq, dw[:, j:j + 1], 0)
+        return counts
 
     def body(_, carry):
         dh, dl, dw, counts = carry
@@ -153,7 +170,13 @@ def _block_counts(ihi, ilo, shi, slo, sw, *, NT=1, TILE=0):
     see lanes [t*CS_T, (t+1)*CS_T) of the [TB, NT*CS_T] sample block (a
     sample hash can only match index slots of its own sub-range); the
     trailing overflow columns see every lane. Compare work drops from
-    CI*(NT*CS_T) to CI*CS_T + OV*NT*CS_T."""
+    CI*(NT*CS_T) to CI*CS_T + OV*NT*CS_T.
+
+    One rotation loop serves both: the whole lane block rotates left once
+    per step, so lane j sits at column 0 on step j — tile t's compares
+    run during steps [t*CS_T, (t+1)*CS_T) (a static phase per tile, no
+    narrow-group rolls, which waste full vregs), the overflow compares
+    on every step."""
     A_hi = ihi[...]
     A_lo = ilo[...]
     SH = shi[...]
@@ -162,17 +185,52 @@ def _block_counts(ihi, ilo, shi, slo, sw, *, NT=1, TILE=0):
     if NT <= 1:
         return _counts_vs_lanes(A_hi, A_lo, SH, SL, SW)
     CS_T = SH.shape[1] // NT
+    LW = SH.shape[1]
+    CI = A_hi.shape[1]
+    has_ov = CI > NT * TILE
+    o_hi = A_hi[:, NT * TILE:] if has_ov else None
+    o_lo = A_lo[:, NT * TILE:] if has_ov else None
     parts = []
+    cov = (jnp.zeros((A_hi.shape[0], CI - NT * TILE), jnp.int32)
+           if has_ov else None)
+    if _JOIN_UNROLL and LW <= 2 * _UNROLL_MAX:
+        for t in range(NT):
+            a_hi = A_hi[:, t * TILE:(t + 1) * TILE]
+            a_lo = A_lo[:, t * TILE:(t + 1) * TILE]
+            ct = jnp.zeros(a_hi.shape, jnp.int32)
+            for j in range(t * CS_T, (t + 1) * CS_T):
+                h0 = SH[:, j:j + 1]
+                l0 = SL[:, j:j + 1]
+                w0 = SW[:, j:j + 1]
+                ct = ct + jnp.where((a_hi == h0) & (a_lo == l0), w0, 0)
+                if has_ov:
+                    cov = cov + jnp.where((o_hi == h0) & (o_lo == l0),
+                                          w0, 0)
+            parts.append(ct)
+        if has_ov:
+            parts.append(cov)
+        return jnp.concatenate(parts, axis=1)
+    dh, dl, dw = SH, SL, SW
     for t in range(NT):
-        s0 = t * CS_T
-        parts.append(_counts_vs_lanes(
-            A_hi[:, t * TILE:(t + 1) * TILE],
-            A_lo[:, t * TILE:(t + 1) * TILE],
-            SH[:, s0:s0 + CS_T], SL[:, s0:s0 + CS_T],
-            SW[:, s0:s0 + CS_T]))
-    if A_hi.shape[1] > NT * TILE:          # shared overflow columns
-        parts.append(_counts_vs_lanes(
-            A_hi[:, NT * TILE:], A_lo[:, NT * TILE:], SH, SL, SW))
+        a_hi = A_hi[:, t * TILE:(t + 1) * TILE]
+        a_lo = A_lo[:, t * TILE:(t + 1) * TILE]
+
+        def body(_, carry, a_hi=a_hi, a_lo=a_lo):
+            dh, dl, dw, ct, cov = carry
+            h0, l0, w0 = dh[:, 0:1], dl[:, 0:1], dw[:, 0:1]
+            ct = ct + jnp.where((a_hi == h0) & (a_lo == l0), w0, 0)
+            if cov is not None:
+                cov = cov + jnp.where((o_hi == h0) & (o_lo == l0), w0, 0)
+            r = LW - 1
+            return (pltpu.roll(dh, r, axis=1), pltpu.roll(dl, r, axis=1),
+                    pltpu.roll(dw, r, axis=1), ct, cov)
+
+        dh, dl, dw, ct, cov = jax.lax.fori_loop(
+            0, CS_T, body,
+            (dh, dl, dw, jnp.zeros(a_hi.shape, jnp.int32), cov))
+        parts.append(ct)
+    if has_ov:
+        parts.append(cov)
     return jnp.concatenate(parts, axis=1)
 
 
