@@ -801,7 +801,8 @@ class GRangeEngine:
                            n_live: Optional[int] = None,
                            n_unique: Optional[int] = None,
                            n_matches: Optional[int] = None,
-                           diag: bool = False):
+                           diag: bool = False,
+                           cs: Optional[int] = None):
         """All-device histogram for a SORTED sample occurrence stream
         (sentinel-padded tail; duplicates encode multiplicity). Single
         device only (the bench/serving hot path: nothing crosses the
@@ -840,7 +841,11 @@ class GRangeEngine:
         # per-bucket sample capacity CS then scales with UNIQUE hashes,
         # which is what bounds compare work in the join kernel.
         shi, slo, w = _fold_weights(shi, slo)
-        if gidx.nt > 1:
+        if cs is not None:
+            CS = cs                 # caller override (e.g. a retry after
+            #                         a conservation check caught a
+            #                         capacity overflow)
+        elif gidx.nt > 1:
             from .bucket_join import cell_cs
             CS = cell_cs(max(1, (n_unique or n_live) // n_chunks),
                          gidx.B * gidx.nt)
@@ -863,7 +868,7 @@ class GRangeEngine:
                      ) / n_chunks
         density = min(1.0, max(est_codes, 512.0)
                       / max(1, gidx.B * gidx.CI))
-        codes_parts, diag_parts = [], []
+        codes_parts, diag_parts, wl_parts = [], [], []
         nxt = self._chunk_dev(0) if n_chunks else None
         for i in range(n_chunks):
             cur = nxt                # prefetch overlaps the previous join
@@ -882,6 +887,7 @@ class GRangeEngine:
                 nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
             codes_parts.append(cod)
             diag_parts.append(jnp.abs(nl - nc) + wlost)
+            wl_parts.append(wlost)
         all_codes = (jnp.concatenate(codes_parts)
                      if len(codes_parts) > 1 else codes_parts[0])
         cap = (_HIST_RUNS_CAP if G * HIST_H + 2 > _HIST_RUNS_CAP
@@ -903,7 +909,8 @@ class GRangeEngine:
 
         if diag:
             info = dict(diag=diag_v, max_len=ml, P=P, CS=CS,
-                        density=density, use_fill=use_fill)
+                        density=density, use_fill=use_fill,
+                        w_lost=jnp.stack(wl_parts))
             return hist, check, info
         return hist, check
 
@@ -912,7 +919,8 @@ class GRangeEngine:
                                    n_live: Optional[int] = None,
                                    n_unique: Optional[int] = None,
                                    w_s=None,
-                                   n_matches: Optional[int] = None):
+                                   n_matches: Optional[int] = None,
+                                   cs: Optional[int] = None):
         """S-sample batched form of hist_device_stream: [S, T] sorted
         streams -> ([S, G*H] i32, check). One index sweep serves the whole
         batch — per-chunk dispatch cost and index HBM reads amortize
@@ -938,7 +946,11 @@ class GRangeEngine:
         if w_s is None:
             shi_s, slo_s, w_s = jax.vmap(_fold_weights)(shi_s, slo_s)
         from .bucket_join import sample_cs
-        if gidx.nt > 1:
+        if cs is not None:
+            CS = cs                 # caller override (e.g. a retry after
+            #                         a conservation check caught a
+            #                         capacity overflow)
+        elif gidx.nt > 1:
             from .bucket_join import cell_cs
             CS = cell_cs(max(1, (n_unique or n_live) // n_chunks),
                          gidx.B * gidx.nt)

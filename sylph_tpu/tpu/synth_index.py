@@ -416,22 +416,24 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
         else:
             cnt = _counts_np(i, B, mean, spread)
             n_units, unit_mean = B, mean
-        # enumeration is vectorized (ragged arange over selected cells);
-        # subsample cells when only ~per_chunk plants are wanted
+        # enumeration is vectorized (ragged arange); subsample WITHIN
+        # cells (slot stride) when only ~per_chunk plants are wanted —
+        # a strided subset of CELLS would concentrate the pool and blow
+        # the join's per-cell sample capacity (measured: conservation
+        # failures at GTDB scale came exactly from that clustering)
         want = max(per_chunk, 1)
         # worst case ~7/8 rejected by invertibility + gid_max filter
         over = 8 if gid_max is None else max(8, 8 * G // max(gid_max, 1))
-        n_cells = min(n_units, max(1, -(-want * over // max(
-            1, int(unit_mean)))))
-        step = max(1, n_units // n_cells)
-        jj = np.arange(0, n_units, step, dtype=np.int64)
-        cj = cnt[jj]
+        total_live = max(1, int(cnt.sum()))
+        step = max(1, total_live // max(1, want * over))
+        jj = np.arange(0, n_units, dtype=np.int64)
+        cj = -(-cnt // step)               # ceil(ct/step) slots per cell
         total = int(cj.sum())
         starts = np.concatenate([[0], np.cumsum(cj)[:-1]])
         r = np.arange(total, dtype=np.int64) - np.repeat(starts, cj)
         unit_stride = stride if nt > 1 else CI
         counter = np.repeat(
-            (np.int64(i * n_units) + jj) * unit_stride, cj) + r
+            (np.int64(i * n_units) + jj) * unit_stride, cj) + r * step
         if gid_max is not None:
             # cheap gid pass first: full-chunk scans (abundant-taxa pool)
             # only hash the ~gid_max/G survivors

@@ -264,3 +264,81 @@ def test_hist_from_codes_runs_cap_matches():
     got, runs = grange.hist_from_codes(jnp.asarray(codes), n_genomes=G,
                                        runs_cap=1 << 20)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def _tiled_world(seed, B=32, nt=4, tile=8, ov=8, CS=8, G=9, width=64):
+    """Tiled index grids + sorted sample for _chunk_codes (nt > 1)."""
+    rng = np.random.default_rng(seed)
+    base = 2048
+    CI = nt * tile + ov
+    subw = -(-width // nt)
+    ihi = np.full((B, CI), SENT, np.uint32)
+    ilo = np.full((B, CI), SENT, np.uint32)
+    gid = np.full((B, CI), G, np.int32)
+    for b in range(B):
+        ovr = 0
+        for t in range(nt):
+            span = min(subw, width - t * subw)
+            ct = int(rng.integers(0, tile + 3))
+            h = (base + b * width + t * subw
+                 + rng.integers(0, span, size=ct)).astype(np.uint32)
+            k = min(ct, tile)
+            ihi[b, t * tile:t * tile + k] = h[:k]
+            ilo[b, t * tile:t * tile + k] = rng.integers(
+                0, 2**32, size=k, dtype=np.uint32)
+            for x in h[k:]:
+                if ovr < ov:
+                    ihi[b, nt * tile + ovr] = x
+                    ilo[b, nt * tile + ovr] = rng.integers(0, 2**32)
+                    ovr += 1
+        live = ihi[b] != SENT
+        gid[b, live] = rng.integers(0, G, size=live.sum())
+    # sample: half real slots, half random in range
+    n = 220
+    pick = rng.integers(0, B * CI, size=n // 2)
+    shi = np.concatenate([
+        ihi.reshape(-1)[pick],
+        rng.integers(base, base + B * width, size=n - n // 2,
+                     dtype=np.uint32).astype(np.uint32)])
+    slo = np.concatenate([
+        ilo.reshape(-1)[pick],
+        rng.integers(0, 2**32, size=n - n // 2, dtype=np.uint32)])
+    keep = shi != SENT
+    shi, slo = shi[keep], slo[keep]
+    order = np.lexsort((slo, shi))
+    shi, slo = shi[order], slo[order]
+    w = rng.integers(1, 5, size=shi.size).astype(np.int32)
+    P = 256
+    ph = np.full(P, SENT, np.uint32)
+    pl_ = np.full(P, SENT, np.uint32)
+    pw = np.zeros(P, np.int32)
+    ph[:shi.size], pl_[:shi.size], pw[:shi.size] = shi, slo, w
+    return (jnp.asarray(ihi), jnp.asarray(ilo), jnp.asarray(gid),
+            jnp.asarray(ph), jnp.asarray(pl_), jnp.asarray(pw),
+            jnp.uint32(base), width, B, CS, G, nt, subw, ov)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("kcompact", [False, True])
+def test_tiled_pallas_chunk_codes_interpret(seed, kcompact, monkeypatch):
+    """Tiled fused kernel (+fill, +kcompact) in interpret mode vs the
+    XLA-fallback two-step path — the exact program the TPU runs."""
+    monkeypatch.setattr(grange, "_CODES_INTERPRET", True)
+    monkeypatch.setattr(grange, "_FILL_INTERPRET", True)
+    (ihi, ilo, gid, sh, sl, sw, base, width, B, CS, G, nt, subw,
+     ov) = _tiled_world(seed)
+    kw = dict(width=width, B=B, CS=CS, n_genomes=G, density=1.0,
+              nt=nt, subwidth=subw, ov=ov)
+    ref_c, ref_nl, ref_nc, ref_wl = grange._chunk_codes(
+        ihi, ilo, gid, sh, sl, sw, base, fused=False, use_pallas=False,
+        use_fill=False, **kw)
+    assert int(ref_wl) == 0 and int(ref_nl) == int(ref_nc)
+    got_c, got_nl, got_nc, got_wl = grange._chunk_codes(
+        ihi, ilo, gid, sh, sl, sw, base, fused=True, use_pallas=False,
+        use_fill=True, kcompact=kcompact, **kw)
+    assert int(got_wl) == 0, "fill lost weight"
+    assert int(got_nl) == int(ref_nl), "live count diverges"
+    assert int(got_nc) == int(got_nl), "compaction lost codes"
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(got_c))[-int(ref_nl):],
+        np.sort(np.asarray(ref_c))[-int(ref_nl):])
