@@ -268,13 +268,20 @@ def _fill_kernel(sblk_ref, base_ref, hi0, hi1, lo0, lo1, w0, w1,
 def fill_geometry(B: int, CS: int):
     """(TBK, W_out) if the butterfly fill supports this grid, else None.
 
-    W_out = TBK*CS <= _IN_W slots per grid step; the step's output tile is
-    padded to a full _IN_W block (8x256) and sliced by the caller, so CS
-    needs no lane/sublane alignment of its own."""
-    if CS < 1 or CS > _IN_W:
+    W_out = TBK*CS <= 2*_IN_W slots per grid step — the output tile spans
+    the WHOLE two-block routing window (padded and sliced by the caller,
+    so CS needs no lane/sublane alignment of its own). A full-width
+    output halves the windows per fill versus a one-block output: the
+    routing tile's work is fixed, so output slots per window is the
+    whole cost lever. Input coverage stays sufficient: the window's
+    first entry lies in block 0, so >= _IN_W+1 entries are always
+    covered — orders of magnitude above a window's expected occupancy
+    (callers verify conservation downstream regardless)."""
+    if CS < 1 or CS > 2 * _IN_W:
         return None
     tbk = 1
-    while tbk * 2 * CS <= _IN_W and tbk * 2 <= B and B % (tbk * 2) == 0:
+    while (tbk * 2 * CS <= 2 * _IN_W and tbk * 2 <= B
+           and B % (tbk * 2) == 0):
         tbk *= 2
     if tbk > B or B % tbk != 0:
         return None
@@ -347,7 +354,8 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
     spec_in2 = pl.BlockSpec((rows, _LANES),
                             lambda r, sblk, b: (sblk[r] + 1, 0),
                             memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((rows, _LANES), lambda r, sblk, b: (r, 0),
+    # output tile spans the whole two-block routing window (16x256)
+    spec_out = pl.BlockSpec((2 * rows, _LANES), lambda r, sblk, b: (r, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(R,),
@@ -357,14 +365,15 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
                              nt=nt, subwidth=subwidth)
     oh, ol, ow = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((R * rows, _LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((R * rows, _LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((R * rows, _LANES), jnp.int32)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R * 2 * rows, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R * 2 * rows, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R * 2 * rows, _LANES), jnp.int32)),
         interpret=interpret,
     )(sblk, base_arr, shi2, shi2, slo2, slo2, sw2, sw2)
-    # each grid step fills a full 8x256 tile; only the first W_out slots
-    # are real targets — slice them out, then lay out as [B, CS]
-    oh = oh.reshape(R, _IN_W)[:, :W_out].reshape(NC, CS)
-    ol = ol.reshape(R, _IN_W)[:, :W_out].reshape(NC, CS)
-    ow = ow.reshape(R, _IN_W)[:, :W_out].reshape(NC, CS)
+    # each grid step fills a full 16x256 tile; only the first W_out slots
+    # are real targets — slice them out, then lay out as [NC, CS]
+    oh = oh.reshape(R, 2 * _IN_W)[:, :W_out].reshape(NC, CS)
+    ol = ol.reshape(R, 2 * _IN_W)[:, :W_out].reshape(NC, CS)
+    ow = ow.reshape(R, 2 * _IN_W)[:, :W_out].reshape(NC, CS)
     return oh, ol, ow

@@ -126,7 +126,7 @@ def test_fill_window_overflow_drops_cleanly():
 
 def test_fill_geometry_support():
     tbk, w_out = fill_geometry(32768, 8)
-    assert 32768 % tbk == 0 and w_out == tbk * 8 and w_out <= 2048
+    assert 32768 % tbk == 0 and w_out == tbk * 8 and w_out <= 4096
     # B without a large pow2 divisor still supported (TBK shrinks to fit)
     tbk, w_out = fill_geometry(100, 8)
     assert 100 % tbk == 0 and w_out == tbk * 8
@@ -134,8 +134,8 @@ def test_fill_geometry_support():
     # non-pow2 CS (granularity-8 grange capacities) must be supported:
     # battery3 found CS=1280 rejected by Mosaic under the old geometry
     tbk, w_out = fill_geometry(1024, 1280)
-    assert tbk == 1 and w_out == 1280
-    assert fill_geometry(32768, 4096) is None     # CS too large
+    assert tbk == 2 and w_out == 2560
+    assert fill_geometry(32768, 8192) is None     # CS too large
 
 
 def test_grange_engine_batched_fill(monkeypatch):
