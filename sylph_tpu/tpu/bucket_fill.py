@@ -179,6 +179,63 @@ def _repack1_flat_kernel(v_in, v_out, *, rows_in, rows_out, cap):
             a, v[:rows_out], SENT)
 
 
+def _repack2_flat_kernel(h_in, l_in, h_out, l_out, *, rows_in, rows_out,
+                         cap):
+    """Two-payload _repack1_flat_kernel (hash hi/lo pair streams)."""
+    for w in range(_WPB):
+        h = h_in[w * rows_in:(w + 1) * rows_in, :]
+        lo = l_in[w * rows_in:(w + 1) * rows_in, :]
+        keep = h != SENT
+        (h, lo), act = _route_left((h, lo), keep)
+        pos = _flat_pos((rows_out, _LANES))
+        a = act[:rows_out] & (pos < cap)
+        h_out[w * rows_out:(w + 1) * rows_out, :] = jnp.where(
+            a, h[:rows_out], SENT)
+        l_out[w * rows_out:(w + 1) * rows_out, :] = jnp.where(
+            a, lo[:rows_out], SENT)
+
+
+@functools.partial(jax.jit, static_argnames=("row", "cap", "interpret"))
+def repack2_flat(hi, lo, *, row: int, cap: int, interpret: bool = False):
+    """Pair-stream repack1_flat: condense a sentinel-padded (hi, lo)
+    stream by flat [row/256, 256] windows. Wide windows (up to 32k slots)
+    reach a dense stop in ONE pass where the lane-roll repack_pallas
+    (1024-lane rows) needed three."""
+    if row % _LANES != 0 or cap % _LANES != 0 or cap > row:
+        raise ValueError(f"row/cap must be multiples of {_LANES} with "
+                         f"cap <= row (got row={row} cap={cap})")
+    fh = hi.reshape(-1)
+    fl = lo.reshape(-1)
+    n = fh.shape[0]
+    nwin = _WPB * (-(-n // (row * _WPB)))
+    pad = nwin * row - n
+    if pad:
+        fh = jnp.pad(fh, (0, pad), constant_values=SENT)
+        fl = jnp.pad(fl, (0, pad), constant_values=SENT)
+    rows_in = row // _LANES
+    rows_out = cap // _LANES
+    mh = fh.reshape(nwin * rows_in, _LANES)
+    ml = fl.reshape(nwin * rows_in, _LANES)
+    kern = functools.partial(_repack2_flat_kernel, rows_in=rows_in,
+                             rows_out=rows_out, cap=cap)
+    spec_in = pl.BlockSpec((_WPB * rows_in, _LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((_WPB * rows_out, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    oh, ol = pl.pallas_call(
+        kern,
+        grid=(nwin // _WPB,),
+        in_specs=[spec_in, spec_in],
+        out_specs=(spec_out, spec_out),
+        out_shape=(jax.ShapeDtypeStruct((nwin * rows_out, _LANES),
+                                        jnp.uint32),
+                   jax.ShapeDtypeStruct((nwin * rows_out, _LANES),
+                                        jnp.uint32)),
+        interpret=interpret,
+    )(mh, ml)
+    return oh.reshape(-1), ol.reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("row", "cap", "interpret"))
 def repack1_flat(v, *, row: int, cap: int, interpret: bool = False):
     """Single-array stream compaction in flat order: condense each

@@ -255,16 +255,22 @@ def condense_stream(hi, lo, live_fraction: float,
     """
     if jax.default_backend() == "cpu" and not interpret:
         return hi, lo
-    from .pallas_seeding import repack_pallas
+    from .bucket_fill import repack2_flat
     density = live_fraction
-    row = 1024
-    while density < target_density and hi.size > 4 * row:
+    while density < target_density and hi.size > 4 * 1024:
+        # widest flat window whose capacity stays well under its width:
+        # one wide pass replaces the lane-roll chain (rows of 1024) that
+        # needed 3 passes from seed density to the 0.75 stop
+        row = 1024
+        while row < 32768 and row * 2 * density < 2048 \
+                and hi.size > 4 * row * 2:
+            row *= 2
         exp = row * density
-        cap = 128 * int(np.ceil((exp + 6.0 * np.sqrt(exp) + 16) / 128))
+        cap = 256 * int(np.ceil((exp + 6.0 * np.sqrt(exp) + 16) / 256))
         if cap >= row:
             break
-        hi, lo = repack_pallas(hi, lo, row=row, cap=cap,
-                               interpret=interpret)
+        hi, lo = repack2_flat(hi, lo, row=row, cap=cap,
+                              interpret=interpret)
         density = density * row / cap
     return hi, lo
 

@@ -342,3 +342,28 @@ def test_tiled_pallas_chunk_codes_interpret(seed, kcompact, monkeypatch):
     np.testing.assert_array_equal(
         np.sort(np.asarray(got_c))[-int(ref_nl):],
         np.sort(np.asarray(ref_c))[-int(ref_nl):])
+
+
+@pytest.mark.parametrize("seed,n,row,cap,dens", [
+    (0, 90_000, 2048, 512, 0.15), (1, 40_000, 8192, 1792, 0.16)])
+def test_repack2_flat_matches_oracle(seed, n, row, cap, dens):
+    from sylph_tpu.tpu.bucket_fill import repack2_flat
+    rng = np.random.default_rng(seed)
+    hi = rng.integers(0, 2**31, size=n, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    dead = rng.random(n) > dens
+    hi[dead] = SENT
+    gh, gl = repack2_flat(jnp.asarray(hi), jnp.asarray(lo), row=row,
+                          cap=cap, interpret=True)
+    gh, gl = np.asarray(gh), np.asarray(gl)
+    nwin = 8 * (-(-n // (row * 8)))
+    ph = np.concatenate([hi, np.full(nwin * row - n, SENT, np.uint32)])
+    plo = np.concatenate([lo, np.full(nwin * row - n, SENT, np.uint32)])
+    for w in range(nwin):
+        m = ph[w * row:(w + 1) * row] != SENT
+        live_h = ph[w * row:(w + 1) * row][m]
+        live_l = plo[w * row:(w + 1) * row][m]
+        k = min(live_h.size, cap)
+        np.testing.assert_array_equal(gh[w * cap:w * cap + k], live_h[:k])
+        np.testing.assert_array_equal(gl[w * cap:w * cap + k], live_l[:k])
+        assert (gh[w * cap + k:(w + 1) * cap] == SENT).all()
