@@ -262,6 +262,11 @@ def main():
                 acc.append(one(*args))
             return sync(jnp.stack(acc))
 
+        def _prep_only():
+            starts, fhi, flo, fw = _prep()
+            return sync(starts) + sync(fw[:1])
+
+        report("join:prep", _prep_only)
         report("join:fill", lambda: _sweep(_fill_one))
         report("join:+compare", lambda: _sweep(_grid_one))
         report("join:+codes", lambda: _sweep(_codes_one, gid=True))

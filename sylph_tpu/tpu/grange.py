@@ -608,11 +608,12 @@ def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
-    "fused", "nt", "subwidth", "ov"))
+    "fused", "kcompact", "nt", "subwidth", "ov"))
 def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
                          width: int, B: int, CS: int, n_genomes: int,
                          density: float, use_pallas: bool,
                          use_fill: bool = False, fused: bool = False,
+                         kcompact: bool = False,
                          nt: int = 1, subwidth: int = 0, ov: int = 0):
     """S samples x one chunk -> one compacted code stream.
 
@@ -644,7 +645,14 @@ def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
     S = shi_s.shape[0]
     CI = ihi.shape[1]
     tile = (CI - ov) // nt if nt > 1 else 0
-    if fused:
+    TB = max(1, min(64, B))
+    capr = _capr(density, TB) if B % TB == 0 else TB
+    if fused and kcompact and capr < TB:
+        codes, n_live = _codes_from_buckets_compact_batched(
+            ihi, ilo, gid_grid, dh, dl, dw, G=G, H=H, CAPR=capr,
+            nt=nt, tile=tile)
+        density = density * TB / capr
+    elif fused:
         codes = _codes_from_buckets_batched(ihi, ilo, gid_grid, dh, dl,
                                             dw, G=G, H=H, nt=nt,
                                             tile=tile)
@@ -701,6 +709,47 @@ def _codes_from_buckets_batched(ihi, ilo, gidg, dh, dl, dw, *, G, H,
         out_shape=jax.ShapeDtypeStruct((S, B, CI), jnp.uint32),
         interpret=_CODES_INTERPRET,
     )(ihi, ilo, gidg, dh, dl, dw)
+
+
+def _codes_from_buckets_compact_batched(ihi, ilo, gidg, dh, dl, dw, *,
+                                        G, H, CAPR, nt=1, tile=0):
+    """Batched _codes_from_buckets_compact: [S, B, LW] cell grids vs one
+    [B, CI] chunk -> ([S, B/TB*CAPR, CI] sample-tagged compacted codes,
+    n_live). Index blocks stay VMEM-resident across the batch; per-block
+    live counts exit via (8, 128) tiles per (block, sample)."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .bucket_join import _join_codes_compact_kernel
+    B, CI = ihi.shape
+    S, _, LW = dh.shape
+    CS = LW if nt <= 1 else LW // nt
+    TB = max(1, min(64, B))
+    if B % TB != 0:
+        TB = 1
+    kern = ft.partial(_join_codes_compact_kernel, CS=CS, G=G, H=H,
+                      CAPR=CAPR, batched=True, NT=nt, TILE=tile)
+    spec_i = pl.BlockSpec((TB, CI), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((None, TB, LW), lambda i, s: (s, i, 0),
+                          memory_space=pltpu.VMEM)
+    codes, nl = pl.pallas_call(
+        kern,
+        grid=(B // TB, S),
+        in_specs=[spec_i, spec_i, spec_i, spec_s, spec_s, spec_s],
+        out_specs=(pl.BlockSpec((None, CAPR, CI), lambda i, s: (s, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((None, 8, 128), lambda i, s: (s, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((S, B // TB * CAPR, CI),
+                                        jnp.uint32),
+                   jax.ShapeDtypeStruct((S, B // TB * 8, 128),
+                                        jnp.int32)),
+        interpret=_CODES_INTERPRET,
+    )(ihi, ilo, gidg, dh, dl, dw)
+    return codes, jnp.sum(nl)
 
 
 def _quantize_p(want: float, t=None) -> int:
@@ -980,7 +1029,7 @@ class GRangeEngine:
                 ihi, ilo, gidg, c_hi, c_lo, c_w, base, width=gidx.width,
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
-                fused=self._fused,
+                fused=self._fused, kcompact=self._kcompact,
                 nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
             codes_parts.append(cod)
             diag.append(jnp.abs(nl - nc) + wlost)
