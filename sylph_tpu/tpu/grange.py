@@ -49,6 +49,26 @@ from .containment import _bincount
 
 SENT = np.uint32(0xFFFFFFFF)
 HIST_H = 64                      # multiplicity clamp for histograms
+_EMPTY_I32 = np.empty(0, np.int32)
+_EMPTY_PTR = np.zeros(1, np.int64)
+
+
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate arange(s, s + l) for each (start, len) pair — the
+    vectorized CSR-segment gather used by heavy-run handling."""
+    lens = np.asarray(lens, np.int64)
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    nz = lens > 0
+    sv = np.asarray(starts, np.int64)[nz]
+    lv = lens[nz]
+    firsts = np.cumsum(lv) - lv          # offsets of each segment in out
+    step = np.ones(tot, np.int64)
+    step[0] = sv[0]
+    if sv.size > 1:
+        step[firsts[1:]] = sv[1:] - (sv[:-1] + lv[:-1] - 1)
+    return np.cumsum(step)
 
 # butterfly bucket-grid fill (bucket_fill.py) instead of the XLA scatter
 # in _sample_to_buckets — DEFAULT ON since the v5e battery (2026-08-19):
@@ -91,10 +111,19 @@ class GRangeIndex(NamedTuple):
     tile is hash-derived (elementwise), so the compare kernel only scans
     its own tile's sample lanes plus the overflow columns — ~2x less
     compare work with zero probabilistic routing (a hash run always lies
-    in one sub-range)."""
+    in one sub-range).
+
+    Heavy duplication runs (one hash shared by > heavy_run genomes —
+    conserved k-mers across related genomes, the dominant occupancy skew
+    in real databases) are extracted at build time: the grid keeps ONE
+    representative slot with marker gid ``n_genomes + r`` and the run's
+    real genome ids live in the ``heavy_gids``/``heavy_ptr`` CSR. The
+    join then bins marker codes past the real-genome range and the
+    engine expands them back host-side — grids stay near-Poisson no
+    matter how skewed the genome collection is."""
     chunk_hi: List[np.ndarray]    # per chunk [B, CI] uint32
     chunk_lo: List[np.ndarray]
-    chunk_gid: List[np.ndarray]   # per chunk [B, CI] int32 (pad: n_genomes)
+    chunk_gid: List[np.ndarray]   # per chunk [B, CI] int32 (pad: g_eff)
     bases: np.ndarray             # [n_chunks] uint32 hash_hi bucket origin
     edges_u64: np.ndarray         # [n_chunks, 2] first/last u64 hash in chunk
     width: int                    # uniform bucket width (hash_hi units)
@@ -102,10 +131,12 @@ class GRangeIndex(NamedTuple):
     CI: int                       # uniform index bucket capacity
     spill_kmers: np.ndarray       # [S] uint64 over-capacity slots
     spill_gids: np.ndarray        # [S] int32
-    m: int                        # live index k-mers (incl. spill)
+    m: int                        # live index k-mers (incl. spill + heavy)
     n_genomes: int
     nt: int = 1                   # hash sub-range tiles per bucket
     ov: int = 0                   # shared overflow columns per bucket
+    heavy_gids: np.ndarray = _EMPTY_I32   # CSR values: run genome ids
+    heavy_ptr: np.ndarray = _EMPTY_PTR    # [n_heavy + 1] CSR offsets
 
     @property
     def tile(self) -> int:
@@ -115,6 +146,15 @@ class GRangeIndex(NamedTuple):
     def subwidth(self) -> int:
         return -(-self.width // max(self.nt, 1))
 
+    @property
+    def n_heavy(self) -> int:
+        return int(self.heavy_ptr.size) - 1
+
+    @property
+    def g_eff(self) -> int:
+        """Code-space genome count: real genomes + heavy-run markers."""
+        return self.n_genomes + self.n_heavy
+
 
 def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
                        n_genomes: int, chunk_slots: int = 1 << 25,
@@ -122,7 +162,8 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
                        ci_cap: Optional[int] = None,
                        presorted: bool = False,
                        nt: Optional[int] = None,
-                       ov: int = 128) -> GRangeIndex:
+                       ov: int = 128,
+                       heavy_run: Optional[int] = None) -> GRangeIndex:
     """Sort the flat (kmer, gid) index by hash and lay it out in range
     chunks. ``ci_cap`` bounds the bucket capacity (defaults to a generous
     Poisson tail); deeper buckets (heavy k-mer duplication across genomes)
@@ -130,8 +171,10 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
     sort when the caller's arrays are already hash-ascending. ``nt`` > 1
     selects the hash-tiled layout (see GRangeIndex): per-tile capacity is
     sized at the sub-range mean (the shared ``ov`` columns absorb the
-    Poisson tail; anything deeper spills)."""
-    m = int(kmers_u64.size)
+    Poisson tail; anything deeper spills). Duplication runs longer than
+    ``heavy_run`` (default SYLPH_HEAVY_RUN=16; 0 disables) are extracted
+    to the heavy CSR and replaced by one marker slot — see GRangeIndex."""
+    m_total = m = int(kmers_u64.size)
     if nt is None:
         nt = int(os.environ.get("SYLPH_NT", "1"))
     if presorted:
@@ -146,6 +189,54 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
             su = kmers_u64[order]
             sg = gids[order].astype(np.int32)
             del order
+
+    # heavy-run extraction: a hash shared by d >> 1 genomes occupies d
+    # consecutive sorted slots — all in ONE bucket (and one tile), the
+    # occupancy skew that would otherwise force deep ci_cap/ov or heavy
+    # spill on real (strain-rich) databases. Pull runs longer than
+    # heavy_run out into a CSR, leave one marker slot behind.
+    heavy_gids, heavy_ptr = _EMPTY_I32, _EMPTY_PTR
+    if heavy_run is None:
+        heavy_run = int(os.environ.get("SYLPH_HEAVY_RUN", "16"))
+    if heavy_run > 0 and m > 1:
+        first = np.empty(m, bool)
+        first[0] = True
+        np.not_equal(su[1:], su[:-1], out=first[1:])
+        rstarts = np.flatnonzero(first)
+        rlens = np.diff(np.append(rstarts, m))
+        hsel = rlens > heavy_run
+        nh = int(np.count_nonzero(hsel))
+        # code space is int32-segmented downstream: (g_eff)*HIST_H must
+        # stay below 2^31 (and leave batched sample tags headroom), so
+        # keep only the longest runs if a pathological index would
+        # overflow it — the rest lay out in the grid as before
+        nh_cap = max(0, (1 << 27) // HIST_H * 16 - n_genomes - 2)
+        if nh > nh_cap:
+            keep_runs = np.argpartition(rlens[hsel], nh - nh_cap
+                                        )[nh - nh_cap:]
+            sel_idx = np.flatnonzero(hsel)
+            hsel = np.zeros_like(hsel)
+            hsel[sel_idx[keep_runs]] = True
+            nh = nh_cap
+        if nh:
+            hstarts = rstarts[hsel].astype(np.int64)
+            hlens = rlens[hsel].astype(np.int64)
+            hidx = _ranges(hstarts, hlens)
+            heavy_gids = np.ascontiguousarray(sg[hidx], np.int32)
+            heavy_ptr = np.zeros(nh + 1, np.int64)
+            np.cumsum(hlens, out=heavy_ptr[1:])
+            keep = np.ones(m, bool)
+            keep[hidx] = False
+            keep[hstarts] = True
+            if presorted:            # never clobber the caller's arrays
+                sg = sg.copy() if sg is gids or sg.base is not None \
+                    else sg
+            sg[hstarts] = n_genomes + np.arange(nh, dtype=np.int32)
+            su = su[keep]
+            sg = sg[keep]
+            m = int(su.size)
+        del first, rstarts, rlens, hsel
+    g_eff = n_genomes + (int(heavy_ptr.size) - 1)
 
     n_chunks = max(1, -(-m // chunk_slots))
     B = 1 << max(0, int(np.ceil(np.log2(max(1, chunk_slots // target_mean)))))
@@ -228,7 +319,7 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
     for b, col, hi32, lo32, cg in per_chunk:
         oh = np.full((B, CI), SENT, np.uint32)
         ol = np.full((B, CI), SENT, np.uint32)
-        og = np.full((B, CI), n_genomes, np.int32)
+        og = np.full((B, CI), g_eff, np.int32)
         oh[b, col] = hi32
         ol[b, col] = lo32
         og[b, col] = cg
@@ -236,11 +327,28 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
         chunk_lo.append(ol)
         chunk_gid.append(og)
 
+    spill_k = (np.concatenate(spill_k) if spill_k
+               else np.empty(0, np.uint64))
+    spill_g = (np.concatenate(spill_g) if spill_g
+               else np.empty(0, np.int32))
+    if spill_g.size and heavy_gids.size:
+        # a spilled MARKER slot leaves the grid entirely; expand it to
+        # its run's real (kmer, gid) pairs so the host spill probe stays
+        # exact (its heavy row then simply never matches)
+        mk = spill_g >= n_genomes
+        if mk.any():
+            r = spill_g[mk].astype(np.int64) - n_genomes
+            lens_r = heavy_ptr[r + 1] - heavy_ptr[r]
+            hidx = _ranges(heavy_ptr[r], lens_r)
+            spill_k = np.concatenate([spill_k[~mk],
+                                      np.repeat(spill_k[mk], lens_r)])
+            spill_g = np.concatenate([spill_g[~mk], heavy_gids[hidx]])
+
     return GRangeIndex(
         chunk_hi, chunk_lo, chunk_gid, bases, edges, width, B, CI,
-        np.concatenate(spill_k) if spill_k else np.empty(0, np.uint64),
-        np.concatenate(spill_g) if spill_g else np.empty(0, np.int32),
-        m, n_genomes, nt=nt if nt > 1 else 1, ov=ov if nt > 1 else 0)
+        spill_k, spill_g, m_total, n_genomes,
+        nt=nt if nt > 1 else 1, ov=ov if nt > 1 else 0,
+        heavy_gids=heavy_gids, heavy_ptr=heavy_ptr)
 
 
 def slice_sample(gidx: GRangeIndex, skmers_u64: np.ndarray
@@ -812,6 +920,7 @@ class GRangeEngine:
     def __init__(self, gidx: GRangeIndex, devices=None,
                  max_resident_chunks: Optional[int] = None):
         self.gidx = gidx
+        self._GE = gidx.g_eff       # code-space genomes (real + markers)
         devs = devices if devices is not None else jax.devices()
         self._devices = devs
         n_res = (len(gidx.chunk_hi) if max_resident_chunks is None
@@ -865,14 +974,17 @@ class GRangeEngine:
         from exactly that inflation: density > 0.25 disabled code
         compaction and 22 full-grid code streams (~7 GB) piled up in HBM.
 
-        Returns (hist [G*H+1] device i32, check() -> bool). check() fetches
-        the conservation scalars and returns True iff the histogram is
-        exact (compaction capacity honored and every chunk slice fit in P);
-        on False callers re-run via the host path."""
+        Returns (hist [g_eff*H+1] device i32, check() -> bool). check()
+        fetches the conservation scalars and returns True iff the
+        histogram is exact (compaction capacity honored and every chunk
+        slice fit in P); on False callers re-run via the host path. Bins
+        [0, n_genomes*H) are real genome counts; bins past that are
+        heavy-run marker rows — expand with ``heavy_expand`` (all zero
+        when the index has no heavy runs, as synthetic benches don't)."""
         shi = shi.reshape(-1)
         slo = slo.reshape(-1)
         gidx = self.gidx
-        G = gidx.n_genomes
+        G = self._GE
         n_chunks = len(gidx.chunk_hi)
         t = int(shi.shape[0])
         if n_live is None:
@@ -977,9 +1089,11 @@ class GRangeEngine:
         ``n_unique`` are per-sample maxima when known. ``w_s`` supplies
         pre-folded per-entry multiplicities ([S, T] i32, 0 on padding) for
         already-unique sorted tables (the CLI sketch form), skipping the
-        duplicate-run fold."""
+        duplicate-run fold. Per-sample rows span g_eff*H bins (real
+        genomes first, heavy-run marker rows after — see
+        hist_device_stream)."""
         gidx = self.gidx
-        G = gidx.n_genomes
+        G = self._GE
         S, t = int(shi_s.shape[0]), int(shi_s.shape[1])
         n_chunks = len(gidx.chunk_hi)
         assert S * G * HIST_H + 1 < (1 << 31), "sample-tag code overflow"
@@ -1054,6 +1168,40 @@ class GRangeEngine:
                     and (runs is None or int(np.asarray(runs)) <= cap))
         return hist[:S * G * HIST_H].reshape(S, G * HIST_H), check
 
+    def heavy_expand(self, hh: np.ndarray) -> np.ndarray:
+        """[n_heavy, H] marker-row counts -> [G, H] real-genome counts.
+
+        A heavy hash yields at most one (marker, mult) code per sample
+        (one representative grid slot), so each nonzero entry fans out to
+        its run's CSR genome list at that multiplicity."""
+        g = self.gidx
+        G, H = g.n_genomes, HIST_H
+        out = np.zeros((G, H), np.int64)
+        ptr, hg = g.heavy_ptr, g.heavy_gids
+        for mlt in range(H):
+            rows = np.flatnonzero(hh[:, mlt])
+            if not rows.size:
+                continue
+            lens = ptr[rows + 1] - ptr[rows]
+            hidx = _ranges(ptr[rows], lens)
+            cnt = np.repeat(hh[rows, mlt].astype(np.int64), lens)
+            seg = hg[hidx].astype(np.int64) * H + mlt
+            out += np.bincount(seg, weights=cnt,
+                               minlength=G * H).astype(np.int64
+                                                       ).reshape(G, H)
+        return out
+
+    def _fold_heavy(self, hist_eff: np.ndarray) -> np.ndarray:
+        """[g_eff*H...] flat histogram -> [G, H] with markers expanded."""
+        G, H = self.gidx.n_genomes, HIST_H
+        out = hist_eff[:G * H].astype(np.int64).reshape(G, H)
+        nh = self.gidx.n_heavy
+        if nh:
+            hh = hist_eff[G * H:self._GE * H].reshape(nh, H)
+            if hh.any():
+                out = out + self.heavy_expand(hh)
+        return out
+
     def hists_batched(self, tables) -> np.ndarray:
         """[S, G, HIST_H] histograms for S (sorted_kmers, counts) tables
         via ONE batched index sweep (hist_device_stream_batched with
@@ -1080,8 +1228,8 @@ class GRangeEngine:
             return np.stack([self.hists(k.astype(np.uint64),
                                         c.astype(np.uint32))
                              for k, c in tables])
-        out = np.asarray(hist_d).astype(np.int64)[:, :G * H]
-        out = out.reshape(S, G, H)
+        rows = np.asarray(hist_d).astype(np.int64)
+        out = np.stack([self._fold_heavy(rows[s]) for s in range(S)])
         if self.gidx.spill_kmers.size:
             for s, (k, c) in enumerate(tables):
                 out[s] += self._spill_hist(k.astype(np.uint64),
@@ -1111,7 +1259,7 @@ class GRangeEngine:
         """[G, HIST_H] exact (clamped) per-genome multiplicity histograms."""
         from . import u64 as u64mod
         gidx = self.gidx
-        G, H = gidx.n_genomes, HIST_H
+        G, H = self._GE, HIST_H
         shi, slo = u64mod.from_u64_np(skmers_u64)
         sw = scounts.astype(np.int32)
         slices = slice_sample(gidx, skmers_u64)
@@ -1189,7 +1337,7 @@ class GRangeEngine:
                 B=gidx.B, CS=4 * CS, n_genomes=G,
                 use_pallas=self._use_pallas)
             hist += np.asarray(h).astype(np.int64)
-        out = hist[:G * H].reshape(G, H)
+        out = self._fold_heavy(hist)
 
         # spilled (over-capacity) slots: host probe of the tiny overflow
         if gidx.spill_kmers.size:

@@ -391,3 +391,100 @@ def test_grange_cli_multisample_parity(tmp_path, monkeypatch):
     monkeypatch.setenv("SYLPH_TPU_DEVICES", "8")
     dev8 = run(tpu=True)                 # serial multi-device path
     assert dev8 == host
+
+
+def _zipf_world(seed, n_unique=40_000, G=60, alpha=1.6, dmax=600, t=4_000):
+    """Index with zipf cross-genome duplication (deep conserved runs)."""
+    rng = np.random.default_rng(seed)
+    thr = ((1 << 64) - 1) // 20
+    uniq = np.unique(rng.integers(0, thr, size=n_unique, dtype=np.uint64))
+    dv = np.arange(1, dmax + 1, dtype=np.float64)
+    p = dv ** (-alpha)
+    d = rng.choice(np.arange(1, dmax + 1), size=uniq.size, p=p / p.sum())
+    d = np.minimum(d, G)
+    kmers = np.repeat(uniq, d)
+    base_g = rng.integers(0, G, size=uniq.size)
+    off = np.concatenate([np.arange(x) for x in d])
+    gids = ((np.repeat(base_g, d) + off) % G).astype(np.int32)
+    sk = np.unique(np.concatenate([
+        rng.choice(uniq, size=t // 2),
+        rng.integers(0, thr, size=t // 2, dtype=np.uint64)]))
+    sc = rng.integers(1, 100, size=sk.size).astype(np.uint32)
+    return kmers, gids, sk, sc
+
+
+@pytest.mark.parametrize("seed,nt,heavy_run", [
+    (0, 1, 16), (1, 4, 16), (2, 4, 4), (3, 4, 0)])
+def test_grange_heavy_runs_match_oracle(seed, nt, heavy_run):
+    """Deep duplication runs (zipf, up to 600 genomes per hash) are
+    extracted to the heavy CSR and expanded exactly; heavy_run=0
+    disables extraction and must also stay exact (spill path)."""
+    kmers, gids, sk, sc = _zipf_world(seed)
+    G = 60
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 15,
+                              target_mean=512, nt=nt,
+                              heavy_run=heavy_run)
+    if heavy_run:
+        assert gidx.n_heavy > 0
+        assert gidx.heavy_gids.size >= gidx.n_heavy * heavy_run
+        # extraction removes the duplication tail from the grid: spill
+        # stays a small residue (run clumping below the threshold) even
+        # under the tiled layout
+        assert gidx.spill_kmers.size < kmers.size * 0.01
+    eng = GRangeEngine(gidx)
+    got = eng.hists(sk, sc)
+    want = _oracle_hists(kmers, gids, G, sk, sc)
+    assert (got == want).all()
+
+
+def test_grange_heavy_marker_spill_expands():
+    """A spilled MARKER slot must expand to its run's real gids in the
+    spill list (forced with a tiny ci_cap)."""
+    kmers, gids, sk, sc = _zipf_world(5, n_unique=8_000, alpha=1.2,
+                                      dmax=50)
+    G = 60
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 13,
+                              target_mean=1024, ci_cap=8, heavy_run=8)
+    assert gidx.n_heavy > 0 and gidx.spill_kmers.size > 0
+    assert (gidx.spill_gids < G).all()      # no markers leak to spill
+    eng = GRangeEngine(gidx)
+    got = eng.hists(sk, sc)
+    want = _oracle_hists(kmers, gids, G, sk, sc)
+    assert (got == want).all()
+
+
+def test_grange_heavy_batched_matches_serial():
+    kmers, gids, _, _ = _zipf_world(7, n_unique=20_000, G=40)
+    gidx = build_grange_index(kmers, gids, 40, chunk_slots=1 << 14,
+                              target_mean=512, nt=4, heavy_run=8)
+    assert gidx.n_heavy > 0
+    import jax
+    eng = GRangeEngine(gidx, devices=[jax.devices()[0]])
+    rng = np.random.default_rng(11)
+    tables = []
+    for _s in range(3):
+        sk = np.unique(np.concatenate([
+            rng.choice(kmers, size=1500),
+            rng.integers(0, ((1 << 64) - 1) // 20, size=1500,
+                         dtype=np.uint64)]))
+        sc = rng.integers(1, 70, size=sk.size).astype(np.uint32)
+        tables.append((sk, sc))
+    hb = eng.hists_batched(tables)
+    for s, (sk, sc) in enumerate(tables):
+        assert np.array_equal(hb[s], eng.hists(sk, sc)), s
+        assert np.array_equal(
+            hb[s], _oracle_hists(kmers, gids, 40, sk, sc)), s
+
+
+def test_grange_heavy_preserves_caller_arrays():
+    """presorted=True must not mutate the caller's gid array when heavy
+    runs get marker gids."""
+    kmers, gids, _, _ = _zipf_world(9, n_unique=5_000)
+    order = np.argsort(kmers, kind="stable")
+    km_s = kmers[order]
+    gg_s = gids[order].copy()
+    keep = gg_s.copy()
+    gidx = build_grange_index(km_s, gg_s, 60, chunk_slots=1 << 14,
+                              presorted=True, heavy_run=8)
+    assert gidx.n_heavy > 0
+    assert np.array_equal(gg_s, keep)
