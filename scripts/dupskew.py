@@ -173,8 +173,7 @@ def main():
                     t0 = time.perf_counter()
                     _, _, _s = run()
                     ts.append(time.perf_counter() - t0)
-                hG = np.asarray(hd)[:n_genomes * 64].reshape(n_genomes, 64)
-                hG = hG.astype(np.int64)
+                hG = eng._fold_heavy(np.asarray(hd))   # markers expanded
                 if gidx.spill_kmers.size:
                     hG += eng._spill_hist(skm, sct)
                 okd = check() and (hG == oracle).all()
