@@ -322,7 +322,7 @@ def _fill_kernel(sblk_ref, base_ref, hi0, hi1, lo0, lo1, w0, w1,
     w_out[...] = jnp.where(acto, w[:rows_out], 0)
 
 
-def fill_geometry(B: int, CS: int):
+def fill_geometry(B: int, CS: int, cover: int = 0):
     """(TBK, W_out) if the butterfly fill supports this grid, else None.
 
     W_out = TBK*CS <= 2*_IN_W slots per grid step — the output tile spans
@@ -330,14 +330,21 @@ def fill_geometry(B: int, CS: int):
     so CS needs no lane/sublane alignment of its own). A full-width
     output halves the windows per fill versus a one-block output: the
     routing tile's work is fixed, so output slots per window is the
-    whole cost lever. Input coverage stays sufficient: the window's
-    first entry lies in block 0, so >= _IN_W+1 entries are always
-    covered — orders of magnitude above a window's expected occupancy
-    (callers verify conservation downstream regardless)."""
+    whole cost lever.
+
+    ``cover`` is the per-bucket INPUT-coverage requirement: the window
+    fetches the 2*_IN_W slice entries after its first bucket's start, so
+    every entry of the window's TBK buckets must lie inside that span.
+    Zero-weight slots (duplicates folded to first-occurrence weights)
+    occupy slice positions without consuming CS capacity, so
+    duplication-heavy streams need cover > CS (callers size it from
+    OCCURRENCE counts where CS is sized from unique counts); the
+    conservation check downstream catches any residual overflow."""
     if CS < 1 or CS > 2 * _IN_W:
         return None
+    need = max(CS, cover)
     tbk = 1
-    while (tbk * 2 * CS <= 2 * _IN_W and tbk * 2 <= B
+    while (tbk * 2 * need <= 2 * _IN_W and tbk * 2 <= B
            and B % (tbk * 2) == 0):
         tbk *= 2
     if tbk > B or B % tbk != 0:
@@ -360,10 +367,10 @@ def _lower_bound_hi(shi, q):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "B", "CS", "interpret", "nt", "subwidth"))
+    "width", "B", "CS", "interpret", "nt", "subwidth", "cover"))
 def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
                        interpret: bool = False, nt: int = 1,
-                       subwidth: int = 0):
+                       subwidth: int = 0, cover: int = 0):
     """[B*nt, CS] dense cell grid of a HASH-SORTED sample slice.
 
     Drop-in replacement for `bucket_join._sample_to_buckets` (same
@@ -376,7 +383,7 @@ def bucket_fill_pallas(shi, slo, sw, base, *, width: int, B: int, CS: int,
     downstream (entries outside a window's two fetched input blocks are
     dropped)."""
     NC = B * max(nt, 1)
-    geom = fill_geometry(NC, CS)
+    geom = fill_geometry(NC, CS, cover)
     assert geom is not None, "call fill_geometry first"
     TBK, W_out = geom
     R = NC // TBK

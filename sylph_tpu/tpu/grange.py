@@ -83,21 +83,21 @@ _FILL_INTERPRET = os.environ.get("SYLPH_BUCKET_FILL", "0") == "interpret"
 
 
 def _fill_or_scatter(shi, slo, sw, base, *, width, B, CS, use_fill,
-                     nt=1, subwidth=0):
+                     nt=1, subwidth=0, cover=0):
     if use_fill:
         from .bucket_fill import bucket_fill_pallas
         return bucket_fill_pallas(shi, slo, sw, base, width=width, B=B,
                                   CS=CS, interpret=_FILL_INTERPRET,
-                                  nt=nt, subwidth=subwidth)
+                                  nt=nt, subwidth=subwidth, cover=cover)
     return _sample_to_buckets(shi, slo, sw, width=width, B=B, CS=CS,
                               base=base, nt=nt, subwidth=subwidth)
 
 
-def _fill_supported(B: int, CS: int) -> bool:
+def _fill_supported(B: int, CS: int, cover: int = 0) -> bool:
     if not _USE_BUCKET_FILL:
         return False
     from .bucket_fill import fill_geometry
-    return fill_geometry(B, CS) is not None
+    return fill_geometry(B, CS, cover) is not None
 
 
 class GRangeIndex(NamedTuple):
@@ -464,12 +464,13 @@ def _capr(density: float, TB: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
-    "fused", "kcompact", "nt", "subwidth", "ov"))
+    "fused", "kcompact", "nt", "subwidth", "ov", "cover"))
 def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
                  B: int, CS: int, n_genomes: int, density: float,
                  use_pallas: bool, use_fill: bool = False,
                  fused: bool = False, kcompact: bool = False,
-                 nt: int = 1, subwidth: int = 0, ov: int = 0):
+                 nt: int = 1, subwidth: int = 0, ov: int = 0,
+                 cover: int = 0):
     """One chunk: join + nonzero-slot compaction to gid*H+mult codes.
 
     Returns (codes, n_live, n_compacted, w_lost) — callers verify
@@ -482,10 +483,12 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
     from the compare kernel (no [B, CI] grid round-trip through HBM).
     ``nt`` > 1: hash-tiled index layout — CS is the per-CELL lane
     capacity and the cell grids are reshaped to [B, nt*CS] so each index
-    tile only scans its own lane group."""
+    tile only scans its own lane group. ``cover`` widens the fill's
+    input-coverage requirement for duplication-heavy streams (zero-weight
+    folded slots occupy slice positions; see bucket_fill.fill_geometry)."""
     dh, dl, dw = _fill_or_scatter(shi, slo, sw, base, width=width, B=B,
                                   CS=CS, use_fill=use_fill, nt=nt,
-                                  subwidth=subwidth)
+                                  subwidth=subwidth, cover=cover)
     if nt > 1:
         dh = dh.reshape(B, nt * CS)
         dl = dl.reshape(B, nt * CS)
@@ -501,6 +504,12 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
         codes, n_live = _codes_from_buckets_compact(
             ihi, ilo, gid_grid, dh, dl, dw, G=G, H=H, CAPR=capr,
             nt=nt, tile=tile)
+        # kcompact top-packs each column's codes into its first rows, so
+        # a row-major flattening would concentrate the live codes into
+        # the leading flat windows of the outer repack and overflow their
+        # uniform-density capacities; flatten column-major instead
+        # (occupancy per column is ~independent, so windows see the mean)
+        codes = codes.T
         density = density * TB / capr
     elif fused:
         codes = _codes_from_buckets(ihi, ilo, gid_grid, dh, dl, dw,
@@ -716,13 +725,14 @@ def _grid_from_buckets_batched(ihi, ilo, dh, dl, dw, *, use_pallas,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "B", "CS", "n_genomes", "density", "use_pallas", "use_fill",
-    "fused", "kcompact", "nt", "subwidth", "ov"))
+    "fused", "kcompact", "nt", "subwidth", "ov", "cover"))
 def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
                          width: int, B: int, CS: int, n_genomes: int,
                          density: float, use_pallas: bool,
                          use_fill: bool = False, fused: bool = False,
                          kcompact: bool = False,
-                         nt: int = 1, subwidth: int = 0, ov: int = 0):
+                         nt: int = 1, subwidth: int = 0, ov: int = 0,
+                         cover: int = 0):
     """S samples x one chunk -> one compacted code stream.
 
     Codes are sample-tagged: s*(G*H) + gid*H + mult, so ONE compaction +
@@ -733,7 +743,7 @@ def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
         # pallas_call is not supported
         parts = [_fill_or_scatter(shi_s[s], slo_s[s], sw_s[s], base,
                                   width=width, B=B, CS=CS, use_fill=True,
-                                  nt=nt, subwidth=subwidth)
+                                  nt=nt, subwidth=subwidth, cover=cover)
                  for s in range(shi_s.shape[0])]
         dh = jnp.stack([p[0] for p in parts])
         dl = jnp.stack([p[1] for p in parts])
@@ -759,6 +769,7 @@ def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
         codes, n_live = _codes_from_buckets_compact_batched(
             ihi, ilo, gid_grid, dh, dl, dw, G=G, H=H, CAPR=capr,
             nt=nt, tile=tile)
+        codes = jnp.swapaxes(codes, 1, 2)   # column-major: see _chunk_codes
         density = density * TB / capr
     elif fused:
         codes = _codes_from_buckets_batched(ihi, ilo, gid_grid, dh, dl,
@@ -989,6 +1000,12 @@ class GRangeEngine:
         t = int(shi.shape[0])
         if n_live is None:
             n_live = t
+        # fold duplicate hashes into a first-occurrence weight (the
+        # reference's kmer_counts multiplicity map, sylph
+        # src/sketch.rs:930-939, built as a sorted-run reduction): the
+        # per-bucket sample capacity CS then scales with UNIQUE hashes,
+        # which is what bounds compare work in the join kernel.
+        shi, slo, w = _fold_weights(shi, slo)
         if P is None:
             mean = n_live / n_chunks
             P = _quantize_p(1.3 * mean + 6.0 * np.sqrt(mean) + 64, t)
@@ -996,12 +1013,6 @@ class GRangeEngine:
         starts, max_len = _device_slices(shi, slo, lo_hi, lo_lo, hi_hi,
                                          hi_lo, P=P)
         from .bucket_join import sample_cs
-        # fold duplicate hashes into a first-occurrence weight (the
-        # reference's kmer_counts multiplicity map, sylph
-        # src/sketch.rs:930-939, built as a sorted-run reduction): the
-        # per-bucket sample capacity CS then scales with UNIQUE hashes,
-        # which is what bounds compare work in the join kernel.
-        shi, slo, w = _fold_weights(shi, slo)
         if cs is not None:
             CS = cs                 # caller override (e.g. a retry after
             #                         a conservation check caught a
@@ -1013,8 +1024,17 @@ class GRangeEngine:
         else:
             CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                            gidx.B, granularity=8)
+        # fill input coverage scales with OCCURRENCES (zero-weight folded
+        # duplicates occupy slice positions), where CS scales with unique
+        if gidx.nt > 1:
+            from .bucket_join import cell_cs
+            cover = cell_cs(max(1, n_live // n_chunks),
+                            gidx.B * gidx.nt)
+        else:
+            cover = sample_cs(max(1, n_live // n_chunks), gidx.B,
+                              granularity=8)
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
-                    and _fill_supported(gidx.B * gidx.nt, CS))
+                    and _fill_supported(gidx.B * gidx.nt, CS, cover))
         # live codes per chunk <= unique sample hashes in the chunk times
         # the cross-genome duplication factor; estimate 2x unique (or the
         # live count when unique is unknown) — _compact_codes layers its
@@ -1045,7 +1065,8 @@ class GRangeEngine:
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
                 fused=self._fused, kcompact=self._kcompact,
-                nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
+                nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov,
+                cover=cover)
             codes_parts.append(cod)
             diag_parts.append(jnp.abs(nl - nc) + wlost)
             wl_parts.append(wlost)
@@ -1106,6 +1127,7 @@ class GRangeEngine:
         starts_s, max_len_s = jax.vmap(
             lambda a, b: _device_slices(a, b, lo_hi, lo_lo, hi_hi, hi_lo,
                                         P=P))(shi_s, slo_s)
+        prefolded = w_s is not None
         if w_s is None:
             shi_s, slo_s, w_s = jax.vmap(_fold_weights)(shi_s, slo_s)
         from .bucket_join import sample_cs
@@ -1120,8 +1142,19 @@ class GRangeEngine:
         else:
             CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                            gidx.B, granularity=8)
+        # occurrence-based fill input coverage (see hist_device_stream);
+        # pre-folded tables (w_s given) have no zero-weight slots
+        if prefolded:
+            cover = CS
+        elif gidx.nt > 1:
+            from .bucket_join import cell_cs
+            cover = cell_cs(max(1, n_live // n_chunks),
+                            gidx.B * gidx.nt)
+        else:
+            cover = sample_cs(max(1, n_live // n_chunks), gidx.B,
+                              granularity=8)
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
-                    and _fill_supported(gidx.B * gidx.nt, CS))
+                    and _fill_supported(gidx.B * gidx.nt, CS, cover))
         est_codes = S * ((1.25 * n_matches) if n_matches is not None
                          else 2.0 * (n_unique if n_unique else n_live)
                          ) / n_chunks
@@ -1144,7 +1177,8 @@ class GRangeEngine:
                 B=gidx.B, CS=CS, n_genomes=G, density=density,
                 use_pallas=self._use_pallas, use_fill=use_fill,
                 fused=self._fused, kcompact=self._kcompact,
-                nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
+                nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov,
+                cover=cover)
             codes_parts.append(cod)
             diag.append(jnp.abs(nl - nc) + wlost)
         # codes are (s*G + gid)*H + mult — one bincount over S*G bins

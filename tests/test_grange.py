@@ -488,3 +488,50 @@ def test_grange_heavy_preserves_caller_arrays():
                               presorted=True, heavy_run=8)
     assert gidx.n_heavy > 0
     assert np.array_equal(gg_s, keep)
+
+
+def test_heavy_stream_all_kernel_paths(monkeypatch):
+    """Duplication-heavy OCCURRENCE stream through hist_device_stream
+    with the production TPU kernels in interpret mode (butterfly fill +
+    fused codes + kcompact): conservation must hold and the histogram
+    must match the oracle exactly. Regression for two found bugs: fill
+    input-coverage sized from unique counts while zero-weight folded
+    duplicates occupy slice positions (fixed by occurrence-based
+    ``cover``), and the outer code repack overflowing on kcompact's
+    top-packed rows (fixed by column-major flattening)."""
+    monkeypatch.setenv("SYLPH_BUCKET_FILL", "interpret")
+    monkeypatch.setenv("SYLPH_FUSED_CODES", "interpret")
+    import importlib
+
+    import sylph_tpu.tpu.grange as gr
+    importlib.reload(gr)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from sylph_tpu.tpu import u64 as u64mod
+
+        kmers, gids, sk, sc = _zipf_world(3, n_unique=30_000, G=60)
+        G = 60
+        gidx = gr.build_grange_index(kmers, gids, G, chunk_slots=1 << 15,
+                                     target_mean=512, heavy_run=16)
+        assert gidx.n_heavy > 0
+        eng = gr.GRangeEngine(gidx, devices=[jax.devices()[0]])
+        sc_small = np.minimum(sc, 5).astype(np.uint32)
+        occ = np.repeat(sk, sc_small)
+        T = 1 << int(np.ceil(np.log2(occ.size)))
+        shi = np.full(T, 0xFFFFFFFF, np.uint32)
+        slo = np.full(T, 0xFFFFFFFF, np.uint32)
+        shi[:occ.size], slo[:occ.size] = u64mod.from_u64_np(occ)
+        hd, check = eng.hist_device_stream(
+            jnp.asarray(shi), jnp.asarray(slo), n_live=occ.size,
+            n_unique=sk.size)
+        assert check()
+        hG = eng._fold_heavy(np.asarray(hd))
+        if gidx.spill_kmers.size:
+            hG += eng._spill_hist(sk, sc_small)
+        want = _oracle_hists(kmers, gids, G, sk, sc_small)
+        assert (hG == want).all()
+    finally:
+        monkeypatch.undo()
+        importlib.reload(gr)
