@@ -198,8 +198,10 @@ def main():
         else:
             CS = sample_cs(max(1, n_unique // n_chunks), gx.B,
                            granularity=8)
+        cover = int(np.ceil((n_live / n_chunks)
+                            / (gx.B * gx.nt))) + 1
         use_fill = ((eng._use_pallas or gr._FILL_INTERPRET)
-                    and gr._fill_supported(gx.B * gx.nt, CS))
+                    and gr._fill_supported(gx.B * gx.nt, CS, cover))
         est = 1.25 * n_matches / n_chunks
         density = min(1.0, max(est, 512.0) / max(1, gx.B * gx.CI))
         print(f"# joinstages: P={P} CS={CS} fill={use_fill} "
@@ -220,7 +222,8 @@ def main():
                                              width=gx.width, B=gx.B,
                                              CS=CS, use_fill=use_fill,
                                              nt=gx.nt,
-                                             subwidth=gx.subwidth)
+                                             subwidth=gx.subwidth,
+                                             cover=cover)
             return dh[0, 0].astype(jnp.int32) + dw.sum()
 
         @jax.jit
@@ -229,7 +232,8 @@ def main():
                                              width=gx.width, B=gx.B,
                                              CS=CS, use_fill=use_fill,
                                              nt=gx.nt,
-                                             subwidth=gx.subwidth)
+                                             subwidth=gx.subwidth,
+                                             cover=cover)
             if gx.nt > 1:
                 dh = dh.reshape(gx.B, gx.nt * CS)
                 dl = dl.reshape(gx.B, gx.nt * CS)
@@ -245,7 +249,8 @@ def main():
                 B=gx.B, CS=CS, n_genomes=G2, density=density,
                 use_pallas=eng._use_pallas, use_fill=use_fill,
                 fused=eng._fused, kcompact=eng._kcompact,
-                nt=gx.nt, subwidth=gx.subwidth, ov=gx.ov)
+                nt=gx.nt, subwidth=gx.subwidth, ov=gx.ov,
+                cover=cover)
             return nc + wl
 
         def _sweep(one, gid=False):

@@ -332,23 +332,26 @@ def fill_geometry(B: int, CS: int, cover: int = 0):
     routing tile's work is fixed, so output slots per window is the
     whole cost lever.
 
-    ``cover`` is the per-bucket INPUT-coverage requirement: the window
-    fetches the 2*_IN_W slice entries after its first bucket's start, so
-    every entry of the window's TBK buckets must lie inside that span.
-    Zero-weight slots (duplicates folded to first-occurrence weights)
-    occupy slice positions without consuming CS capacity, so
-    duplication-heavy streams need cover > CS (callers size it from
-    OCCURRENCE counts where CS is sized from unique counts); the
-    conservation check downstream catches any residual overflow."""
+    ``cover`` is the mean per-bucket OCCURRENCE count of the input slice
+    (slice entries per window bucket INCLUDING zero-weight slots — folded
+    duplicates occupy slice positions without consuming CS capacity).
+    The window's input fetch is block-quantized, so only _IN_W+1 entries
+    past the window's first entry are guaranteed covered; TBK therefore
+    also satisfies TBK*cover <= 3/4*_IN_W (the 4/3 headroom plus the
+    downstream conservation check absorb occupancy fluctuations).
+    cover=0 skips the constraint (pre-folded unique tables, where the
+    CS slack already keeps windows far under the fetch span)."""
     if CS < 1 or CS > 2 * _IN_W:
         return None
-    need = max(CS, cover)
     tbk = 1
-    while (tbk * 2 * need <= 2 * _IN_W and tbk * 2 <= B
-           and B % (tbk * 2) == 0):
+    while (tbk * 2 * CS <= 2 * _IN_W and tbk * 2 <= B
+           and B % (tbk * 2) == 0
+           and (cover <= 0 or tbk * 2 * cover <= (3 * _IN_W) // 4)):
         tbk *= 2
     if tbk > B or B % tbk != 0:
         return None
+    if cover > 0 and tbk * cover > _IN_W:
+        return None                 # even TBK=1 windows can't be covered
     return tbk, tbk * CS
 
 

@@ -1025,14 +1025,11 @@ class GRangeEngine:
             CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                            gidx.B, granularity=8)
         # fill input coverage scales with OCCURRENCES (zero-weight folded
-        # duplicates occupy slice positions), where CS scales with unique
-        if gidx.nt > 1:
-            from .bucket_join import cell_cs
-            cover = cell_cs(max(1, n_live // n_chunks),
-                            gidx.B * gidx.nt)
-        else:
-            cover = sample_cs(max(1, n_live // n_chunks), gidx.B,
-                              granularity=8)
+        # duplicates occupy slice positions), where CS scales with unique:
+        # mean occurrences per cell, enforced window-level by
+        # fill_geometry against the guaranteed input-fetch span
+        cover = int(np.ceil((n_live / n_chunks)
+                            / (gidx.B * gidx.nt))) + 1
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
                     and _fill_supported(gidx.B * gidx.nt, CS, cover))
         # live codes per chunk <= unique sample hashes in the chunk times
@@ -1143,16 +1140,10 @@ class GRangeEngine:
             CS = sample_cs(max(1, (n_unique or n_live) // n_chunks),
                            gidx.B, granularity=8)
         # occurrence-based fill input coverage (see hist_device_stream);
-        # pre-folded tables (w_s given) have no zero-weight slots
-        if prefolded:
-            cover = CS
-        elif gidx.nt > 1:
-            from .bucket_join import cell_cs
-            cover = cell_cs(max(1, n_live // n_chunks),
-                            gidx.B * gidx.nt)
-        else:
-            cover = sample_cs(max(1, n_live // n_chunks), gidx.B,
-                              granularity=8)
+        # pre-folded tables (w_s given) have no zero-weight slots and the
+        # CS slack already keeps windows far under the fetch span
+        cover = 0 if prefolded else (
+            int(np.ceil((n_live / n_chunks) / (gidx.B * gidx.nt))) + 1)
         use_fill = ((self._use_pallas or _FILL_INTERPRET)
                     and _fill_supported(gidx.B * gidx.nt, CS, cover))
         est_codes = S * ((1.25 * n_matches) if n_matches is not None
