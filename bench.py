@@ -56,6 +56,24 @@ N_BUCKETS = 256
 N_BATCHES = 64                   # ~1.07 Gbp streamed per timed run
 
 
+def _timed_median(run, reps, label, unit="s", nd=3):
+    """Median-of-``reps`` aggregation (repo methodology: run-to-run noise
+    on this box is 2-3x, so medians, never single runs or min). Prints
+    every rep plus the median/min so min remains visible as a secondary
+    figure."""
+    import time as _t
+    times = []
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        run()
+        times.append(_t.perf_counter() - t0)
+    med = float(np.median(times))
+    print(f"# {label} timed runs: {[round(x, nd) for x in times]} "
+          f"(median {med:.{nd}f}{unit}, min {min(times):.{nd}f}{unit})",
+          flush=True)
+    return med
+
+
 def _bench_sketch_only(jax, jnp, sketch_batch, bases, lengths):
     """BASELINE.json config 3: sketch-only FracMinHash extraction rate."""
     import time as _t
@@ -121,7 +139,6 @@ def _synth_sorted_index(M, G, c, seed=1):
 def load_gtdb_index(G: int, KPG: int):
     """Disk-cached synthetic GTDB-class grange index (shared with
     scripts/gbench.py): G genomes x KPG k-mers, c=200 hash range."""
-    import os
 
     from sylph_tpu.tpu.grange import build_grange_index
 
@@ -325,7 +342,6 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     population as the host build, zero wire upload — this box's relay
     moves the 10 GB index at ~8 MB/s, i.e. ~20 min/process);
     ``index_mode='host'`` builds/loads the host index and uploads it."""
-    import os
     import time as _t
 
     from sylph_tpu.tpu.grange import GRangeEngine
@@ -505,16 +521,13 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
             print(f"# conservation miss: retrying with CS="
                   f"{cs_arg['cs']}", flush=True)
             _, ok = run_once_batched()
-        times = []
-        for _ in range(3):
-            t0 = _t.perf_counter()
-            _, ok = run_once_batched()
-            times.append(_t.perf_counter() - t0)
-            assert ok, "grange conservation check failed"
-        print(f"# batched timed runs: {[round(x, 3) for x in times]} "
-              f"({S} samples/run)", flush=True)
+        def timed():
+            _, ok2 = run_once_batched()
+            assert ok2, "grange conservation check failed"
+
+        med = _timed_median(timed, 5, f"batched ({S} samples/run)")
         total = S * n_batches * BATCH_READS * READ_LEN
-        return total / min(times) / 1e9
+        return total / med / 1e9
 
     print(f"# n_live={n_live} n_unique={n_unique} n_matches={n_matches} "
           "warmup begin", flush=True)
@@ -548,18 +561,13 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                 sync(shi)
             print(f"# stage through {name}: "
                   f"{_t.perf_counter() - t0:.3f}s", flush=True)
-    best = float("inf")
-    times = []
-    for _ in range(3):
-        t0 = _t.perf_counter()
-        _, ok = run_once()
-        dt = _t.perf_counter() - t0
-        times.append(dt)
-        best = min(best, dt)
-        assert ok, "grange conservation check failed"
-    print(f"# timed runs: {[round(x, 3) for x in times]}", flush=True)
+    def timed():
+        _, ok2 = run_once()
+        assert ok2, "grange conservation check failed"
+
+    med = _timed_median(timed, 5, "gtdb")
     total_bases = n_batches * BATCH_READS * READ_LEN
-    return total_bases / best / 1e9
+    return total_bases / med / 1e9
 
 
 def _bench_e2e(jax, paired=False):
@@ -570,7 +578,6 @@ def _bench_e2e(jax, paired=False):
     mate-pair fixture, which additionally drives the pair-fingerprint
     bloom dedup)."""
     import io as _io
-    import os
     import time as _t
 
     from sylph_tpu.engine.runner import ContainOptions, contain
@@ -604,7 +611,8 @@ def _bench_e2e(jax, paired=False):
 
     warm = run()                    # compiles cached across processes
     print(f"# e2e warm-up run: {warm:.1f}s", flush=True)
-    times = [run() for _ in range(3)]
+    times = [run() for _ in range(5)]
+    med = float(np.median(times))
 
     # host-I/O floor: decode-only pass over the file (page-warm, after
     # the timed runs so it doesn't perturb nor flatter them)
@@ -613,9 +621,9 @@ def _bench_e2e(jax, paired=False):
     nbytes = sum(len(b) for b in stream_blocks(r1 if paired else reads))
     t_io = _t.perf_counter() - t0
     print(f"# e2e timed runs: {[round(x, 1) for x in times]} "
-          f"(decode-only floor {t_io:.1f}s, "
-          f"{nbytes / t_io / 1e6:.0f} MB/s text)", flush=True)
-    return total_bp / min(times) / 1e9
+          f"(median {med:.1f}s, min {min(times):.1f}s; decode-only floor "
+          f"{t_io:.1f}s, {nbytes / t_io / 1e6:.0f} MB/s text)", flush=True)
+    return total_bp / med / 1e9
 
 
 def _bench_gtdb_cli(jax):
@@ -626,7 +634,6 @@ def _bench_gtdb_cli(jax):
     reported separately (the reference pays an analogous 13 GB load,
     README.md:42-48). Requires scripts/gen_gtdb_cli_fixture.py."""
     import io as _io
-    import os
     import time as _t
 
     from sylph_tpu.engine.runner import ContainOptions, contain
@@ -657,10 +664,11 @@ def _bench_gtdb_cli(jax):
     warm = run()            # includes one-time syldb load + grange build
     print(f"# gtdb_cli warm-up run (incl. db load): {warm:.1f}s",
           flush=True)
-    times = [run() for _ in range(3)]
-    print(f"# gtdb_cli timed runs: {[round(x, 1) for x in times]}",
-          flush=True)
-    return total_bp / min(times) / 1e9
+    times = [run() for _ in range(5)]
+    med = float(np.median(times))
+    print(f"# gtdb_cli timed runs: {[round(x, 1) for x in times]} "
+          f"(median {med:.1f}s, min {min(times):.1f}s)", flush=True)
+    return total_bp / med / 1e9
 
 
 def _bench_sketchdb():
@@ -668,7 +676,6 @@ def _bench_sketchdb():
     (107 x 10 Mbp synthetic) -> .syldb, timed end-to-end on the host
     (parse + striped SIMD seeding + dup-drop + spacing + bincode write).
     The reference counterpart is sketching a GTDB slice."""
-    import os
     import shutil
     import time as _t
 
@@ -704,7 +711,7 @@ def _bench_sketchdb():
                              threads=4))
         times.append(_t.perf_counter() - t0)
         print(f"# sketch run {rep}: {times[-1]:.1f}s", flush=True)
-    return NG * GLEN / min(times) / 1e9
+    return NG * GLEN / float(np.median(times)) / 1e9
 
 
 def _require_backend(timeout_s: float):

@@ -196,7 +196,6 @@ class DeviceContainment:
         report nothing), leaving headroom for the sample stream, join
         grids and collectives. Chunks beyond the cap stream per sample
         with async prefetch (tpu/grange.py)."""
-        import os
         n_chunks = len(gidx.chunk_hi)
         chunk_bytes = gidx.B * gidx.CI * 12
         env = os.environ.get("SYLPH_HBM_GB")
