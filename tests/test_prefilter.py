@@ -93,6 +93,95 @@ def test_candidate_mask_lambda_rescue():
     assert not keep2[5]
 
 
+def _closest_naive_cases(floor, k=31, per_side=4):
+    """(contained, n_kmers) with naive ANI = (contained/n)^(1/k) landing
+    as close as integer arithmetic allows on BOTH sides of the floor
+    (~1e-12 at n <= 4e5)."""
+    n = np.arange(2_000, 400_000, dtype=np.int64)
+    c = np.round(n.astype(np.float64) * floor ** k).astype(np.int64)
+    ok = c >= 1
+    n, c = n[ok], c[ok]
+    d = np.power(c / n, 1.0 / k) - floor
+    above = np.flatnonzero(d >= 0)
+    below = np.flatnonzero(d < 0)
+    pick = np.concatenate([above[np.argsort(d[above])[:per_side]],
+                           below[np.argsort(-d[below])[:per_side]]])
+    return [(int(c[i]), int(n[i]), float(d[i])) for i in pick]
+
+
+def _closest_adjusted_cases(floor, k=31, per_side=4):
+    """(c1, c2, n_kmers) rows — c1 k-mers at multiplicity 1, c2 at 2 —
+    whose ADJUSTED ANI ((c1+c2)/(1-e^-lam)/n)^(1/k), lam = 2*c2/c1,
+    lands within ~1e-10 of the floor on both sides. All rows satisfy the
+    ratio-lambda gates: modal multiplicity 1 (c1 > c2), counts >= 3,
+    contained >= 25, median 1 <= 2."""
+    target = floor ** k
+    c1 = np.arange(100, 4000, 7, dtype=np.int64)
+    rows = []
+    for frac in (0.08, 0.15, 0.25, 0.4):
+        c2 = np.maximum((c1 * frac).astype(np.int64), 3)
+        m = c2 < c1
+        a, b = c1[m], c2[m]
+        lam = 2.0 * b / a
+        nstar = (a + b) / ((1.0 - np.exp(-lam)) * target)
+        for nn in (np.floor(nstar), np.ceil(nstar)):
+            nn = nn.astype(np.int64)
+            adj = np.power((a + b) / ((1.0 - np.exp(-lam)) * nn), 1.0 / k)
+            rows.append(np.stack([a, b, nn, adj - floor]))
+    r = np.concatenate(rows, axis=1)
+    d = r[3]
+    above = np.flatnonzero(d >= 0)
+    below = np.flatnonzero(d < 0)
+    pick = np.concatenate([above[np.argsort(d[above])[:per_side]],
+                           below[np.argsort(-d[below])[:per_side]]])
+    return [(int(r[0, i]), int(r[1, i]), int(r[2, i]), float(d[i]))
+            for i in pick]
+
+
+@pytest.mark.parametrize("floor", [0.90, 0.95])
+def test_candidate_mask_adversarial_ani_floor(floor):
+    """Constructed cases land within ulps of the query/profile ANI floors
+    on BOTH sides (the _ANI_MARGIN guard's adversarial regime): the mask
+    must keep every scalar survivor regardless of which side the
+    vectorized transcendentals round to."""
+    covs_list, hist_rows, nk_list, dists = [], [], [], []
+    # naive-decision cases: every contained k-mer at multiplicity 3
+    # (median 3 > 2 disables the lambda path; the scalar decision is
+    # exactly naive_ani >= floor)
+    for c, n, d in _closest_naive_cases(floor):
+        covs_list.append(np.full(c, 3, np.int64))
+        row = np.zeros(_H, np.int64)
+        row[3] = c
+        hist_rows.append(row)
+        nk_list.append(n)
+        dists.append(abs(d))
+    # adjusted-decision cases: the ratio-lambda rescue computes the
+    # final ANI, landing within ~1e-10 of the floor
+    for c1, c2, n, d in _closest_adjusted_cases(floor):
+        covs_list.append(np.concatenate([np.ones(c1, np.int64),
+                                         np.full(c2, 2, np.int64)]))
+        row = np.zeros(_H, np.int64)
+        row[1], row[2] = c1, c2
+        hist_rows.append(row)
+        nk_list.append(n)
+        dists.append(abs(d))
+    assert min(dists) < 1e-11 and max(dists) < 5e-9   # truly adversarial
+
+    hist = np.stack(hist_rows)
+    n_kmers = np.asarray(nk_list, np.int64)
+    keep = candidate_mask(hist, n_kmers, k=31, min_ani=floor,
+                          min_number_kmers=50.0, min_count_correct=3.0,
+                          no_adj=False)
+    truths = [_scalar_survives(covs_list[g], int(n_kmers[g]), floor)
+              for g in range(len(covs_list))]
+    assert any(truths) and not all(truths)     # both sides represented
+    for g, truth in enumerate(truths):
+        assert not (truth and not keep[g]), (
+            f"prefilter dropped a near-floor survivor: row {g}, "
+            f"floor={floor}, |ani-floor|={dists[g]:.2e}, "
+            f"hist={np.flatnonzero(hist[g])}, n={n_kmers[g]}")
+
+
 def test_genome_hists_chunked():
     rng = np.random.default_rng(3)
     counts = rng.integers(0, 100, size=1000)
