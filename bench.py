@@ -38,8 +38,9 @@ if __name__ == "__main__" and os.environ.get("MALLOC_MMAP_THRESHOLD_") \
 
 # hash-tiled bucket layout for the bench index (measured ~6% faster at
 # GTDB scale, 2026-08-19 battery); SYLPH_NT=1 restores the flat layout.
-# The CLI keeps nt=1 by default until tiled capacity behavior is
-# characterized on real (duplication-skewed) databases.
+# build_grange_index's auto rule picks the same layout from the real
+# per-bucket mean (the CLI path); the bench pins nt=4 so the disk-cached
+# index/plant artifacts keep deterministic names.
 if __name__ == "__main__":
     os.environ.setdefault("SYLPH_NT", "4")
 

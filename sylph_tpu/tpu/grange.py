@@ -158,7 +158,7 @@ class GRangeIndex(NamedTuple):
 
 def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
                        n_genomes: int, chunk_slots: int = 1 << 25,
-                       target_mean: int = 512,
+                       target_mean: Optional[int] = None,
                        ci_cap: Optional[int] = None,
                        presorted: bool = False,
                        nt: Optional[int] = None,
@@ -173,10 +173,23 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
     sized at the sub-range mean (the shared ``ov`` columns absorb the
     Poisson tail; anything deeper spills). Duplication runs longer than
     ``heavy_run`` (default SYLPH_HEAVY_RUN=16; 0 disables) are extracted
-    to the heavy CSR and replaced by one marker slot — see GRangeIndex."""
+    to the heavy CSR and replaced by one marker slot — see GRangeIndex.
+
+    ``target_mean``/``nt`` default to a measured auto-pick (v5e battery,
+    docs/BENCHMARKS.md "Duplication-skew characterization"): mean-1024
+    buckets join ~2x faster than mean-512 at database scale, and the
+    hash-tiled layout (nt=4) only pays when the per-tile mean clears the
+    128-slot tile floor with Poisson headroom — so nt=4 engages iff the
+    REAL per-bucket mean (actual fill of a chunk, not the target) is
+    >= 896 (tile 256 with slack), else the flat layout. SYLPH_NT
+    overrides with an explicit value ("auto" keeps the measured rule)."""
     m_total = m = int(kmers_u64.size)
+    if target_mean is None:
+        target_mean = 1024
     if nt is None:
-        nt = int(os.environ.get("SYLPH_NT", "1"))
+        env_nt = os.environ.get("SYLPH_NT", "auto")
+        if env_nt != "auto":
+            nt = int(env_nt)
     if presorted:
         su = kmers_u64
         sg = np.ascontiguousarray(gids, np.int32)
@@ -241,6 +254,13 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
     n_chunks = max(1, -(-m // chunk_slots))
     B = 1 << max(0, int(np.ceil(np.log2(max(1, chunk_slots // target_mean)))))
     mean = chunk_slots / B
+    if nt is None:
+        # auto: tiled layout iff the fullest chunk's REAL per-bucket mean
+        # (post heavy-extraction fill, not the target) clears the 128-slot
+        # tile floor with Poisson headroom — tile 256 at mean >= ~900; the
+        # shared overflow columns otherwise eat the win (measured, see
+        # docs/BENCHMARKS.md duplication-skew table)
+        nt = 4 if min(m, chunk_slots) / B >= 896 else 1
 
     # uniform width: cover the widest chunk span
     starts = [ci * chunk_slots for ci in range(n_chunks)]

@@ -53,7 +53,10 @@ SYNTH_OV = 128                # overflow columns for the tiled layout
 
 
 def _default_nt() -> int:
-    return int(os.environ.get("SYLPH_NT", "1"))
+    """SYLPH_NT, or the build_grange_index auto rule at the synthetic
+    index's own geometry (target_mean 1024 -> tiled)."""
+    env = os.environ.get("SYLPH_NT", "auto")
+    return 4 if env == "auto" else int(env)
 
 
 def _tgeom(B: int, CI: int, width: int, mean: float, spread: int,

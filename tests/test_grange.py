@@ -66,6 +66,37 @@ def test_grange_tiled_hist_matches_oracle(seed, nt, ov, target_mean):
     assert (got == want).all()
 
 
+def test_grange_auto_layout_pick():
+    """Default (no nt/target_mean): the build picks the measured-best
+    layout from the REAL per-bucket mean — tiled (nt=4) at bench-class
+    geometry, flat when buckets are sparse — and stays oracle-exact."""
+    G = 50
+    # full chunk at the auto target mean (1024): chunk_slots/B = 1024
+    kmers, gids, sk, sc = _world(0, m=1 << 17, G=G, dup_frac=0.2)
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 17)
+    assert gidx.nt == 4 and gidx.tile == 256 and gidx.ov > 0
+    got = GRangeEngine(gidx).hists(sk, sc)
+    assert (got == _oracle_hists(kmers, gids, G, sk, sc)).all()
+
+    # sparse fill (real mean ~128 despite the same target): flat layout
+    sparse = build_grange_index(kmers[:1 << 14], gids[:1 << 14], G,
+                                chunk_slots=1 << 17)
+    assert sparse.nt == 1
+
+    # explicit SYLPH_NT still overrides the auto rule
+    import os
+    old = os.environ.get("SYLPH_NT")
+    os.environ["SYLPH_NT"] = "1"
+    try:
+        forced = build_grange_index(kmers, gids, G, chunk_slots=1 << 17)
+        assert forced.nt == 1
+    finally:
+        if old is None:
+            os.environ.pop("SYLPH_NT", None)
+        else:
+            os.environ["SYLPH_NT"] = old
+
+
 def test_grange_tiled_stream_matches_untiled():
     """hist_device_stream over a tiled index == untiled index exactly."""
     import jax
@@ -443,8 +474,11 @@ def test_grange_heavy_marker_spill_expands():
     kmers, gids, sk, sc = _zipf_world(5, n_unique=8_000, alpha=1.2,
                                       dmax=50)
     G = 60
+    # nt=1 pinned: ci_cap only bounds the flat layout's buckets (the
+    # auto rule would pick the tiled layout at this geometry)
     gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 13,
-                              target_mean=1024, ci_cap=8, heavy_run=8)
+                              target_mean=1024, ci_cap=8, heavy_run=8,
+                              nt=1)
     assert gidx.n_heavy > 0 and gidx.spill_kmers.size > 0
     assert (gidx.spill_gids < G).all()      # no markers leak to spill
     eng = GRangeEngine(gidx)

@@ -26,11 +26,13 @@ SENT = np.uint32(0xFFFFFFFF)
 
 @pytest.fixture(scope="module")
 def small_synth():
-    # chunk_slots small enough to force several chunks at test scale
+    # chunk_slots small enough to force several chunks at test scale;
+    # nt=1 pinned (this fixture pins the FLAT layout's invariants — the
+    # auto default is tiled; tiled replay parity is tested separately)
     kw = dict(chunk_slots=1 << 16, target_mean=64)
     gidx = synth_index_device(G, KPG, C, devices=[jax.devices("cpu")[0]],
-                              **kw)
-    host = synth_chunks_host(G, KPG, C, **kw)
+                              nt=1, **kw)
+    host = synth_chunks_host(G, KPG, C, nt=1, **kw)
     return gidx, host, kw
 
 
@@ -110,7 +112,8 @@ def test_plants_are_live_invertible_entries(small_synth):
     gidx, host, kw = small_synth
     from bench import _rc31_np
 
-    plants, gids = synth_plants_host(G, KPG, C, per_chunk=256, **kw)
+    plants, gids = synth_plants_host(G, KPG, C, per_chunk=256, nt=1,
+                                     **kw)
     assert plants.size >= 256
     v = inv_mm_hash64_np(plants)
     assert (v < np.uint64(1) << np.uint64(62)).all()
