@@ -220,7 +220,8 @@ def _usable_plants(gidx, per_chunk: int, gid_max=None):
     return k[ok], g[ok]
 
 
-def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None):
+def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None,
+                dup=None):
     """Host-side plant list [total] of index k-mer hashes (unshuffled).
 
     ``n_abundant`` genomes contribute their full usable k-mer set repeated
@@ -234,20 +235,22 @@ def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None):
         sg, skpg = synth
         # disk-cache the (deterministic) plant pools: the bugged-hash
         # inversion sweep costs minutes of single-core host time per run
+        dk = f"_dup{dup.key()}" if dup is not None else ""
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_data",
                              f"plants_v2_{sg}_{skpg}_{total}_{n_abundant}"
                              f"_{abundant_mult}_c{C}"
-                             f"_nt{os.environ.get('SYLPH_NT', '1')}.npz")
+                             f"_nt{os.environ.get('SYLPH_NT', '1')}"
+                             f"{dk}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             ab_k, bg_k = z["ab_k"], z["bg_k"]
         else:
             ab_k, _ = synth_plants_host(sg, skpg, C, per_chunk=1 << 22,
-                                        gid_max=n_abundant)
+                                        gid_max=n_abundant, dup=dup)
             bg_k, _ = synth_plants_host(sg, skpg, C, per_chunk=max(
                 1024, int((total - ab_k.size * abundant_mult) * 1.3 * 8
-                          // len(gidx.chunk_hi))))
+                          // len(gidx.chunk_hi))), dup=dup)
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             np.savez(cache, ab_k=ab_k, bg_k=bg_k)
         ab = np.repeat(ab_k, abundant_mult)
@@ -310,7 +313,7 @@ def _make_overlay(jax, jnp, R, L):
 
 
 def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
-                 abundant_mult=3, synth=None):
+                 abundant_mult=3, synth=None, dup=None):
     """Overlay one index-derived 31-mer per read (device-side, eager).
 
     Models the reference's headline workload (mouse-gut reads vs GTDB,
@@ -320,7 +323,7 @@ def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
     as (hi, lo) pairs (~8 B/read); decode + overlay run on device."""
     n_batches, R, L = bases8.shape
     plants, n_ab = _plant_pool(gidx, n_batches * R, n_abundant,
-                               abundant_mult, synth=synth)
+                               abundant_mult, synth=synth, dup=dup)
     phi, plo = _plant_payload(jax, plants, n_batches, R, seed)
     overlay = _make_overlay(jax, jnp, R, L)
     kb = jax.random.split(jax.random.PRNGKey(seed), n_batches)
@@ -331,7 +334,7 @@ def _plant_reads(jax, jnp, bases8, gidx, seed=7, n_abundant=512,
 
 def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                 n_batches=N_BATCHES, n_samples=1, match=True,
-                index_mode="device"):
+                index_mode="device", dup=None):
     """Database-scale config: 1.07 Gbp profiled against a GTDB-class index
     (100k genomes, ~7.2e8 k-mers) resident in HBM via the global-range
     bucketed layout (tpu/grange.py). End-to-end on device: seeding ->
@@ -355,14 +358,18 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     synth = None
     if index_mode == "device":
         from sylph_tpu.tpu.synth_index import synth_index_device
-        gidx = synth_index_device(G, KPG, C, devices=[dev])
+        gidx = synth_index_device(G, KPG, C, devices=[dev], dup=dup)
         synth = (G, KPG)
     else:
+        assert dup is None, "--dup requires the device-synth index"
         gidx = load_gtdb_index(G, KPG)
     print(f"# index build/load [{index_mode}]: "
           f"{_t.perf_counter() - t_build:.1f}s "
           f"({len(gidx.chunk_hi)} chunks of [{gidx.B}, {gidx.CI}], "
-          f"{gidx.spill_kmers.size} spilled)", flush=True)
+          f"{gidx.spill_kmers.size} spilled"
+          + (f", {gidx.n_heavy} heavy runs q={dup.q} "
+             f"csr={int(gidx.heavy_ptr[-1])}" if dup is not None else "")
+          + ")", flush=True)
 
     t_up = _t.perf_counter()
     eng = GRangeEngine(gidx, devices=[dev])
@@ -382,7 +389,7 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
             # per-sample payload permutations (rotation would garble an
             # eagerly-planted 31-mer, so plant inside the seed loop)
             pool, n_ab = _plant_pool(gidx, n_batches * BATCH_READS,
-                                     synth=synth)
+                                     synth=synth, dup=dup)
             payloads = [_plant_payload(jax, pool, n_batches, BATCH_READS,
                                        seed=1000 + s)
                         for s in range(n_samples)]
@@ -390,7 +397,7 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
             n_up = int(np.unique(pool).size)
         else:
             bases8, n_ab, n_up = _plant_reads(jax, jnp, bases8, gidx,
-                                              synth=synth)
+                                              synth=synth, dup=dup)
         print(f"# planted index 31-mers: {n_up} unique "
               f"({n_ab} deep-coverage over 512 genomes)", flush=True)
     lengths = jax.device_put(np.full(BATCH_READS, READ_LEN, np.int32), dev)
@@ -451,7 +458,19 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     # timed runs stay exact — the conservation check verifies every run.
     _h, _ = eng.hist_device_stream(_shi, _slo, n_live=n_live,
                                    n_unique=n_unique)
-    n_matches = int(np.asarray(_h[:G * 64].sum()))
+    n_matches = int(np.asarray(_h[:-1].sum()))
+    exp_caps = None
+    if dup is not None:
+        # marker expansion caps from the measured warmup hit profile
+        from sylph_tpu.tpu.synth_index import measure_marker_hits
+        _nr, _ne = measure_marker_hits(_h, G=G, n_heavy=gidx.n_heavy,
+                                       lbase=dup.lbase, lmod=dup.lmod)
+        _nr, _ne = int(np.asarray(_nr)), int(np.asarray(_ne))
+        rc = 1 << int(np.ceil(np.log2(max(_nr * 1.3 + 64, 128))))
+        ec = 1 << int(np.ceil(np.log2(max(_ne * 1.3 + 1024, 4096))))
+        exp_caps = (min(rc, gidx.n_heavy), ec)
+        print(f"# marker hits (measured): {_nr} runs, {_ne} CSR entries "
+              f"-> caps {exp_caps}", flush=True)
     del _shi, _slo, _firsts, _live1, _h
 
     # per-cell capacity: start at the engine's automatic sizing; a rare
@@ -465,9 +484,19 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                                              n_unique=n_unique,
                                              n_matches=n_matches,
                                              cs=cs_arg["cs"])
+        okx = None
+        if dup is not None:
+            # heavy-run marker expansion ON DEVICE (hash-regenerated CSR)
+            # inside the timed region — the strain-rich serving path
+            from sylph_tpu.tpu.synth_index import expand_markers_device
+            hist, okx = expand_markers_device(
+                hist, G=G, n_heavy=gidx.n_heavy, runs_cap=exp_caps[0],
+                entries_cap=exp_caps[1], lbase=dup.lbase, lmod=dup.lmod)
         hist2 = hist[:G * 64].reshape(G, 64)
         st = stats_from_histograms(hist2, n_kmers_dev, k=K, min_ani=0.5)
         ok = check()          # conservation scalars force completion
+        if okx is not None:
+            ok = ok and bool(np.asarray(okx))
         return float(np.asarray(st.contained.sum())), ok
 
     def _auto_cs():
@@ -480,6 +509,8 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                          granularity=8)
 
     if n_samples > 1:
+        assert dup is None, "--dup is single-sample (cohort expansion " \
+            "of marker bins is not wired into the batched sweep)"
         # cohort shape: S distinct samples (device-derived base rotations
         # give distinct hash streams), ONE batched index sweep via
         # hist_device_stream_batched — per-chunk dispatch and index HBM
@@ -806,9 +837,17 @@ def main():
               if "--match" in sys.argv else True)
         im = (sys.argv[sys.argv.index("--index") + 1]
               if "--index" in sys.argv else "device")
+        dup = None
+        if "--dup" in sys.argv:
+            # strain-rich database shape: ~half the occurrence mass in
+            # extracted heavy duplication runs (zipf(2.0)/d~1000-class),
+            # short runs (d<=16) inside the grid cells
+            from sylph_tpu.tpu.synth_index import DupSpec
+            dup = DupSpec()
         gbps = _bench_gtdb(jax, jnp, n_genomes=ng, n_samples=ns, match=mt,
-                           index_mode=im)
-        print(json.dumps({"metric": "gtdb_profile_throughput",
+                           index_mode=im, dup=dup)
+        print(json.dumps({"metric": "gtdb_profile_throughput"
+                          + ("_dupskew" if dup is not None else ""),
                           "value": round(gbps, 4), "unit": "Gbp/s",
                           "vs_baseline": round(gbps / BASELINE_GBPS, 2)}))
         return

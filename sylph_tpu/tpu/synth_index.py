@@ -48,8 +48,79 @@ from .grange import GRangeIndex
 SALT_V = np.uint64(0x9E3779B97F4A7C15)
 SALT_G = np.uint64(0xC2B2AE3D27D4EB4F)
 SALT_C = np.uint64(0x165667B19E3779F9)
+SALT_D = np.uint64(0x27D4EB2F165667C5)   # per-cell short-run class
+SALT_L = np.uint64(0x9E3779B97F4A7C55)   # heavy run length
+SALT_HG = np.uint64(0xD6E8FEB86659FD93)  # heavy CSR genome ids
 
 SYNTH_OV = 128                # overflow columns for the tiled layout
+
+# Short-run duplication classes d in {1, 2, 4, 8, 16}: a cell's entries
+# group into runs of d equal hash values (conserved k-mers shared by d
+# genomes). Class picked per cell from hash(cell)%1024 with cumulative
+# thresholds putting OCCURRENCE mass ~ 1/d on each class — the pow2
+# quantization of a zipf(2.0) occurrence profile conditioned on d <= 16
+# (runs longer than the build's heavy_run are modeled separately as
+# extracted marker cells, see DupSpec).
+DUP_T = (541, 805, 937, 1003)
+
+
+class DupSpec:
+    """Duplication-skew parameters for the synthetic index.
+
+    Models a strain-rich (GTDB-like) database AFTER build_grange_index's
+    heavy-run extraction: normal cells hold zipf-ish short runs (d <= 16
+    copies of a hash across genomes, DUP_T classes); every q-th cell is a
+    heavy-marker cell holding ``r`` marker slots (gid = G + run_id), each
+    representing an extracted run of lbase + hash(run)%lmod genomes whose
+    CSR is hash-regenerable (SALT_HG) — so the 10^8-entry CSR never needs
+    to be materialized for device-side expansion. ``hf`` is the fraction
+    of total occurrence mass carried by the heavy CSR; q is calibrated
+    from it at geometry time (synth_index_device)."""
+
+    def __init__(self, hf: float = 0.5, r: int = 8, lbase: int = 369,
+                 lmod: int = 256, q: Optional[int] = None):
+        assert 0.0 < hf < 1.0 and r >= 1 and lbase >= 1 and lmod >= 1
+        self.hf = hf
+        self.r = r
+        self.lbase = lbase
+        self.lmod = lmod
+        self.q = q                       # None: calibrated from hf
+
+    @property
+    def lmean(self) -> float:
+        return self.lbase + (self.lmod - 1) / 2.0
+
+    def key(self) -> str:
+        """Cache-name tag (deterministic)."""
+        return (f"hf{self.hf}_r{self.r}_l{self.lbase}.{self.lmod}"
+                + (f"_q{self.q}" if self.q else ""))
+
+
+def heavy_lengths_np(n_heavy: int, lbase: int, lmod: int) -> np.ndarray:
+    """[n_heavy] CSR run lengths (host replay of the device formula)."""
+    rr = np.arange(n_heavy, dtype=np.uint64)
+    h = mm_hash64_np(rr ^ SALT_L)
+    return (lbase + (h & np.uint64(0xFFFFFFFF))
+            % np.uint64(lmod)).astype(np.int64)
+
+
+def heavy_gids_np(rr: np.ndarray, i: np.ndarray, G: int) -> np.ndarray:
+    """Genome id of CSR entry (run rr, position i) — host replay."""
+    ctr = (rr.astype(np.uint64) << np.uint64(32)) | i.astype(np.uint64)
+    h = mm_hash64_np(ctr ^ SALT_HG)
+    return ((h & np.uint64(0xFFFFFFFF)) % np.uint64(G)).astype(np.int32)
+
+
+def synth_heavy_csr_host(n_heavy: int, G: int, lbase: int, lmod: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """(heavy_gids, heavy_ptr) materialized on the host (tests / small
+    scale — at GTDB scale the CSR is ~10^8 entries and stays virtual)."""
+    lens = heavy_lengths_np(n_heavy, lbase, lmod)
+    ptr = np.zeros(n_heavy + 1, np.int64)
+    np.cumsum(lens, out=ptr[1:])
+    rr = np.repeat(np.arange(n_heavy, dtype=np.int64), lens)
+    i = np.arange(int(ptr[-1]), dtype=np.int64) - np.repeat(ptr[:-1], lens)
+    return heavy_gids_np(rr, i, G), ptr
 
 
 def _default_nt() -> int:
@@ -242,17 +313,150 @@ def _gen_chunk_tiled(chunk_u32, *, B: int, CI: int, width: int, G: int,
     return out_hi, out_lo, gid
 
 
+def _dup_class_np(gcell: np.ndarray) -> np.ndarray:
+    """Per-cell short-run mask d-1 (d in {1,2,4,8,16}), host replay."""
+    h = mm_hash64_np(gcell.astype(np.uint64) ^ SALT_D)
+    u = (h & np.uint64(0xFFFFFFFF)) % np.uint64(1024)
+    cls = sum((u >= t).astype(np.int64) for t in DUP_T)
+    return (1 << cls) - 1
+
+
+def _counts_np_tiled_dup(chunk: int, B: int, nt: int, cbase: int,
+                         cmod: int, cap: int, q: int, r: int) -> np.ndarray:
+    """[B*nt] per-CELL live counts, dup mode (heavy cells hold r markers)."""
+    gcell = np.arange(B * nt, dtype=np.uint64) + np.uint64(chunk * B * nt)
+    ct = _counts_np_tiled(chunk, B, nt, cbase, cmod, cap)
+    return np.where((gcell % np.uint64(q)) == 0, np.int64(r), ct)
+
+
+def _slot_values_np_tiled_dup(counter: np.ndarray, *, B: int, nt: int,
+                              stride: int, subwidth: int, width: int,
+                              G: int, q: int, r: int
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """(hash u64, gid) for dup-mode tiled slot counters (host replay).
+
+    Values within a cell group into runs of d equal hashes (the run's
+    FIRST slot's counter feeds SALT_V); heavy cells (gcell % q == 0)
+    hold marker slots with gid = G + (gcell//q)*r + s_local."""
+    counter = counter.astype(np.uint64)
+    gcell = counter // np.uint64(stride)
+    s_loc = (counter % np.uint64(stride)).astype(np.int64)
+    heavy = (gcell % np.uint64(q)) == 0
+    dmask = np.where(heavy, 0, _dup_class_np(gcell))
+    vctr = gcell * np.uint64(stride) + (s_loc & ~dmask).astype(np.uint64)
+    t = (gcell % np.uint64(nt)).astype(np.int64)
+    j = ((gcell // np.uint64(nt)) % np.uint64(B)).astype(np.int64)
+    chunk = (gcell // np.uint64(B * nt)).astype(np.int64)
+    span = np.maximum(1, np.minimum(subwidth, width - t * subwidth))
+    v = mm_hash64_np(vctr ^ SALT_V)
+    g = mm_hash64_np(counter ^ SALT_G)
+    hi = (chunk * (B * width) + j * width + t * subwidth
+          + ((v >> np.uint64(32)).astype(np.int64) % span)).astype(
+              np.uint64)
+    h = (hi << np.uint64(32)) | (v & np.uint64(0xFFFFFFFF))
+    hrun = ((gcell // np.uint64(q)).astype(np.int64) * r + s_loc)
+    gid = np.where(heavy, np.int64(G) + hrun,
+                   ((g & np.uint64(0xFFFFFFFF)) % np.uint64(G))
+                   .astype(np.int64)).astype(np.int32)
+    return h, gid
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "CI", "width", "G", "nt", "tile", "ovpt", "cbase", "cmod",
+    "subwidth", "q", "r", "n_heavy"))
+def _gen_chunk_tiled_dup(chunk_u32, *, B: int, CI: int, width: int,
+                         G: int, nt: int, tile: int, ovpt: int,
+                         cbase: int, cmod: int, subwidth: int, q: int,
+                         r: int, n_heavy: int):
+    """Dup-mode _gen_chunk_tiled: short runs inside cells (d equal hash
+    values with distinct gids) + heavy-marker cells every q-th cell (the
+    post-extraction grid of a strain-rich database). Pad gid is
+    G + n_heavy (= g_eff, matching build_grange_index)."""
+    stride = tile + ovpt
+    j = jax.lax.broadcasted_iota(jnp.uint32, (B, CI), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (B, CI), 1)
+    jg = j + chunk_u32 * jnp.uint32(B)
+
+    def mix(ctr, salt):
+        sh, sl = u64.const(int(salt))
+        return u64.mm_hash64((ctr[0] ^ sh, ctr[1] ^ sl))
+
+    cts, dms, ots, cums = [], [], [], [jnp.zeros((B, 1), jnp.int32)]
+    for t in range(nt):
+        gcell_t = jg[:, :1] * jnp.uint32(nt) + jnp.uint32(t)
+        zc = jnp.zeros_like(gcell_t)
+        _, clo = mix((zc, gcell_t), SALT_C)
+        ct = jnp.minimum(jnp.int32(cbase)
+                         + (clo % jnp.uint32(cmod)).astype(jnp.int32),
+                         stride)
+        heavy_t = (gcell_t % jnp.uint32(q)) == 0
+        ct = jnp.where(heavy_t, jnp.int32(r), ct)
+        _, dlo = mix((zc, gcell_t), SALT_D)
+        u = (dlo % jnp.uint32(1024)).astype(jnp.int32)
+        cls = sum((u >= jnp.int32(th)).astype(jnp.int32) for th in DUP_T)
+        dmask = jnp.where(heavy_t, 0, (1 << cls) - 1)
+        cts.append(ct)
+        dms.append(dmask)
+        ots.append(jnp.maximum(ct - tile, 0))
+        cums.append(cums[-1] + ots[-1])
+
+    in_tiles = s < nt * tile
+    t_of_s = jnp.minimum(s // tile, nt - 1)
+    ct_sel = sum(jnp.where(t_of_s == t, cts[t], 0) for t in range(nt))
+    live_tile = in_tiles & ((s % tile) < jnp.minimum(ct_sel, tile))
+
+    k = s - nt * tile
+    tau = sum((k >= cums[t]).astype(jnp.int32) for t in range(1, nt))
+    cum_tau = sum(jnp.where(tau == t, cums[t], 0) for t in range(nt))
+    live_ov = (~in_tiles) & (k < cums[nt])
+
+    live = live_tile | live_ov
+    tt = jnp.where(in_tiles, t_of_s, tau)
+    s_local = jnp.where(in_tiles, s % tile, tile + (k - cum_tau))
+    dmask_sel = sum(jnp.where(tt == t, dms[t], 0) for t in range(nt))
+    gcell = jg * jnp.uint32(nt) + tt.astype(jnp.uint32)
+    heavy_sel = (gcell % jnp.uint32(q)) == 0
+    counter = gcell * jnp.uint32(stride) + s_local.astype(jnp.uint32)
+    vctr = (gcell * jnp.uint32(stride)
+            + (s_local & ~dmask_sel).astype(jnp.uint32))
+
+    zero = jnp.zeros_like(counter)
+    vhi, vlo = mix((zero, vctr), SALT_V)
+    _, glo = mix((zero, counter), SALT_G)
+    span = jnp.maximum(1, jnp.minimum(subwidth, width - tt * subwidth)
+                       ).astype(jnp.uint32)
+    hi = (chunk_u32 * jnp.uint32(B * width) + j * jnp.uint32(width)
+          + tt.astype(jnp.uint32) * jnp.uint32(subwidth) + vhi % span)
+    hrun = ((gcell // jnp.uint32(q)) * jnp.uint32(r)
+            + s_local.astype(jnp.uint32)).astype(jnp.int32)
+    gid_live = jnp.where(heavy_sel, jnp.int32(G) + hrun,
+                         (glo % jnp.uint32(G)).astype(jnp.int32))
+    sent = jnp.uint32(0xFFFFFFFF)
+    out_hi = jnp.where(live, hi, sent)
+    out_lo = jnp.where(live, vlo, sent)
+    gid = jnp.where(live, gid_live, jnp.int32(G + n_heavy))
+    return out_hi, out_lo, gid
+
+
 def _chunk_device(chunk: int, *, B: int, CI: int, width: int, G: int,
-                  mean: float, spread: int, device, nt: int = 1):
+                  mean: float, spread: int, device, nt: int = 1,
+                  dup=None, n_heavy: int = 0):
     """One [B, CI] (hi, lo, gid) chunk materialized on ``device``."""
     with jax.default_device(device):
         if nt > 1:
             _mt, _st, tile, ovpt, _stride, subw, cbase, cmod = _tgeom(
                 B, CI, width, mean, spread, nt)
+            if dup is not None:
+                return _gen_chunk_tiled_dup(
+                    jnp.uint32(chunk), B=B, CI=nt * tile + SYNTH_OV,
+                    width=width, G=G, nt=nt, tile=tile, ovpt=ovpt,
+                    cbase=cbase, cmod=cmod, subwidth=subw, q=dup.q,
+                    r=dup.r, n_heavy=n_heavy)
             return _gen_chunk_tiled(
                 jnp.uint32(chunk), B=B, CI=nt * tile + SYNTH_OV,
                 width=width, G=G, nt=nt, tile=tile, ovpt=ovpt,
                 cbase=cbase, cmod=cmod, subwidth=subw)
+        assert dup is None, "duplication mode requires the tiled layout"
         return _gen_chunk(jnp.uint32(chunk), B=B, CI=CI, width=width,
                           G=G, cbase=max(0, int(mean) - spread),
                           cmod=2 * spread + 1)
@@ -262,19 +466,42 @@ def synth_index_device(G: int, KPG: int, c: int = 200,
                        devices: Optional[List] = None,
                        chunk_slots: int = 1 << 25,
                        target_mean: int = 1024,
-                       nt: Optional[int] = None) -> GRangeIndex:
+                       nt: Optional[int] = None,
+                       dup: Optional[DupSpec] = None,
+                       csr_host: bool = False) -> GRangeIndex:
     """GRangeIndex whose chunk arrays are device-resident jax arrays.
 
     GRangeEngine device_puts chunks it is handed; for already-committed
     arrays that is a no-op, so the engine serves this index with zero
     host->device index traffic. ``nt`` (default env SYLPH_NT) > 1
     generates the hash-tiled layout.
-    """
+
+    ``dup`` switches to the duplication-skewed population (see DupSpec):
+    the grid carries G*KPG*(1-hf) short-run occurrences and the heavy CSR
+    the remaining hf mass; dup.q is calibrated here from the geometry
+    when unset. With ``csr_host`` the heavy CSR is materialized so the
+    host paths (GRangeEngine.hists / heavy_expand) are exact — tests and
+    small scales only; the bench leaves it virtual and expands markers on
+    device (expand_markers_device)."""
     devs = devices if devices is not None else jax.devices()
     if nt is None:
         nt = _default_nt()
+    M_total = G * KPG
+    n_heavy = 0
+    if dup is not None:
+        assert nt > 1, "duplication mode requires the tiled layout"
+        M_grid = int(M_total * (1.0 - dup.hf))
+        kpg_grid = -(-M_grid // G)
+    else:
+        kpg_grid = KPG
     M, n_chunks, B, CI, width, mean, spread = _geometry(
-        G, KPG, c, chunk_slots, target_mean)
+        G, kpg_grid, c, chunk_slots, target_mean)
+    if dup is not None:
+        n_cells = n_chunks * B * nt
+        if dup.q is None:
+            want_heavy = max(1.0, M_total * dup.hf / dup.lmean)
+            dup.q = max(2, int(round(n_cells * dup.r / want_heavy)))
+        n_heavy = -(-n_cells // dup.q) * dup.r
     ov = 0
     if nt > 1:
         _mt, _st, tile, ovpt, stride, _sw, cbase, cmod = _tgeom(
@@ -288,11 +515,19 @@ def synth_index_device(G: int, KPG: int, c: int = 200,
     for i in range(n_chunks):
         h, l, g = _chunk_device(i, B=B, CI=CI, width=width, G=G,
                                 mean=mean, spread=spread,
-                                device=devs[i % len(devs)], nt=nt)
+                                device=devs[i % len(devs)], nt=nt,
+                                dup=dup, n_heavy=n_heavy)
         chunk_hi.append(h)
         chunk_lo.append(l)
         chunk_gid.append(g)
-        if nt > 1:
+        if dup is not None:
+            # live NON-marker grid slots (markers stand for CSR mass)
+            cells = _counts_np_tiled_dup(i, B, nt, cbase, cmod, stride,
+                                         dup.q, dup.r)
+            gcell = (np.arange(B * nt, dtype=np.int64)
+                     + np.int64(i) * B * nt)
+            m += int(cells[(gcell % dup.q) != 0].sum())
+        elif nt > 1:
             m += int(_counts_np_tiled(i, B, nt, cbase, cmod,
                                       stride).sum())
         else:
@@ -302,10 +537,25 @@ def synth_index_device(G: int, KPG: int, c: int = 200,
             - np.uint64(1)
         bases[i] = np.uint32(i * B * width)
         edges[i] = (lo_edge, hi_edge)
+    heavy_gids = np.empty(0, np.int32)
+    heavy_ptr = np.zeros(1, np.int64)
+    if dup is not None:
+        if csr_host:
+            heavy_gids, heavy_ptr = synth_heavy_csr_host(
+                n_heavy, G, dup.lbase, dup.lmod)
+        else:
+            # virtual CSR: ptr (small) drives g_eff and expansion sizing;
+            # gids regenerate from SALT_HG on demand (device or host) —
+            # heavy_expand needs csr_host=True
+            lens = heavy_lengths_np(n_heavy, dup.lbase, dup.lmod)
+            heavy_ptr = np.zeros(n_heavy + 1, np.int64)
+            np.cumsum(lens, out=heavy_ptr[1:])
+        m += int(heavy_ptr[-1])
     return GRangeIndex(chunk_hi, chunk_lo, chunk_gid, bases, edges,
                        width, B, CI, np.empty(0, np.uint64),
                        np.empty(0, np.int32), m, G,
-                       nt=nt if nt > 1 else 1, ov=ov)
+                       nt=nt if nt > 1 else 1, ov=ov,
+                       heavy_gids=heavy_gids, heavy_ptr=heavy_ptr)
 
 
 def _enum_cells_np(counts: np.ndarray, stride: int, first: np.ndarray,
@@ -321,15 +571,25 @@ def _enum_cells_np(counts: np.ndarray, stride: int, first: np.ndarray,
 def synth_chunks_host(G: int, KPG: int, c: int = 200,
                       chunk_slots: int = 1 << 25,
                       target_mean: int = 1024,
-                      nt: Optional[int] = None):
-    """Host numpy replay of every chunk (tests / small sizes only)."""
+                      nt: Optional[int] = None,
+                      dup: Optional[DupSpec] = None):
+    """Host numpy replay of every chunk (tests / small sizes only).
+
+    Dup mode: ``dup.q`` must already be calibrated (run
+    synth_index_device first, or set q explicitly)."""
     if nt is None:
         nt = _default_nt()
+    if dup is not None:
+        assert nt > 1 and dup.q is not None
+        M_grid = int(G * KPG * (1.0 - dup.hf))
+        kpg_grid = -(-M_grid // G)
+    else:
+        kpg_grid = KPG
     M, n_chunks, B, CI, width, mean, spread = _geometry(
-        G, KPG, c, chunk_slots, target_mean)
+        G, kpg_grid, c, chunk_slots, target_mean)
     if nt > 1:
         return _synth_chunks_host_tiled(G, n_chunks, B, CI, width, mean,
-                                        spread, nt)
+                                        spread, nt, dup=dup)
     out = []
     for i in range(n_chunks):
         cnt = _counts_np(i, B, mean, spread)
@@ -348,27 +608,38 @@ def synth_chunks_host(G: int, KPG: int, c: int = 200,
 
 
 def _synth_chunks_host_tiled(G, n_chunks, B, CI, width, mean, spread,
-                             nt):
-    """Host numpy replay of _gen_chunk_tiled (tests / small sizes)."""
+                             nt, dup=None):
+    """Host numpy replay of _gen_chunk_tiled[_dup] (tests / small sizes)."""
     _mt, _st, tile, ovpt, stride, subw, cbase, cmod = _tgeom(
         B, CI, width, mean, spread, nt)
     CI = nt * tile + SYNTH_OV
+    n_heavy = (-(-(n_chunks * B * nt) // dup.q) * dup.r
+               if dup is not None else 0)
     sent = np.uint32(0xFFFFFFFF)
     out = []
     for i in range(n_chunks):
-        cts = _counts_np_tiled(i, B, nt, cbase, cmod, stride).reshape(
-            B, nt)
+        if dup is not None:
+            cts = _counts_np_tiled_dup(i, B, nt, cbase, cmod, stride,
+                                       dup.q, dup.r).reshape(B, nt)
+        else:
+            cts = _counts_np_tiled(i, B, nt, cbase, cmod, stride).reshape(
+                B, nt)
         hh = np.full((B, CI), sent, np.uint32)
         hl = np.full((B, CI), sent, np.uint32)
-        hg = np.full((B, CI), np.int32(G), np.int32)
+        hg = np.full((B, CI), np.int32(G + n_heavy), np.int32)
         # enumerate every live slot: (cell, s_local) pairs
         nct = cts.reshape(-1)
         first = ((np.arange(B * nt, dtype=np.int64)
                   + np.int64(i) * B * nt) * stride)
         counters = _enum_cells_np(nct, stride, first, nct)
-        h, gid = _slot_values_np_tiled(counters, B=B, nt=nt,
-                                       stride=stride, subwidth=subw,
-                                       width=width, G=G)
+        if dup is not None:
+            h, gid = _slot_values_np_tiled_dup(
+                counters, B=B, nt=nt, stride=stride, subwidth=subw,
+                width=width, G=G, q=dup.q, r=dup.r)
+        else:
+            h, gid = _slot_values_np_tiled(counters, B=B, nt=nt,
+                                           stride=stride, subwidth=subw,
+                                           width=width, G=G)
         # columns: tile part at t*tile + s; overflow packed per bucket
         cell = (counters // stride).astype(np.int64) - np.int64(i) * B * nt
         s_loc = (counters % stride).astype(np.int64)
@@ -393,7 +664,8 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
                       gid_max: Optional[int] = None,
                       chunk_slots: int = 1 << 25,
                       target_mean: int = 1024,
-                      nt: Optional[int] = None
+                      nt: Optional[int] = None,
+                      dup: Optional[DupSpec] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """(kmer u64, gid) plantable index entries, regenerated on the host.
 
@@ -401,19 +673,35 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
     strided-samples ``per_chunk`` live slots per chunk, keeps entries whose
     hash inverts to a valid canonical 31-mer, optionally restricted to
     gid < gid_max (the "abundant taxa" pool). No device traffic.
+
+    Dup mode (calibrated ``dup``): run-representative values replace the
+    per-slot values, so duplicate plants from one run may repeat (the
+    bench plants occurrences, harmless); heavy-marker entries carry
+    gid = G + run and are excluded from gid_max pools — background pools
+    include them at their natural grid frequency, which is what drives
+    marker hits + device expansion in the dup benchmark.
     """
     from bench import _rc31_np                      # local: avoids a cycle
 
     if nt is None:
         nt = _default_nt()
+    if dup is not None:
+        assert nt > 1 and dup.q is not None
+        kpg_grid = -(-int(G * KPG * (1.0 - dup.hf)) // G)
+    else:
+        kpg_grid = KPG
     M, n_chunks, B, CI, width, mean, spread = _geometry(
-        G, KPG, c, chunk_slots, target_mean)
+        G, kpg_grid, c, chunk_slots, target_mean)
     if nt > 1:
         _mt, _st, _tile, _ovpt, stride, subw, cbase, cmod = _tgeom(
             B, CI, width, mean, spread, nt)
     ks, gs = [], []
     for i in range(n_chunks):
-        if nt > 1:
+        if dup is not None:
+            cnt = _counts_np_tiled_dup(i, B, nt, cbase, cmod, stride,
+                                       dup.q, dup.r)
+            n_units, unit_mean = B * nt, mean / nt
+        elif nt > 1:
             cnt = _counts_np_tiled(i, B, nt, cbase, cmod, stride)
             n_units, unit_mean = B * nt, mean / nt
         else:
@@ -437,6 +725,11 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
         unit_stride = stride if nt > 1 else CI
         counter = np.repeat(
             (np.int64(i * n_units) + jj) * unit_stride, cj) + r * step
+        if dup is not None and gid_max is not None:
+            # abundant pools hold real genomes only: drop marker cells
+            # before the gid filter (their gid formula differs)
+            gc = counter // unit_stride
+            counter = counter[(gc % dup.q) != 0]
         if gid_max is not None:
             # cheap gid pass first: full-chunk scans (abundant-taxa pool)
             # only hash the ~gid_max/G survivors
@@ -444,7 +737,11 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
             counter = counter[((g0 & np.uint64(0xFFFFFFFF))
                                % np.uint64(G)) < gid_max]
             del g0
-        if nt > 1:
+        if dup is not None:
+            h, gid = _slot_values_np_tiled_dup(
+                counter, B=B, nt=nt, stride=stride, subwidth=subw,
+                width=width, G=G, q=dup.q, r=dup.r)
+        elif nt > 1:
             h, gid = _slot_values_np_tiled(counter, B=B, nt=nt,
                                            stride=stride, subwidth=subw,
                                            width=width, G=G)
@@ -463,3 +760,99 @@ def synth_plants_host(G: int, KPG: int, c: int = 200, per_chunk: int = 4096,
         ks.append(hk)
         gs.append(gk)
     return np.concatenate(ks), np.concatenate(gs)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "n_heavy", "runs_cap", "entries_cap", "lbase", "lmod"))
+def expand_markers_device(hist, *, G: int, n_heavy: int, runs_cap: int,
+                          entries_cap: int, lbase: int, lmod: int):
+    """Expand heavy-run marker bins into real-genome counts ON DEVICE.
+
+    ``hist`` is a [g_eff*HIST_H + 1] histogram from
+    GRangeEngine.hist_device_stream over a dup-mode synthetic index: bins
+    past G*H are marker rows (one per extracted duplication run). Each
+    hit marker row is one-hot (a run's hash appears once in the folded
+    sample stream), so expansion is: for every hit run rr at multiplicity
+    m, add +1 at (gid, m) for each of its L_rr CSR genomes — with the CSR
+    regenerated from SALT_HG hashes instead of gathered from HBM (the
+    GTDB-scale CSR is ~10^8 entries; hashes are VPU work, gathers are
+    ~8 ns/element).
+
+    Returns (expanded [G*H] i32, ok bool scalar). ``ok`` is True iff the
+    compaction captured every marker hit (<= runs_cap rows, <= entries_cap
+    CSR entries, all rows one-hot with count 1) — callers treat False
+    like a conservation-check failure (re-run with bigger caps).
+
+    The real-database equivalent is GRangeEngine.heavy_expand (host CSR,
+    exact, used by the CLI); this device form exists so the benchmark's
+    timed region includes marker expansion without a [n_heavy, H] D2H
+    fetch per run (sylph profiles strain-rich databases where heavy mass
+    dominates, /root/reference/README.md:42-48).
+    """
+    from .grange import HIST_H
+    H = HIST_H
+    mrows = jax.lax.dynamic_slice_in_dim(
+        hist, G * H, n_heavy * H).reshape(n_heavy, H)
+    rowsum = mrows.sum(axis=1)
+    total_mass = rowsum.sum()
+    idx = jnp.nonzero(rowsum > 0, size=runs_cap, fill_value=n_heavy)[0]
+    valid = idx < n_heavy
+    idxc = jnp.minimum(idx, max(n_heavy - 1, 0)).astype(jnp.int32)
+    rows = mrows[idxc]                               # [runs_cap, H]
+    mult = jnp.argmax(rows, axis=1).astype(jnp.int32)
+    cnt = jnp.max(rows, axis=1)
+    captured = jnp.sum(jnp.where(valid, rows.sum(axis=1), 0))
+    onehot_ok = captured == jnp.sum(jnp.where(valid, cnt, 0))
+    ones_ok = jnp.all(jnp.where(valid, cnt == 1, True))
+
+    def mix(hi, lo, salt):
+        sh, sl = u64.const(int(salt))
+        return u64.mm_hash64((hi ^ sh, lo ^ sl))
+
+    zero = jnp.zeros_like(idxc, dtype=jnp.uint32)
+    _, llo = mix(zero, idxc.astype(jnp.uint32), SALT_L)
+    L = jnp.where(valid,
+                  (jnp.uint32(lbase) + llo % jnp.uint32(lmod))
+                  .astype(jnp.int32), 0)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(L)[:-1]])
+    total_e = jnp.sum(L)
+    # monotone repeats (cumsum + scatter under the hood): no big gathers
+    rr_e = jnp.repeat(idxc.astype(jnp.uint32), L,
+                      total_repeat_length=entries_cap)
+    m_e = jnp.repeat(mult, L, total_repeat_length=entries_cap)
+    st_e = jnp.repeat(starts, L, total_repeat_length=entries_cap)
+    e = jnp.arange(entries_cap, dtype=jnp.int32)
+    i_loc = jnp.maximum(e - st_e, 0).astype(jnp.uint32)
+    _, glo = mix(rr_e, i_loc, SALT_HG)
+    gid = (glo % jnp.uint32(G)).astype(jnp.int32)
+    in_b = e < total_e
+    code = jnp.where(in_b, gid * H + m_e, jnp.int32(G * H))
+    from .containment import _bincount
+    delta = _bincount(code, G * H + 1)
+    out = hist[:G * H] + delta[:G * H].astype(hist.dtype)
+    ok = ((captured == total_mass) & onehot_ok & ones_ok
+          & (total_e <= entries_cap))
+    return out, ok
+
+
+def measure_marker_hits(hist, *, G: int, n_heavy: int, lbase: int,
+                        lmod: int):
+    """(n_hit_rows, n_csr_entries) device scalars for cap sizing: how
+    many marker rows a warmup histogram hit and how many CSR entries
+    their expansion touches."""
+    from .grange import HIST_H
+    H = HIST_H
+    mrows = jax.lax.dynamic_slice_in_dim(
+        hist, G * H, n_heavy * H).reshape(n_heavy, H)
+    hit = mrows.sum(axis=1) > 0
+
+    def mix(hi, lo, salt):
+        sh, sl = u64.const(int(salt))
+        return u64.mm_hash64((hi ^ sh, lo ^ sl))
+
+    rr = jnp.arange(n_heavy, dtype=jnp.uint32)
+    _, llo = mix(jnp.zeros_like(rr), rr, SALT_L)
+    L = (jnp.uint32(lbase) + llo % jnp.uint32(lmod)).astype(jnp.int32)
+    return (jnp.sum(hit.astype(jnp.int32)),
+            jnp.sum(jnp.where(hit, L, 0)))

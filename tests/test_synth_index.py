@@ -235,3 +235,110 @@ def test_tiled_plants_are_live_members(small_synth_t):
     pa, ga = synth_plants_host(G, KPG, C, per_chunk=256, gid_max=13,
                                nt=4, **kw)
     assert pa.size and (ga < 13).all()
+
+
+def test_dup_synth_oracle_and_device_expansion():
+    """Duplication-skewed synthetic index: device chunks == host replay;
+    engine histograms (host CSR path AND device stream + on-device
+    marker expansion) == a brute-force oracle over the fully-expanded
+    logical (kmer, gid) table."""
+    import jax.numpy as jnp
+
+    from sylph_tpu.tpu.grange import HIST_H
+    from sylph_tpu.tpu.synth_index import (DupSpec, expand_markers_device,
+                                           heavy_gids_np, heavy_lengths_np,
+                                           measure_marker_hits)
+
+    G2, KPG2, C2 = 60, 2000, 50
+    spec = DupSpec(hf=0.5, r=4, lbase=20, lmod=16)
+    kw = dict(chunk_slots=1 << 15, target_mean=256)
+    cpu = jax.devices("cpu")[0]
+    gidx = synth_index_device(G2, KPG2, C2, devices=[cpu], nt=4,
+                              dup=spec, csr_host=True, **kw)
+    assert spec.q is not None and gidx.n_heavy > 0
+    host = synth_chunks_host(G2, KPG2, C2, nt=4, dup=spec, **kw)
+    assert len(host) == len(gidx.chunk_hi) >= 2
+    for (dh, dl, dg), (hh, hl, hg) in zip(
+            zip(gidx.chunk_hi, gidx.chunk_lo, gidx.chunk_gid), host):
+        np.testing.assert_array_equal(np.asarray(dh), hh)
+        np.testing.assert_array_equal(np.asarray(dl), hl)
+        np.testing.assert_array_equal(np.asarray(dg), hg)
+
+    # logical table: non-marker grid slots + CSR expansion of markers
+    ks, gs = [], []
+    n_short_runs = 0
+    for hh, hl, hg in host:
+        live = hh.reshape(-1) != SENT
+        v = ((hh.reshape(-1)[live].astype(np.uint64) << np.uint64(32))
+             | hl.reshape(-1)[live].astype(np.uint64))
+        g = hg.reshape(-1)[live]
+        mk = g >= G2
+        ks.append(v[~mk])
+        gs.append(g[~mk])
+        n_short_runs += int(np.unique(v[~mk]).size)
+        rr = (g[mk] - G2).astype(np.int64)
+        lens = heavy_lengths_np(gidx.n_heavy, spec.lbase,
+                                spec.lmod)[rr]
+        i = (np.arange(int(lens.sum()), dtype=np.int64)
+             - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]),
+                         lens))
+        ks.append(np.repeat(v[mk], lens))
+        gs.append(heavy_gids_np(np.repeat(rr, lens), i, G2))
+    kmers = np.concatenate(ks)
+    gids = np.concatenate(gs).astype(np.int32)
+    # CSR parity: replayed expansion matches the materialized csr_host
+    np.testing.assert_array_equal(
+        gidx.heavy_ptr,
+        np.concatenate([[0], np.cumsum(heavy_lengths_np(
+            gidx.n_heavy, spec.lbase, spec.lmod))]))
+    assert gidx.m == kmers.size
+    # short runs really exist (d > 1 classes populated)
+    assert n_short_runs < np.count_nonzero(
+        np.concatenate([(h != SENT).reshape(-1) for h, _, _ in host]))
+
+    # sample: grid values + marker values + noise
+    rng = np.random.default_rng(5)
+    uniq = np.unique(kmers)
+    hit = rng.choice(uniq, size=min(3000, uniq.size), replace=False)
+    noise = rng.integers(0, ((1 << 64) - 1) // C2, size=2000,
+                         dtype=np.uint64)
+    sk = np.unique(np.concatenate([hit, noise]))
+    sc = rng.integers(1, 6, size=sk.size).astype(np.uint32)
+
+    from tests.test_grange import _oracle_hists
+    want = _oracle_hists(kmers, gids, G2, sk, sc)
+
+    eng = GRangeEngine(gidx, devices=[cpu])
+    got = eng.hists(sk, sc)                      # host CSR expansion
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() > 0
+
+    # device-stream path + on-device hash-regenerated expansion
+    occ = np.repeat(sk, sc)
+    T = 1 << int(np.ceil(np.log2(occ.size)))
+    shi = np.full(T, 0xFFFFFFFF, np.uint32)
+    slo = np.full(T, 0xFFFFFFFF, np.uint32)
+    shi[:occ.size] = (occ >> np.uint64(32)).astype(np.uint32)
+    slo[:occ.size] = occ.astype(np.uint32)
+    hist, check = eng.hist_device_stream(jnp.asarray(shi),
+                                         jnp.asarray(slo),
+                                         n_live=occ.size,
+                                         n_unique=sk.size)
+    assert check()
+    n_rows, n_entries = measure_marker_hits(
+        hist, G=G2, n_heavy=gidx.n_heavy, lbase=spec.lbase,
+        lmod=spec.lmod)
+    n_rows, n_entries = int(n_rows), int(n_entries)
+    assert n_rows > 0
+    exp, ok = expand_markers_device(
+        hist, G=G2, n_heavy=gidx.n_heavy, runs_cap=n_rows + 8,
+        entries_cap=n_entries + 64, lbase=spec.lbase, lmod=spec.lmod)
+    assert bool(ok)
+    np.testing.assert_array_equal(
+        np.asarray(exp).reshape(G2, HIST_H), want)
+
+    # under-capacity must be DETECTED, never silent
+    _, ok2 = expand_markers_device(
+        hist, G=G2, n_heavy=gidx.n_heavy, runs_cap=max(1, n_rows // 2),
+        entries_cap=n_entries + 64, lbase=spec.lbase, lmod=spec.lmod)
+    assert not bool(ok2)
