@@ -288,7 +288,13 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
     edges = np.zeros((n_chunks, 2), np.uint64)
     spill_k, spill_g = [], []
     ci_used = 8
-    per_chunk = []                # (b, col, hi32, lo32, gid) per chunk
+    # nt > 1: CI is known up front (nt*tile + ov), so grids materialize
+    # INSIDE the chunk loop and per-chunk temporaries free immediately —
+    # at GTDB scale the two-phase layout retained ~20 GB of int64
+    # (b, col) + u32 triplets across all 11-22 chunks, which on a
+    # fault-throttled host costs minutes of first-touch time. nt == 1
+    # still needs the deferred pass (CI = observed max occupancy).
+    per_chunk = []                # nt == 1: (b, col, hi32, lo32, gid)
     for ci_i, (s, e) in enumerate(zip(starts, ends)):
         cu = su[s:e]
         cg = sg[s:e]
@@ -330,10 +336,21 @@ def build_grange_index(kmers_u64: np.ndarray, gids: np.ndarray,
             keep = ~over
             b, col, hi32, lo32, cg = (b[keep], col[keep], hi32[keep],
                                       lo32[keep], cg[keep])
-        if nt == 1:
+        if nt > 1:
+            oh = np.full((B, nt * tile + ov), SENT, np.uint32)
+            ol = np.full((B, nt * tile + ov), SENT, np.uint32)
+            og = np.full((B, nt * tile + ov), g_eff, np.int32)
+            oh[b, col] = hi32
+            ol[b, col] = lo32
+            og[b, col] = cg
+            chunk_hi.append(oh)
+            chunk_lo.append(ol)
+            chunk_gid.append(og)
+            del b, col, hi32, lo32, cg
+        else:
             ci_used = max(ci_used,
                           int(col.max()) + 1 if col.size else 0)
-        per_chunk.append((b, col, hi32, lo32, cg))
+            per_chunk.append((b, col, hi32, lo32, cg))
 
     CI = (nt * tile + ov) if nt > 1 else max(8, -(-ci_used // 8) * 8)
     for b, col, hi32, lo32, cg in per_chunk:
