@@ -35,25 +35,52 @@ def _roll_l(x, m):
     return pltpu.roll(x, -m % x.shape[-1], axis=1)
 
 
+import os
+
+_RC_VIA_ROLLS = os.environ.get("SYLPH_RC_ROLL", "0") == "1"
+
+
+def _revpairs(x):
+    """Reverse the 16 2-bit groups of each u32 (lane-LOCAL butterfly —
+    4 swap levels, no cross-lane traffic)."""
+    m16 = np.uint32(0x0000FFFF)
+    m8 = np.uint32(0x00FF00FF)
+    m4 = np.uint32(0x0F0F0F0F)
+    m2 = np.uint32(0x33333333)
+    x = ((x & m16) << np.uint32(16)) | ((x >> np.uint32(16)) & m16)
+    x = ((x & m8) << np.uint32(8)) | ((x >> np.uint32(8)) & m8)
+    x = ((x & m4) << np.uint32(4)) | ((x >> np.uint32(4)) & m4)
+    x = ((x & m2) << np.uint32(2)) | ((x >> np.uint32(2)) & m2)
+    return x
+
+
 def _mers16_tile(bases):
     """(fwd16, rc16) for every lane position of a [R, L] tile.
 
     fwd16[., j] = sum_{i<16} b[j+i] << 2(15-i);
     rc16[., j]  = sum_{i<16} (3-b[j+i]) << 2i.
-    Built with 4 doubling levels = 8 lane-rolls (rolls are the expensive
-    op on the VPU; every shorter m-mer is then derived roll-free:
-    fwd_m = fwd16 >> 2(16-m) keeps the top m bases, rc_m = rc16 & (4^m-1)
-    keeps the low m bases). Positions within 15 of the row end wrap
-    (masked by the caller).
+    The forward chain takes 4 doubling levels = 4 lane-rolls (rolls are
+    the expensive op on the VPU); the revcomp chain is then ROLL-FREE:
+    rc16 = revpairs(~fwd16) — complementing flips each base (3-b) and the
+    2-bit-group reversal turns MSB-first into LSB-first order, which
+    halves the pyramid's roll count vs building rc with its own rolls
+    (SYLPH_RC_ROLL=1 restores the rolled chain for A/B). Every shorter
+    m-mer derives roll-free from these: fwd_m = fwd16 >> 2(16-m) keeps
+    the top m bases, rc_m = rc16 & (4^m-1) keeps the low m bases.
+    Positions within 15 of the row end wrap (masked by the caller).
     """
     f = bases
-    r = np.uint32(3) - bases
+    if _RC_VIA_ROLLS:
+        r = np.uint32(3) - bases
+        for p in (1, 2, 4, 8):
+            fs = _roll_l(f, p)
+            rs = _roll_l(r, p)
+            f = (f << np.uint32(2 * p)) | fs
+            r = r | (rs << np.uint32(2 * p))
+        return f, r
     for p in (1, 2, 4, 8):
-        fs = _roll_l(f, p)
-        rs = _roll_l(r, p)
-        f = (f << np.uint32(2 * p)) | fs
-        r = r | (rs << np.uint32(2 * p))
-    return f, r
+        f = (f << np.uint32(2 * p)) | _roll_l(f, p)
+    return f, _revpairs(~f)
 
 
 def _build_mers_tile(bases, want):
@@ -413,15 +440,20 @@ def _mers16_tile_t(bases):
     """Transposed _mers16_tile: [W, R] tiles, window axis along ROWS.
 
     Row(sublane)-axis rolls measure ~5x cheaper than 256-lane rolls on
-    v5e (scripts/kbench.py), which is why this layout exists."""
+    v5e (scripts/kbench.py), which is why this layout exists. The
+    revcomp chain is derived roll-free exactly as in _mers16_tile."""
     f = bases
-    r = np.uint32(3) - bases
+    if _RC_VIA_ROLLS:
+        r = np.uint32(3) - bases
+        for p in (1, 2, 4, 8):
+            fs = _roll_u(f, p)
+            rs = _roll_u(r, p)
+            f = (f << np.uint32(2 * p)) | fs
+            r = r | (rs << np.uint32(2 * p))
+        return f, r
     for p in (1, 2, 4, 8):
-        fs = _roll_u(f, p)
-        rs = _roll_u(r, p)
-        f = (f << np.uint32(2 * p)) | fs
-        r = r | (rs << np.uint32(2 * p))
-    return f, r
+        f = (f << np.uint32(2 * p)) | _roll_u(f, p)
+    return f, _revpairs(~f)
 
 
 def _prefix_sum_rows(x):
