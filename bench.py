@@ -509,8 +509,6 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                          granularity=8)
 
     if n_samples > 1:
-        assert dup is None, "--dup is single-sample (cohort expansion " \
-            "of marker bins is not wired into the batched sweep)"
         # cohort shape: S distinct samples (device-derived base rotations
         # give distinct hash streams), ONE batched index sweep via
         # hist_device_stream_batched — per-chunk dispatch and index HBM
@@ -535,11 +533,21 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                     shi_s, slo_s, n_live=n_live, n_unique=n_unique,
                     n_matches=n_matches, cs=cs_arg["cs"])
                 del shi_s, slo_s
+                okx = None
+                if dup is not None:
+                    from sylph_tpu.tpu.synth_index import \
+                        expand_markers_device_batched
+                    hist, okx = expand_markers_device_batched(
+                        hist, G=G, n_heavy=gidx.n_heavy,
+                        runs_cap=exp_caps[0], entries_cap=exp_caps[1],
+                        lbase=dup.lbase, lmod=dup.lmod)
                 st = stats_from_histograms(
                     hist.reshape(len(gs) * G, 64),
                     jnp.tile(n_kmers_dev, len(gs)), k=K, min_ani=0.5)
                 tot += float(np.asarray(st.contained.sum()))
                 ok = check() and ok
+                if okx is not None:
+                    ok = ok and bool(np.asarray(okx))
             return tot, ok
 
         t0 = _t.perf_counter()

@@ -856,3 +856,16 @@ def measure_marker_hits(hist, *, G: int, n_heavy: int, lbase: int,
     L = (jnp.uint32(lbase) + llo % jnp.uint32(lmod)).astype(jnp.int32)
     return (jnp.sum(hit.astype(jnp.int32)),
             jnp.sum(jnp.where(hit, L, 0)))
+
+
+def expand_markers_device_batched(hist_s, *, G: int, n_heavy: int,
+                                  runs_cap: int, entries_cap: int,
+                                  lbase: int, lmod: int):
+    """[S, g_eff*H] rows -> ([S, G*H] expanded, ok scalar) — the cohort
+    form of expand_markers_device (caps are per-sample maxima)."""
+    def one(row):
+        return expand_markers_device(
+            row, G=G, n_heavy=n_heavy, runs_cap=runs_cap,
+            entries_cap=entries_cap, lbase=lbase, lmod=lmod)
+    exp, ok = jax.vmap(one)(hist_s)
+    return exp, jnp.all(ok)
