@@ -686,8 +686,11 @@ def _bench_gtdb_cli(jax):
         raise SystemExit("run scripts/gen_gtdb_cli_fixture.py first")
     # serving shape: timed runs reuse the resident device index (the
     # warm-up pays the one-time syldb load + grange build + upload, as
-    # the reference amortizes its 13 GB load over a session)
+    # the reference amortizes its 13 GB load over a session); the built
+    # layout disk-caches so later processes skip the 10-20 min rebuild
     os.environ["SYLPH_TPU_CACHE_INDEX"] = "1"
+    os.environ.setdefault("SYLPH_GRANGE_CACHE",
+                          os.path.join(root, ".bench_data", "gtdb_cli"))
     total_bp = (1_073_741_824 // 150) * 150
 
     def run():
@@ -708,6 +711,22 @@ def _bench_gtdb_cli(jax):
     med = float(np.median(times))
     print(f"# gtdb_cli timed runs: {[round(x, 1) for x in times]} "
           f"(median {med:.1f}s, min {min(times):.1f}s)", flush=True)
+    if "--stages" in sys.argv:
+        # one extra debug-logged run: stage timers attribute the wall
+        # time (ingest phases, grange sweep, stats) to stderr
+        import logging
+        lg = logging.getLogger("sylph")
+        old_level = lg.level
+        h = logging.StreamHandler(sys.stderr)
+        h.setFormatter(logging.Formatter("%(message)s"))
+        lg.addHandler(h)
+        lg.setLevel(logging.DEBUG)
+        try:
+            dt = run()
+            print(f"# gtdb_cli stage-logged run: {dt:.1f}s", flush=True)
+        finally:
+            lg.setLevel(old_level)
+            lg.removeHandler(h)
     return total_bp / med / 1e9
 
 

@@ -123,13 +123,24 @@ class DeviceContainment:
         self._cache_cap = 16
         if total >= self.GRANGE_MIN:
             from ..tpu.grange import GRangeEngine, build_grange_index
-            kmers = np.concatenate(
-                [g.genome_kmers for g in genome_sketches]).astype(np.uint64)
-            gids = np.repeat(
-                np.arange(len(genome_sketches), dtype=np.int32),
-                [g.genome_kmers.size for g in genome_sketches])
-            gidx = build_grange_index(kmers, gids, len(genome_sketches))
-            del kmers, gids
+            gidx = None
+            cache_dir = os.environ.get("SYLPH_GRANGE_CACHE")
+            if cache_dir:
+                gidx = _grange_cache_load(cache_dir, total,
+                                          len(genome_sketches))
+            if gidx is None:
+                kmers = np.concatenate(
+                    [g.genome_kmers for g in genome_sketches]
+                ).astype(np.uint64)
+                gids = np.repeat(
+                    np.arange(len(genome_sketches), dtype=np.int32),
+                    [g.genome_kmers.size for g in genome_sketches])
+                gidx = build_grange_index(kmers, gids,
+                                          len(genome_sketches))
+                del kmers, gids
+                if cache_dir:
+                    _grange_cache_save(cache_dir, total,
+                                       len(genome_sketches), gidx)
             max_res = self._grange_residency(gidx)
             self._grange = GRangeEngine(gidx, devices=self._devices,
                                         max_resident_chunks=max_res)
@@ -461,3 +472,47 @@ class DeviceContainment:
 def u64_recombine(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     from ..tpu.u64 import to_u64_np
     return to_u64_np(hi, lo)
+
+
+def _grange_cache_path(cache_dir: str, total: int, n_genomes: int) -> str:
+    nt = os.environ.get("SYLPH_NT", "auto")
+    return os.path.join(cache_dir, f"grange_{n_genomes}_{total}_nt{nt}")
+
+
+def _grange_cache_load(cache_dir: str, total: int, n_genomes: int):
+    """Disk-cached grange layout (opt-in via SYLPH_GRANGE_CACHE: a rebuild
+    of a 10^8-k-mer database costs 10-20 min of host time; the cache key
+    is (genome count, total k-mers, layout) — callers own invalidation,
+    which is why the CLI leaves it off by default)."""
+    d = _grange_cache_path(cache_dir, total, n_genomes)
+    meta_p = os.path.join(d, "meta.npz")
+    if not os.path.exists(meta_p):
+        return None
+    from ..tpu.grange import GRangeIndex
+    meta = np.load(meta_p)
+    n_chunks = int(meta["n_chunks"])
+    log.debug("grange layout loaded from cache %s", d)
+    return GRangeIndex(
+        [np.load(os.path.join(d, f"hi{i}.npy")) for i in range(n_chunks)],
+        [np.load(os.path.join(d, f"lo{i}.npy")) for i in range(n_chunks)],
+        [np.load(os.path.join(d, f"gid{i}.npy")) for i in range(n_chunks)],
+        meta["bases"], meta["edges"], int(meta["width"]), int(meta["B"]),
+        int(meta["CI"]), meta["spill_kmers"], meta["spill_gids"],
+        int(meta["m"]), n_genomes, nt=int(meta["nt"]), ov=int(meta["ov"]),
+        heavy_gids=meta["heavy_gids"], heavy_ptr=meta["heavy_ptr"])
+
+
+def _grange_cache_save(cache_dir: str, total: int, n_genomes: int, gidx):
+    d = _grange_cache_path(cache_dir, total, n_genomes)
+    os.makedirs(d, exist_ok=True)
+    np.savez(os.path.join(d, "meta.npz"),
+             n_chunks=len(gidx.chunk_hi), bases=gidx.bases,
+             edges=gidx.edges_u64, width=gidx.width, B=gidx.B, CI=gidx.CI,
+             spill_kmers=gidx.spill_kmers, spill_gids=gidx.spill_gids,
+             m=gidx.m, nt=gidx.nt, ov=gidx.ov, heavy_gids=gidx.heavy_gids,
+             heavy_ptr=gidx.heavy_ptr)
+    for i in range(len(gidx.chunk_hi)):
+        np.save(os.path.join(d, f"hi{i}.npy"), gidx.chunk_hi[i])
+        np.save(os.path.join(d, f"lo{i}.npy"), gidx.chunk_lo[i])
+        np.save(os.path.join(d, f"gid{i}.npy"), gidx.chunk_gid[i])
+    log.debug("grange layout cached to %s", d)
