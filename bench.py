@@ -142,8 +142,9 @@ def load_gtdb_index(G: int, KPG: int):
     scripts/gbench.py): G genomes x KPG k-mers, c=200 hash range."""
 
     from sylph_tpu.tpu.grange import build_grange_index
+    from sylph_tpu.tpu.synth_index import _default_nt
 
-    nt = int(os.environ.get("SYLPH_NT", "1"))
+    nt = _default_nt()
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_data",
                          f"gtdb_{G}_{KPG}" + (f"_nt{nt}" if nt > 1
@@ -235,13 +236,15 @@ def _plant_pool(gidx, total, n_abundant=512, abundant_mult=3, synth=None,
         sg, skpg = synth
         # disk-cache the (deterministic) plant pools: the bugged-hash
         # inversion sweep costs minutes of single-core host time per run
+        from sylph_tpu.tpu.synth_index import _default_nt
         dk = f"_dup{dup.key()}" if dup is not None else ""
+        # cache key carries the RESOLVED layout (auto -> 4): the plant
+        # counter scheme differs between tiled and flat synth indexes
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_data",
                              f"plants_v2_{sg}_{skpg}_{total}_{n_abundant}"
                              f"_{abundant_mult}_c{C}"
-                             f"_nt{os.environ.get('SYLPH_NT', '1')}"
-                             f"{dk}.npz")
+                             f"_nt{_default_nt()}{dk}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             ab_k, bg_k = z["ab_k"], z["bg_k"]

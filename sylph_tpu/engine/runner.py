@@ -275,9 +275,11 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
             log.debug("%s has estimated identity %.3f.", first_read_file,
                       math.pow(kmer_id_opt, 1.0 / sample.k) * 100.0)
 
+    from ..utils.timing import stage_timer
     from .prefilter import prefilter_candidates
-    candidates = prefilter_candidates(opts, sample, genome_sketches,
-                                      device_engine)
+    with stage_timer("pass-1 prefilter"):
+        candidates = prefilter_candidates(opts, sample, genome_sketches,
+                                          device_engine)
     if candidates is None:
         candidate_iter = enumerate(genome_sketches)
     else:
@@ -299,26 +301,29 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
         candidate_iter = ((int(i), genome_sketches[int(i)])
                           for i in candidates)
     results = []
-    for i, g in candidate_iter:
-        r = get_stats(opts, g, i, sample, None, -1, opts.log_reassignments,
-                      device_engine)
-        if r is not None:
-            results.append(r)
+    with stage_timer("pass-1 exact stats"):
+        for i, g in candidate_iter:
+            r = get_stats(opts, g, i, sample, None, -1,
+                          opts.log_reassignments, device_engine)
+            if r is not None:
+                results.append(r)
     estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,
                       sample.mean_read_length, sample.k)
 
     if opts.pseudotax:
         log.info("%s taxonomic profiling; reassigning k-mers for %d "
                  "genomes...", first_read_file, len(results))
-        winner = winner_table(results, opts.log_reassignments)
+        with stage_timer("winner table"):
+            winner = winner_table(results, opts.log_reassignments)
         groups = assign_groups(results)
         results2 = []
-        for r, grp in zip(results, groups):
-            r2 = get_stats(opts, r.genome_sketch, r.genome_index, sample,
-                           winner, grp, opts.log_reassignments,
-                           device_engine)
-            if r2 is not None:
-                results2.append(r2)
+        with stage_timer("pass-2 reassigned stats"):
+            for r, grp in zip(results, groups):
+                r2 = get_stats(opts, r.genome_sketch, r.genome_index,
+                               sample, winner, grp,
+                               opts.log_reassignments, device_engine)
+                if r2 is not None:
+                    results2.append(r2)
         results = derep_if_reassign_threshold(results, results2,
                                               opts.redundant_ani, sample.k)
         estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,

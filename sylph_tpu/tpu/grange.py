@@ -1341,6 +1341,10 @@ class GRangeEngine:
         # slices so a failed conservation check can be patched without
         # re-running the good chunks (non-resident index chunks re-upload
         # on that astronomically rare path rather than pinning HBM here)
+        import logging
+        import time as _time
+        _log = logging.getLogger("sylph")
+        _t0 = _time.perf_counter()
         parts = []          # (dev_i, codes_dev, nl-nc diff, (i, smp, base))
         nxt = self._chunk_dev(0) if slices else None
         for i, (s, e) in enumerate(slices):
@@ -1361,6 +1365,7 @@ class GRangeEngine:
             parts.append((di, cod, jnp.abs(nl - nc) + wlost,
                           (i, smp, base)))
 
+        _t1 = _time.perf_counter()
         # one small fetch per device for all conservation checks
         by_dev = {}
         for idx, (di, _c, d, _a) in enumerate(parts):
@@ -1371,6 +1376,9 @@ class GRangeEngine:
             for (idx, _), dv in zip(items, diffs):
                 if int(dv) != 0:
                     bad.add(idx)
+        _t2 = _time.perf_counter()
+        _log.debug("[timing] grange hists: dispatch %.3f s, "
+                   "sync(upload+compute) %.3f s", _t1 - _t0, _t2 - _t1)
 
         # good chunks: concatenate code streams per device, ONE bincount
         hist = np.zeros(G * H + 1, np.int64)
@@ -1404,4 +1412,6 @@ class GRangeEngine:
         # spilled (over-capacity) slots: host probe of the tiny overflow
         if gidx.spill_kmers.size:
             out += self._spill_hist(skmers_u64, scounts)
+        _log.debug("[timing] grange hists: hist fetch+fold %.3f s",
+                   _time.perf_counter() - _t2)
         return out
