@@ -37,7 +37,12 @@ def _roll_l(x, m):
 
 import os
 
-_RC_VIA_ROLLS = os.environ.get("SYLPH_RC_ROLL", "0") == "1"
+# Measured on v5e (2026-08-20 A/B, scripts/gbench.py prefix): deriving
+# rc16 = revpairs(~fwd16) — mathematically sound and roll-free — made the
+# seed stage 336 ms vs 195 ms for the rolled chain: Mosaic lowers the
+# 4-level masked-shift butterfly worse than lane rolls at this width.
+# The rolled chain stays the default; SYLPH_RC_REV=1 selects revpairs.
+_RC_VIA_ROLLS = os.environ.get("SYLPH_RC_REV", "0") != "1"
 
 
 def _revpairs(x):
