@@ -113,7 +113,15 @@ def get_stats(opts: ContainOptions, genome: GenomeSketch, genome_index: int,
         return None
     min_ani = (opts.minimum_ani / 100.0 if opts.minimum_ani is not None
                else (MIN_ANI_P_DEF if opts.pseudotax else MIN_ANI_DEF))
-    st = coverage_stats(covs, n_kmers, _stat_params(opts, genome.k), min_ani)
+    # profiling pass 1 (winner None): its CI columns are never printed —
+    # only pass-2 rows reach the TSV (derep returns results_new,
+    # src/contain.rs:308,353-375) — and each bootstrap reseeds wyrand(7),
+    # so skipping them changes no downstream number while halving the
+    # per-candidate statistics cost at database scale
+    st = coverage_stats(covs, n_kmers, _stat_params(opts, genome.k),
+                        min_ani,
+                        run_ci_if_pass=not (opts.pseudotax
+                                            and winner is None))
     if st is None:
         if winner is not None and log_reassign:
             log.info(

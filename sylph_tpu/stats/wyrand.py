@@ -93,13 +93,48 @@ def _gen_u64_vec(seed: int, start: int, count: int) -> np.ndarray:
     return lo ^ hi
 
 
+_U64_CACHE = {}              # seed -> raw gen_u64 output prefix
+_U64_CACHE_MAX = 1 << 24     # cap (128 MB of u64) for huge genomes
+
+
+def _gen_u64_cached(seed: int, count: int) -> np.ndarray:
+    """Raw wyrand stream prefix; cached per seed. The bootstrap reseeds
+    wyrand(7) for EVERY (genome, sample) pair (src/contain.rs:854), so the
+    u64 stream is identical across all pairs — only the Lemire reduction
+    (mod n) differs. Regenerating it was ~90% of each CI's cost at
+    database scale (100 iters x |sketch| u64 draws through emulated
+    128-bit multiplies)."""
+    if count > _U64_CACHE_MAX:
+        return _gen_u64_vec(seed, 0, count)
+    cur = _U64_CACHE.get(seed)
+    if cur is None or cur.size < count:
+        newlen = min(max(count, 2 * (cur.size if cur is not None else 0),
+                         1 << 16), _U64_CACHE_MAX)
+        _U64_CACHE[seed] = _gen_u64_vec(seed, 0, newlen)
+    return _U64_CACHE[seed][:count]
+
+
+def _mul_hi_lo_u64_small(a: np.ndarray, n: int):
+    """(high, low) halves of a * n when n < 2^32 (half the multiplies;
+    a_hi*n + carry < 2^64 because both factors are < 2^32)."""
+    u = np.uint64
+    m32 = u(0xFFFFFFFF)
+    nn = u(n)
+    lo0 = (a & m32) * nn
+    mid = (a >> u(32)) * nn + (lo0 >> u(32))
+    return mid >> u(32), (mid << u(32)) | (lo0 & m32)
+
+
 def wyrand_indices(seed: int, count: int, n: int) -> np.ndarray:
     """The first ``count`` outputs of ``fastrand::usize(..n)`` after
     ``fastrand::seed(seed)``, vectorized."""
     if n <= 0:
         raise ValueError("n must be positive")
-    r = _gen_u64_vec(seed, 0, count)
-    hi, lo = _mul_hi_lo_u64(r, n)
+    r = _gen_u64_cached(seed, count)
+    if n < (1 << 32):
+        hi, lo = _mul_hi_lo_u64_small(r, n)
+    else:
+        hi, lo = _mul_hi_lo_u64(r, n)
     t_rej = ((1 << 64) - n) % n
     rejected = lo < np.uint64(t_rej)
     if rejected.any():

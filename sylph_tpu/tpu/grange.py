@@ -404,7 +404,7 @@ def slice_sample(gidx: GRangeIndex, skmers_u64: np.ndarray
 def _pad_slice(shi, slo, sw, s: int, e: int, P: int):
     out_hi = np.full(P, SENT, np.uint32)
     out_lo = np.full(P, SENT, np.uint32)
-    out_w = np.zeros(P, np.int32)
+    out_w = np.zeros(P, sw.dtype)
     n = e - s
     out_hi[:n] = shi[s:e]
     out_lo[:n] = slo[s:e]
@@ -523,6 +523,7 @@ def _chunk_codes(ihi, ilo, gid_grid, shi, slo, sw, base, *, width: int,
     tile only scans its own lane group. ``cover`` widens the fill's
     input-coverage requirement for duplication-heavy streams (zero-weight
     folded slots occupy slice positions; see bucket_fill.fill_geometry)."""
+    sw = sw.astype(jnp.int32)     # weights may arrive as uint8 (wire)
     dh, dl, dw = _fill_or_scatter(shi, slo, sw, base, width=width, B=B,
                                   CS=CS, use_fill=use_fill, nt=nt,
                                   subwidth=subwidth, cover=cover)
@@ -664,6 +665,7 @@ def _chunk_hist_lossless(ihi, ilo, gid_grid, shi, slo, sw, base, *,
                          width: int, B: int, CS: int, n_genomes: int,
                          use_pallas: bool):
     """Compaction-free fallback: bincount over the full grid."""
+    sw = sw.astype(jnp.int32)     # weights may arrive as uint8 (wire)
     grid = _joined_grid(ihi, ilo, shi, slo, sw, base, width=width, B=B,
                         CS=CS, use_pallas=use_pallas)
     G, H = n_genomes, HIST_H
@@ -775,6 +777,7 @@ def _chunk_codes_batched(ihi, ilo, gid_grid, shi_s, slo_s, sw_s, base, *,
     Codes are sample-tagged: s*(G*H) + gid*H + mult, so ONE compaction +
     ONE bincount serve the whole batch. Callers verify the summed
     conservation scalars exactly as in _chunk_codes."""
+    sw_s = sw_s.astype(jnp.int32)  # weights may arrive as uint8 (wire)
     if use_fill:
         # unrolled loop (S is small/static): vmap over a scalar-prefetch
         # pallas_call is not supported
@@ -1276,12 +1279,12 @@ class GRangeEngine:
             max(k.size for k, _ in tables), 1)))))
         shi = np.full((S, T), SENT, np.uint32)
         slo = np.full((S, T), SENT, np.uint32)
-        w = np.zeros((S, T), np.int32)
+        w = np.zeros((S, T), np.uint8)    # clamped weights (see hists)
         for s, (k, c) in enumerate(tables):
             hi, lo = u64mod.from_u64_np(k.astype(np.uint64))
             shi[s, :k.size] = hi
             slo[s, :k.size] = lo
-            w[s, :k.size] = np.minimum(c, np.iinfo(np.int32).max)
+            w[s, :k.size] = np.minimum(c, HIST_H - 1)
         n_live = max((k.size for k, _ in tables), default=1)
         hist_d, check = self.hist_device_stream_batched(
             jnp.asarray(shi), jnp.asarray(slo), n_live=max(n_live, 1),
@@ -1323,7 +1326,10 @@ class GRangeEngine:
         gidx = self.gidx
         G, H = self._GE, HIST_H
         shi, slo = u64mod.from_u64_np(skmers_u64)
-        sw = scounts.astype(np.int32)
+        # histogram bins clamp multiplicity at H-1, so weights clamp to 63
+        # losslessly and cross the (slow) host->device wire as uint8 — a
+        # third off the per-sample upload; the device casts back to i32
+        sw = np.minimum(scounts, HIST_H - 1).astype(np.uint8)
         slices = slice_sample(gidx, skmers_u64)
         max_n = max((e - s for s, e in slices), default=0)
         P = _quantize_p(float(max(max_n, 1)))
