@@ -58,8 +58,25 @@ class SequencesSketch:
 
     def sorted_view(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._sorted is None:
-            order = np.argsort(self.kmers, kind="stable")
-            self._sorted = (self.kmers[order], self.counts[order])
+            # threaded C radix when available (stable, same order as
+            # np.argsort(kind="stable")): a GTDB-scale sample table is
+            # ~10^7 entries and the mergesort fallback costs seconds
+            from .native_core import radix_sort_kv
+            keys = np.ascontiguousarray(self.kmers, np.uint64)
+            if keys is self.kmers:
+                keys = keys.copy()
+            fits_i32 = (self.counts.size == 0
+                        or int(self.counts.max()) < (1 << 31))
+            vals = (np.ascontiguousarray(self.counts, np.int32)
+                    if fits_i32 else None)
+            if vals is self.counts:
+                vals = vals.copy()
+            if vals is not None and radix_sort_kv(keys, vals):
+                self._sorted = (keys, vals.astype(self.counts.dtype,
+                                                  copy=False))
+            else:
+                order = np.argsort(self.kmers, kind="stable")
+                self._sorted = (self.kmers[order], self.counts[order])
         return self._sorted
 
     @property
