@@ -182,9 +182,26 @@ def _classify_files(opts: ContainOptions):
     return genome_sketch_files, genome_files, read_sketch_files, read_files
 
 
+_SKETCH_CACHE = {}      # db fingerprint -> List[GenomeSketch] (opt-in)
+
+
 def _get_genome_sketches(opts: ContainOptions, genome_sketch_files,
                          genome_files) -> List[GenomeSketch]:
-    """src/contain.rs:482-542."""
+    """src/contain.rs:482-542.
+
+    Under SYLPH_TPU_CACHE_INDEX=1 (the serving scenario, see
+    _device_engine_for) the PARSED sketch list is cached alongside the
+    device index: re-reading a GTDB-scale syldb costs seconds per call
+    even page-warm, and the sketches are immutable once loaded."""
+    serving = (os.environ.get("SYLPH_TPU_CACHE_INDEX") == "1"
+               and genome_sketch_files and not genome_files)
+    if serving:
+        key = tuple(sorted(
+            (os.path.abspath(p), os.path.getmtime(p), os.path.getsize(p))
+            for p in genome_sketch_files))
+        hit = _SKETCH_CACHE.get(key)
+        if hit is not None:
+            return hit
     max_genome_c = None   # reference's 'lowest_genome_c' actually tracks max
     current_k = None
     sketches: List[GenomeSketch] = []
@@ -223,6 +240,9 @@ def _get_genome_sketches(opts: ContainOptions, genome_sketch_files,
                               opts.pseudotax)
             if g is not None:
                 sketches.append(g)
+    if serving:
+        _SKETCH_CACHE.clear()          # hold at most one resident db
+        _SKETCH_CACHE[key] = sketches
     return sketches
 
 
