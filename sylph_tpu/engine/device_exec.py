@@ -407,6 +407,50 @@ class DeviceContainment:
         self._cache_put(sample, counts)
         return counts
 
+    def candidates_mask(self, sample: SequencesSketch,
+                        mask_kwargs: dict):
+        """[G] bool candidate mask computed ON DEVICE, or None when the
+        regime doesn't support it (multi-device merges / spill / heavy
+        CSR are host-side, and non-grange regimes fetch exact counts
+        anyway). Saves the [G, 64] histogram fetch at database scale."""
+        if self._grange is None or len(self._devices) != 1:
+            return None
+        g = self._grange.gidx
+        if g.spill_kmers.size or g.n_heavy:
+            return None
+        from .prefilter import candidate_mask_device
+        if not hasattr(self, "_n_kmers_dev"):
+            import jax
+            self._n_kmers_dev = jax.device_put(
+                np.array([s.genome_kmers.size
+                          for s in self._genome_sketches], np.int32),
+                self._devices[0])
+
+        def mask_fn(hist_dev):
+            return candidate_mask_device(hist_dev, self._n_kmers_dev,
+                                         **mask_kwargs)
+
+        skmers, scounts = sample.sorted_view()
+        from ..utils.timing import stage_timer
+        with stage_timer(
+                f"device grange candidate mask ({g.m} k-mers x "
+                f"{skmers.size} sample k-mers)"):
+            try:
+                out = self._grange.hists(skmers.astype(np.uint64),
+                                         scounts, mask_fn=mask_fn)
+            except Exception as e:
+                if not _is_transient_jax_error(e):
+                    raise
+                log.warning("device mask failed (%s); retrying once", e)
+                out = self._grange.hists(skmers.astype(np.uint64),
+                                         scounts, mask_fn=mask_fn)
+        if out.ndim == 2:
+            # engine fell back to the full histogram (bad chunk etc.):
+            # cache it so the host prefilter path reuses it
+            self._hists_cache[id(sample)] = (sample, out)
+            return None
+        return out
+
     def hists(self, sample: SequencesSketch) -> np.ndarray:
         """[G, 64] per-genome multiplicity histograms for the batched
         prefilter — the device replacement for probing every genome."""

@@ -183,6 +183,94 @@ def candidate_mask(hist: np.ndarray, n_kmers: np.ndarray, *, k: int,
     return keep
 
 
+_DEV_ANI_MARGIN = 1e-5   # f32 device mask margin (vs 1e-9 for host f64):
+#                          pow/exp relative error in f32 is ~1e-7, so the
+#                          wider margin keeps the superset property while
+#                          still excluding everything not near the floor
+
+
+def _poisson_cut_vstar(median: int) -> int:
+    """Largest multiplicity passing the Poisson outlier cut for a given
+    (small) median — host f64, exact Cephes CDF. The cut is monotone in v
+    (CDF increasing), so on device it reduces to v <= vstar."""
+    v = median
+    while v + 1 < _H and poisson_cdf(float(v + 1),
+                                     float(median)) < CUTOFF_PVALUE:
+        v += 1
+    return v
+
+
+def candidate_mask_device(hist, n_kmers, *, k: int, min_ani: float,
+                          min_number_kmers: float,
+                          min_count_correct: float, no_adj: bool):
+    """Device (jnp) twin of candidate_mask: [G] bool on device.
+
+    Same decision chain in f32 with a wider floor margin
+    (_DEV_ANI_MARGIN) so it remains a SUPERSET of the host mask, which is
+    itself a superset of the scalar survivors; the exact f64 statistics
+    then run only on the fetched candidate indices. The Poisson outlier
+    cut needs no device CDF: its thresholds for the two possible lambda
+    -gate medians are precomputed exactly on the host
+    (_poisson_cut_vstar)."""
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    H = _H
+    hist = hist.reshape(-1, H).astype(jnp.int32)
+    n_kmers = n_kmers.astype(jnp.int32)
+    vals = jnp.arange(H, dtype=jnp.int32)
+    contained = hist[:, 1:].sum(axis=1)
+    ok_size = n_kmers.astype(f32) >= f32(min_number_kmers)
+    nonzero = contained > 0
+    safe_n = jnp.maximum(n_kmers, 1)
+    naive = jnp.power(contained.astype(f32) / safe_n.astype(f32),
+                      f32(1.0 / k))
+    floor = f32(min_ani - _DEV_ANI_MARGIN)
+    keep = ok_size & nonzero & (naive >= floor)
+    if no_adj:
+        return keep
+
+    cum = jnp.cumsum(hist[:, 1:], axis=1)
+    median = (jnp.argmax(cum > (jnp.maximum(contained, 1) // 2)[:, None],
+                         axis=1) + 1).astype(jnp.int32)
+    gate = (ok_size & nonzero & ~keep
+            & (median <= int(MEDIAN_ANI_THRESHOLD))
+            & (contained >= SAMPLE_SIZE_CUTOFF))
+
+    vstar = jnp.where(median == 1, _poisson_cut_vstar(1),
+                      _poisson_cut_vstar(2))
+    # inliers: values <= max(vstar, median); zeros row preserved
+    inlier = vals[None, :] <= jnp.maximum(vstar, median)[:, None]
+    h_in = jnp.where(inlier, hist, 0).at[:, 0].set(hist[:, 0])
+
+    n_inliers = h_in[:, 1:].sum(axis=1)
+    n_full = n_kmers - contained + n_inliers
+
+    nz = h_in[:, 1:] > 0
+    n_distinct = nz.sum(axis=1)
+    best = h_in[:, 1:].max(axis=1)
+    is_best = (h_in[:, 1:] == best[:, None]) & nz
+    # modal value: LARGEST v achieving the max count (ties -> larger)
+    most_ind = (H - 1) - jnp.argmax(is_best[:, ::-1], axis=1)
+    mp1 = jnp.minimum(most_ind + 1, H - 1)
+    cnt_m = jnp.take_along_axis(h_in, most_ind[:, None], axis=1)[:, 0]
+    cnt_mp1 = jnp.take_along_axis(h_in, mp1[:, None], axis=1)[:, 0]
+    cnt_mp1 = jnp.where(most_ind + 1 <= H - 1, cnt_mp1, 0)
+    lam_ok = ((n_distinct > 1)
+              & (n_inliers >= SAMPLE_SIZE_CUTOFF)
+              & (cnt_mp1.astype(f32) >= f32(min_count_correct))
+              & (cnt_m.astype(f32) >= f32(min_count_correct)))
+    lam = (cnt_mp1.astype(f32) / jnp.maximum(cnt_m, 1).astype(f32)
+           * (most_ind.astype(f32) + 1.0))
+    adj_index = (n_inliers.astype(f32)
+                 / (1.0 - jnp.exp(-lam))
+                 / jnp.maximum(n_full, 1).astype(f32))
+    adj_ani = jnp.power(jnp.maximum(adj_index, 0.0), f32(1.0 / k))
+    adj_pass = (gate & lam_ok & jnp.isfinite(adj_ani)
+                & (adj_ani >= floor))
+    return keep | adj_pass
+
+
 def prefilter_candidates(opts, sample, genome_sketches,
                          device_engine=None) -> Optional[np.ndarray]:
     """Candidate genome indices for pass-1, or None when the prefilter
@@ -196,6 +284,15 @@ def prefilter_candidates(opts, sample, genome_sketches,
     from ..constants import MIN_ANI_DEF, MIN_ANI_P_DEF
     min_ani = (opts.minimum_ani / 100.0 if opts.minimum_ani is not None
                else (MIN_ANI_P_DEF if opts.pseudotax else MIN_ANI_DEF))
+    if device_engine is not None and hasattr(device_engine,
+                                             "candidates_mask"):
+        mask = device_engine.candidates_mask(sample, dict(
+            k=int(genome_sketches[0].k), min_ani=min_ani,
+            min_number_kmers=opts.min_number_kmers,
+            min_count_correct=opts.min_count_correct,
+            no_adj=opts.no_adj))
+        if mask is not None:
+            return np.flatnonzero(mask)
     if device_engine is not None:
         hist = device_engine.hists(sample).astype(np.int64)
         assert hist.shape == (G, _H)

@@ -1319,9 +1319,17 @@ class GRangeEngine:
             out += np.bincount(seg, minlength=G * H).reshape(G, H)
         return out
 
-    def hists(self, skmers_u64: np.ndarray, scounts: np.ndarray
-              ) -> np.ndarray:
-        """[G, HIST_H] exact (clamped) per-genome multiplicity histograms."""
+    def hists(self, skmers_u64: np.ndarray, scounts: np.ndarray,
+              mask_fn=None) -> np.ndarray:
+        """[G, HIST_H] exact (clamped) per-genome multiplicity histograms.
+
+        ``mask_fn`` (device [G*H] i32 histogram -> device [G] bool) short
+        -circuits the [G, H] D2H fetch for the prefilter: when the whole
+        sweep ran clean on ONE device and the index has no spill/heavy
+        side channels, only the [G] boolean mask crosses the wire (25 MB
+        -> 100 KB at GTDB scale — material through a slow interconnect).
+        Returns the bool mask in that case; any fallback condition
+        returns the full histogram as usual (callers detect via ndim)."""
         from . import u64 as u64mod
         gidx = self.gidx
         G, H = self._GE, HIST_H
@@ -1392,6 +1400,17 @@ class GRangeEngine:
         for idx, (di, cod, _d, _a) in enumerate(parts):
             if idx not in bad:
                 by_codes.setdefault(di, []).append(cod)
+        if (mask_fn is not None and not bad and len(by_codes) <= 1
+                and not gidx.spill_kmers.size and gidx.n_heavy == 0):
+            if not by_codes:
+                return np.zeros(gidx.n_genomes, bool)
+            (_di, cods), = by_codes.items()
+            cc = jnp.concatenate(cods) if len(cods) > 1 else cods[0]
+            h_dev = hist_from_codes(cc, n_genomes=G)
+            mask = np.asarray(mask_fn(h_dev[:G * H]))
+            _log.debug("[timing] grange hists: device-mask path %.3f s",
+                       _time.perf_counter() - _t2)
+            return mask
         cap0 = (_HIST_RUNS_CAP if G * H + 2 > _HIST_RUNS_CAP else None)
         for di, cods in by_codes.items():
             cc = jnp.concatenate(cods) if len(cods) > 1 else cods[0]

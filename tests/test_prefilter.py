@@ -249,3 +249,78 @@ def test_end_to_end_identical_output(bigworld, pseudotax, monkeypatch):
     without_pf = _run(d, pseudotax)
     assert with_pf == without_pf
     assert len(with_pf.strip().splitlines()) > 1   # found something
+
+
+def _device_mask(hist, n_kmers, min_ani, no_adj=False):
+    import jax
+    import jax.numpy as jnp
+
+    from sylph_tpu.engine.prefilter import candidate_mask_device
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(candidate_mask_device(
+            jnp.asarray(hist.astype(np.int32)),
+            jnp.asarray(n_kmers.astype(np.int32)), k=31, min_ani=min_ani,
+            min_number_kmers=50.0, min_count_correct=3.0, no_adj=no_adj))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_candidate_mask_device_superset(seed):
+    """The f32 on-device mask must keep every genome the host f64 mask
+    keeps (which itself is a superset of the scalar survivors)."""
+    rng = np.random.default_rng(seed)
+    G = 400
+    n_kmers = rng.integers(30, 4000, size=G)
+    hist = np.zeros((G, _H), np.int64)
+    for g in range(G):
+        kind = rng.integers(0, 4)
+        nk = int(n_kmers[g])
+        if kind == 1:
+            lam = rng.uniform(0.05, 2.0)
+            covs = rng.poisson(lam, size=nk)
+            covs = covs[covs > 0]
+        elif kind == 2:
+            covs = rng.poisson(rng.uniform(3, 40),
+                               size=rng.integers(1, nk + 1)) + 1
+        elif kind == 3:
+            covs = rng.integers(1, 3, size=rng.integers(1, max(2, nk)))
+        else:
+            covs = np.empty(0, np.int64)
+        if covs.size:
+            hist[g] += np.bincount(np.minimum(covs, _H - 1), minlength=_H)
+
+    for min_ani in (0.5, 0.90, 0.95):
+        host = candidate_mask(hist, n_kmers, k=31, min_ani=min_ani,
+                              min_number_kmers=50.0,
+                              min_count_correct=3.0, no_adj=False)
+        dev = _device_mask(hist, n_kmers, min_ani)
+        dropped = host & ~dev
+        assert not dropped.any(), (
+            f"device mask dropped host-kept rows {np.flatnonzero(dropped)}"
+            f" at min_ani={min_ani}")
+
+
+@pytest.mark.parametrize("floor", [0.90, 0.95])
+def test_candidate_mask_device_adversarial_floor(floor):
+    """Near-floor adversarial cases (see the host-mask twin test): the
+    device f32 mask must also keep every scalar survivor."""
+    hist_rows, nk_list, covs_list = [], [], []
+    for c, n, _d in _closest_naive_cases(floor):
+        row = np.zeros(_H, np.int64)
+        row[3] = c
+        hist_rows.append(row)
+        nk_list.append(n)
+        covs_list.append(np.full(c, 3, np.int64))
+    for c1, c2, n, _d in _closest_adjusted_cases(floor):
+        row = np.zeros(_H, np.int64)
+        row[1], row[2] = c1, c2
+        hist_rows.append(row)
+        nk_list.append(n)
+        covs_list.append(np.concatenate([np.ones(c1, np.int64),
+                                         np.full(c2, 2, np.int64)]))
+    hist = np.stack(hist_rows)
+    n_kmers = np.asarray(nk_list, np.int64)
+    dev = _device_mask(hist, n_kmers, floor)
+    for g in range(len(covs_list)):
+        truth = _scalar_survives(covs_list[g], int(n_kmers[g]), floor)
+        assert not (truth and not dev[g]), (
+            f"device mask dropped a near-floor survivor: row {g}")
