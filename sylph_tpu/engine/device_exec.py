@@ -416,7 +416,12 @@ class DeviceContainment:
         if self._grange is None or len(self._devices) != 1:
             return None
         g = self._grange.gidx
-        if g.spill_kmers.size or g.n_heavy:
+        # heavy-run marker bins expand host-side, so their contribution
+        # can't join the on-device decision — host path for those DBs.
+        # Spill is different: it only ADDS counts, so genomes with ANY
+        # spill hit are OR-ed into the candidate set below (superset-
+        # safe), unless the spill list is degenerate.
+        if g.n_heavy or g.spill_kmers.size > (1 << 20):
             return None
         from .prefilter import candidate_mask_device
         if not hasattr(self, "_n_kmers_dev"):
@@ -449,6 +454,10 @@ class DeviceContainment:
             # cache it so the host prefilter path reuses it
             self._hists_cache[id(sample)] = (sample, out)
             return None
+        if g.spill_kmers.size:
+            sh = self._grange._spill_hist(skmers.astype(np.uint64),
+                                          scounts)
+            out = out | (sh[:, 1:].sum(axis=1) > 0)
         return out
 
     def hists(self, sample: SequencesSketch) -> np.ndarray:

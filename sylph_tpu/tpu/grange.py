@@ -1400,8 +1400,11 @@ class GRangeEngine:
         for idx, (di, cod, _d, _a) in enumerate(parts):
             if idx not in bad:
                 by_codes.setdefault(di, []).append(cod)
+        # NOTE: the device mask covers GRID counts only — spill and heavy
+        # side channels are the caller's to account for (device_exec ORs
+        # spill-hit genomes in; heavy DBs don't take this path)
         if (mask_fn is not None and not bad and len(by_codes) <= 1
-                and not gidx.spill_kmers.size and gidx.n_heavy == 0):
+                and gidx.n_heavy == 0):
             if not by_codes:
                 return np.zeros(gidx.n_genomes, bool)
             (_di, cods), = by_codes.items()

@@ -569,3 +569,40 @@ def test_heavy_stream_all_kernel_paths(monkeypatch):
     finally:
         monkeypatch.undo()
         importlib.reload(gr)
+
+
+def test_grange_device_mask_with_spill_superset():
+    """hists(mask_fn=...) returns a grid-only device mask; OR-ing genomes
+    with ANY spill hit (device_exec.candidates_mask's contract) must be a
+    superset of the host candidate_mask over the FULL histogram."""
+    import jax.numpy as jnp
+
+    from sylph_tpu.engine.prefilter import (candidate_mask,
+                                            candidate_mask_device)
+
+    kmers, gids, sk, sc = _world(3)
+    G = 50
+    # tiny ci_cap forces a real spill list (flat layout)
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 15,
+                              target_mean=512, ci_cap=384, nt=1)
+    assert gidx.spill_kmers.size > 0
+    import jax
+    eng = GRangeEngine(gidx, devices=[jax.devices()[0]])
+    full = eng.hists(sk, sc)                      # exact, incl. spill
+
+    n_kmers = np.bincount(gids, minlength=G).astype(np.int64)
+    kw = dict(k=31, min_ani=0.5, min_number_kmers=50.0,
+              min_count_correct=3.0, no_adj=False)
+    host_keep = candidate_mask(full.astype(np.int64), n_kmers, **kw)
+
+    def mask_fn(hist_dev):
+        return candidate_mask_device(hist_dev, jnp.asarray(
+            n_kmers.astype(np.int32)), **kw)
+
+    out = eng.hists(sk, sc, mask_fn=mask_fn)
+    assert out.ndim == 1 and out.dtype == bool
+    spill_hit = eng._spill_hist(sk, sc)[:, 1:].sum(axis=1) > 0
+    dev_keep = out | spill_hit
+    dropped = host_keep & ~dev_keep
+    assert not dropped.any(), np.flatnonzero(dropped)
+    assert host_keep.sum() > 0
