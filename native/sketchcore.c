@@ -28,95 +28,140 @@ static inline uint64_t mix64(uint64_t x) {
     return x;
 }
 
-typedef struct {            /* u64 key -> u32 value; key 0 reserved via flag */
-    uint64_t *keys;
-    uint32_t *vals;
-    uint8_t *used;
+typedef struct {            /* packed 16-byte entry: one probe touches ONE
+                             * cache line (the old split keys/vals/used
+                             * arrays cost three misses per probe, and the
+                             * fold is memory-latency-bound) */
+    uint64_t key;
+    uint32_t val;
+    uint32_t used;
+} MapEnt;
+
+typedef struct {            /* u64 key -> u32 value */
+    MapEnt *e;
     uint64_t cap, n;        /* cap is power of two */
 } Map64;
 
 static int map_init(Map64 *m, uint64_t cap) {
     m->cap = cap;
     m->n = 0;
-    m->keys = (uint64_t *)malloc(cap * sizeof(uint64_t));
-    m->vals = (uint32_t *)malloc(cap * sizeof(uint32_t));
-    m->used = (uint8_t *)calloc(cap, 1);
-    return m->keys && m->vals && m->used;
+    m->e = (MapEnt *)calloc(cap, sizeof(MapEnt));
+    return m->e != NULL;
 }
 
-static int map_grow(Map64 *m);
-
-static inline int64_t map_slot(Map64 *m, uint64_t key) {
+static inline int64_t map_slot_h(Map64 *m, uint64_t h, uint64_t key) {
     uint64_t mask = m->cap - 1;
-    uint64_t i = mix64(key) & mask;
-    while (m->used[i] && m->keys[i] != key) i = (i + 1) & mask;
+    uint64_t i = h & mask;
+    while (m->e[i].used && m->e[i].key != key) i = (i + 1) & mask;
     return (int64_t)i;
 }
 
+static inline int64_t map_slot(Map64 *m, uint64_t key) {
+    return map_slot_h(m, mix64(key), key);
+}
+
+static int map_rehash(Map64 *m, uint64_t ncap);
+
 static int map_grow(Map64 *m) {
+    /* factor 4 once large: the rehash of a multi-10M-entry table is the
+     * dominant fold cost, so amortize to ~1.33 moves/key instead of 2 */
+    return map_rehash(m, m->cap * (m->cap >= (1u << 20) ? 4 : 2));
+}
+
+static int map_rehash(Map64 *m, uint64_t ncap) {
     Map64 nm;
-    if (!map_init(&nm, m->cap * 2)) return 0;
+    if (!map_init(&nm, ncap)) return 0;
+    uint64_t nmask = nm.cap - 1;
     for (uint64_t i = 0; i < m->cap; i++) {
-        if (m->used[i]) {
-            int64_t s = map_slot(&nm, m->keys[i]);
-            nm.used[s] = 1;
-            nm.keys[s] = m->keys[i];
-            nm.vals[s] = m->vals[i];
+        /* the rehash is random-write bound at tens of millions of
+         * entries; prefetch the destination line a few sources ahead */
+        if (i + 8 < m->cap && m->e[i + 8].used)
+            __builtin_prefetch(&nm.e[mix64(m->e[i + 8].key) & nmask], 1);
+        if (m->e[i].used) {
+            int64_t s = map_slot(&nm, m->e[i].key);
+            nm.e[s] = m->e[i];
         }
     }
     nm.n = m->n;
-    free(m->keys); free(m->vals); free(m->used);
+    free(m->e);
     *m = nm;
     return 1;
 }
 
+typedef struct {            /* packed 128-bit key; empty = (0,0) */
+    uint64_t k1, k2;
+} SetEnt;
+
 typedef struct {            /* 128-bit key set: (k1, k2) */
-    uint64_t *k1, *k2;
-    uint8_t *used;
+    SetEnt *e;
     uint64_t cap, n;
+    int zero_present;       /* the one key the (0,0)-empty packing cannot
+                             * hold in-table (kept exact, not ignored) */
 } Set128;
 
 static int set_init(Set128 *s, uint64_t cap) {
     s->cap = cap;
     s->n = 0;
-    s->k1 = (uint64_t *)malloc(cap * sizeof(uint64_t));
-    s->k2 = (uint64_t *)malloc(cap * sizeof(uint64_t));
-    s->used = (uint8_t *)calloc(cap, 1);
-    return s->k1 && s->k2 && s->used;
+    s->zero_present = 0;
+    s->e = (SetEnt *)calloc(cap, sizeof(SetEnt));
+    return s->e != NULL;
 }
 
-static inline int64_t set_slot(Set128 *s, uint64_t a, uint64_t b) {
+static inline uint64_t set_hash(uint64_t a, uint64_t b) {
+    return mix64(a) ^ mix64(b * 0x9e3779b97f4a7c15ULL);
+}
+
+static inline int64_t set_slot_h(Set128 *s, uint64_t h, uint64_t a,
+                                 uint64_t b) {
     uint64_t mask = s->cap - 1;
-    uint64_t i = (mix64(a) ^ mix64(b * 0x9e3779b97f4a7c15ULL)) & mask;
-    while (s->used[i] && (s->k1[i] != a || s->k2[i] != b))
+    uint64_t i = h & mask;
+    while (!(s->e[i].k1 == 0 && s->e[i].k2 == 0)
+           && !(s->e[i].k1 == a && s->e[i].k2 == b))
         i = (i + 1) & mask;
     return (int64_t)i;
 }
 
+static int set_rehash(Set128 *s, uint64_t ncap);
+
 static int set_grow(Set128 *s) {
+    return set_rehash(s, s->cap * (s->cap >= (1u << 20) ? 4 : 2));
+}
+
+static int set_rehash(Set128 *s, uint64_t ncap) {
     Set128 ns;
-    if (!set_init(&ns, s->cap * 2)) return 0;
+    if (!set_init(&ns, ncap)) return 0;
+    uint64_t nmask = ns.cap - 1;
     for (uint64_t i = 0; i < s->cap; i++) {
-        if (s->used[i]) {
-            int64_t j = set_slot(&ns, s->k1[i], s->k2[i]);
-            ns.used[j] = 1;
-            ns.k1[j] = s->k1[i];
-            ns.k2[j] = s->k2[i];
+        if (i + 8 < s->cap
+            && !(s->e[i + 8].k1 == 0 && s->e[i + 8].k2 == 0))
+            __builtin_prefetch(
+                &ns.e[set_hash(s->e[i + 8].k1, s->e[i + 8].k2) & nmask], 1);
+        if (!(s->e[i].k1 == 0 && s->e[i].k2 == 0)) {
+            int64_t j = set_slot_h(&ns, set_hash(s->e[i].k1, s->e[i].k2),
+                                   s->e[i].k1, s->e[i].k2);
+            ns.e[j] = s->e[i];
         }
     }
     ns.n = s->n;
-    free(s->k1); free(s->k2); free(s->used);
+    ns.zero_present = s->zero_present;
+    free(s->e);
     *s = ns;
     return 1;
 }
 
-/* returns 1 if (a,b) was already present, else inserts and returns 0 */
-static int set_check_insert(Set128 *s, uint64_t a, uint64_t b, int *oom) {
-    int64_t i = set_slot(s, a, b);
-    if (s->used[i]) return 1;
-    s->used[i] = 1;
-    s->k1[i] = a;
-    s->k2[i] = b;
+/* returns 1 if (a,b) was already present, else inserts and returns 0;
+ * h must be set_hash(a, b) (precomputed by the fold's scratch pass) */
+static int set_check_insert_h(Set128 *s, uint64_t h, uint64_t a,
+                              uint64_t b, int *oom) {
+    if (a == 0 && b == 0) {
+        if (s->zero_present) return 1;
+        s->zero_present = 1;
+        return 0;
+    }
+    int64_t i = set_slot_h(s, h, a, b);
+    if (s->e[i].k1 == a && s->e[i].k2 == b) return 1;
+    s->e[i].k1 = a;
+    s->e[i].k2 = b;
     s->n++;
     if (s->n * 10 > s->cap * 7 && !set_grow(s)) *oom = 1;
     return 0;
@@ -198,10 +243,10 @@ static inline int bloom_level_test(const BloomLevel *l, int li,
     return all;
 }
 
-/* contains-then-insert, matching set_check_insert semantics */
-static int bloom_check_insert(Bloom *b, uint64_t a, uint64_t bkey,
-                              int *oom) {
-    uint64_t h = mix64(a) ^ mix64(bkey * 0x9e3779b97f4a7c15ULL);
+/* contains-then-insert, matching set_check_insert semantics; h must be
+ * set_hash(kmer, fp_pair) — the same derivation as before, hoisted to
+ * the fold's scratch pass so it can drive prefetch */
+static int bloom_check_insert_h(Bloom *b, uint64_t h, int *oom) {
     for (int i = 0; i < b->n_levels; i++)
         if (bloom_level_test(&b->lv[i], i, h, 0)) return 1;
     BloomLevel *last = &b->lv[b->n_levels - 1];
@@ -237,7 +282,38 @@ typedef struct {
     uint64_t *order;
     int64_t n_order, order_cap;
     int64_t ndup;
+    /* per-push scratch (pass 1 materializes per-occurrence hashes and
+     * flags so pass 2 can software-prefetch the table lines ~16
+     * occurrences ahead — the fold is pure memory latency otherwise) */
+    uint64_t *sc_mk, *sc_h0, *sc_h1, *sc_f0, *sc_f1;
+    uint8_t *sc_fl;
+    int64_t sc_cap;
 } FoldState;
+
+/* flags bits in sc_fl */
+#define FL_FPVALID 1u
+#define FL_SKIP 2u
+
+static int fold_scratch_reserve(FoldState *st, int64_t n) {
+    if (n <= st->sc_cap) return 1;
+    int64_t cap = st->sc_cap > 0 ? st->sc_cap : (1 << 16);
+    while (cap < n) cap *= 2;
+    uint64_t *mk = (uint64_t *)realloc(st->sc_mk, cap * sizeof(uint64_t));
+    uint64_t *h0 = (uint64_t *)realloc(st->sc_h0, cap * sizeof(uint64_t));
+    uint64_t *h1 = (uint64_t *)realloc(st->sc_h1, cap * sizeof(uint64_t));
+    uint64_t *f0 = (uint64_t *)realloc(st->sc_f0, cap * sizeof(uint64_t));
+    uint64_t *f1 = (uint64_t *)realloc(st->sc_f1, cap * sizeof(uint64_t));
+    uint8_t *fl = (uint8_t *)realloc(st->sc_fl, cap);
+    if (mk) st->sc_mk = mk;
+    if (h0) st->sc_h0 = h0;
+    if (h1) st->sc_h1 = h1;
+    if (f0) st->sc_f0 = f0;
+    if (f1) st->sc_f1 = f1;
+    if (fl) st->sc_fl = fl;
+    if (!(mk && h0 && h1 && f0 && f1 && fl)) return 0;
+    st->sc_cap = cap;
+    return 1;
+}
 
 void *sk_fold_new(int no_dedup, uint32_t threshold, double fpr) {
     FoldState *st = (FoldState *)calloc(1, sizeof(FoldState));
@@ -250,8 +326,8 @@ void *sk_fold_new(int no_dedup, uint32_t threshold, double fpr) {
         return NULL;
     }
     if (st->use_bloom && !bloom_init(&st->bloom, fpr)) {
-        free(st->counts.keys); free(st->counts.vals); free(st->counts.used);
-        free(st->pairs.k1); free(st->pairs.k2); free(st->pairs.used);
+        free(st->counts.e);
+        free(st->pairs.e);
         free(st);
         return NULL;
     }
@@ -261,23 +337,69 @@ void *sk_fold_new(int no_dedup, uint32_t threshold, double fpr) {
     return st;
 }
 
+/* Presize for an expected number of distinct keys (estimated by the
+ * caller from the first decoded block x the file's size ratio): one
+ * calloc each instead of a cascade of rehashes. The pair set sees ~2
+ * inserts per occurrence (two fingerprint pairs). Never shrinks; safe
+ * to call at any point; returns 0 on OOM (state remains usable). */
+int sk_fold_reserve(void *p, int64_t n_keys) {
+    FoldState *st = (FoldState *)p;
+    if (!st || n_keys <= 0) return 1;
+    uint64_t want = (uint64_t)n_keys * 10u / 7u + 1u;
+    uint64_t cap = 1;
+    while (cap < want) cap *= 2;
+    if (cap > st->counts.cap && !map_rehash(&st->counts, cap)) return 0;
+    if (!st->no_dedup && !st->use_bloom) {
+        uint64_t want2 = (uint64_t)n_keys * 20u / 7u + 1u;
+        uint64_t cap2 = 1;
+        while (cap2 < want2) cap2 *= 2;
+        if (cap2 > st->pairs.cap && !set_rehash(&st->pairs, cap2))
+            return 0;
+    }
+    if (n_keys > st->order_cap) {
+        uint64_t *no = (uint64_t *)realloc(
+            st->order, sizeof(uint64_t) * (size_t)n_keys);
+        if (!no) return 0;
+        st->order = no;
+        st->order_cap = n_keys;
+    }
+    return 1;
+}
+
 void sk_fold_free(void *p) {
     FoldState *st = (FoldState *)p;
     if (!st) return;
-    free(st->counts.keys); free(st->counts.vals); free(st->counts.used);
-    free(st->pairs.k1); free(st->pairs.k2); free(st->pairs.used);
+    free(st->counts.e);
+    free(st->pairs.e);
     if (st->use_bloom) bloom_free(&st->bloom);
     free(st->order);
+    free(st->sc_mk); free(st->sc_h0); free(st->sc_h1);
+    free(st->sc_f0); free(st->sc_f1); free(st->sc_fl);
     free(st);
 }
 
-/* one chunk of segments; returns cumulative ndup, or -1 on OOM */
+/* one chunk of segments; returns cumulative ndup, or -1 on OOM.
+ *
+ * Two passes. Pass 1 (sequential, branch-light) materializes the
+ * per-occurrence hashes and flags; pass 2 runs the exact decision
+ * sequence of the original per-segment loop, prefetching the count-map
+ * and pair-set cache lines PF_DIST occurrences ahead. Segments here are
+ * single reads (1-3 surviving k-mers each), so lookahead must cross
+ * segment boundaries — hence the flattening. Decisions, insertion
+ * order, grows, and ndup are bit-identical to the naive loop. */
+#define PF_DIST 16
 int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
                      const int64_t *seg_starts, int64_t n_segs,
                      const uint64_t *fp, const uint8_t *fp_valid,
                      const uint8_t *filter_prev) {
     FoldState *st = (FoldState *)p;
     int oom = 0;
+    if (n_kmers <= 0) return st->ndup;
+    if (!fold_scratch_reserve(st, n_kmers)) return -1;
+    uint64_t *mk = st->sc_mk, *h0 = st->sc_h0, *h1 = st->sc_h1;
+    uint64_t *f0 = st->sc_f0, *f1 = st->sc_f1;
+    uint8_t *fl = st->sc_fl;
+
     for (int64_t s = 0; s < n_segs; s++) {
         int64_t lo = seg_starts[s];
         int64_t hi = (s + 1 < n_segs) ? seg_starts[s + 1] : n_kmers;
@@ -286,51 +408,84 @@ int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
             plo = seg_starts[s - 1];
             phi = lo;
         }
+        uint8_t v = (fp_valid && fp_valid[s]) ? FL_FPVALID : 0;
+        uint64_t p0 = 0, p1 = 0, m0 = 0, m1 = 0;
+        if (v) {
+            p0 = fp[4 * s + 0] << 32 | (uint32_t)fp[4 * s + 1];
+            p1 = fp[4 * s + 2] << 32 | (uint32_t)fp[4 * s + 3];
+            m0 = mix64(p0 * 0x9e3779b97f4a7c15ULL);
+            m1 = mix64(p1 * 0x9e3779b97f4a7c15ULL);
+        }
         for (int64_t i = lo; i < hi; i++) {
             uint64_t km = kmers[i];
-            if (phi > plo) {            /* skip if present in previous seg */
-                int found = 0;
+            uint8_t flags = v;
+            if (phi > plo) {            /* present in previous segment? */
                 for (int64_t j = plo; j < phi; j++)
-                    if (kmers[j] == km) { found = 1; break; }
-                if (found) continue;
+                    if (kmers[j] == km) { flags |= FL_SKIP; break; }
             }
-            int64_t slot = map_slot(&st->counts, km);
-            uint32_t c = st->counts.used[slot] ? st->counts.vals[slot] : 0;
-            if (!st->no_dedup && c < st->threshold && fp_valid
-                && fp_valid[s]) {
-                uint64_t p0 = fp[4 * s + 0] << 32 | (uint32_t)fp[4 * s + 1];
-                uint64_t p1 = fp[4 * s + 2] << 32 | (uint32_t)fp[4 * s + 3];
-                int ret = 0;
-                int in0 = st->use_bloom
-                    ? bloom_check_insert(&st->bloom, km, p0, &oom)
-                    : set_check_insert(&st->pairs, km, p0, &oom);
-                if (in0 && c > 0) ret = 1;
-                int in1 = st->use_bloom
-                    ? bloom_check_insert(&st->bloom, km, p1, &oom)
-                    : set_check_insert(&st->pairs, km, p1, &oom);
-                if (in1 && c > 0) ret = 1;
-                if (ret) { st->ndup++; continue; }
-            }
-            if (!st->counts.used[slot]) {
-                st->counts.used[slot] = 1;
-                st->counts.keys[slot] = km;
-                st->counts.vals[slot] = 1;
-                st->counts.n++;
-                if (st->n_order >= st->order_cap) {
-                    st->order_cap *= 2;
-                    uint64_t *no = (uint64_t *)realloc(
-                        st->order,
-                        sizeof(uint64_t) * (size_t)st->order_cap);
-                    if (!no) { oom = 1; break; }
-                    st->order = no;
+            uint64_t h = mix64(km);
+            mk[i] = h;
+            h0[i] = h ^ m0;
+            h1[i] = h ^ m1;
+            f0[i] = p0;
+            f1[i] = p1;
+            fl[i] = flags;
+        }
+    }
+
+    for (int64_t i = 0; i < n_kmers; i++) {
+        if (i + PF_DIST < n_kmers) {
+            int64_t pf = i + PF_DIST;
+            __builtin_prefetch(
+                &st->counts.e[mk[pf] & (st->counts.cap - 1)]);
+            if (!st->no_dedup && (fl[pf] & FL_FPVALID)) {
+                if (st->use_bloom) {
+                    const BloomLevel *l0 = &st->bloom.lv[0];
+                    uint64_t hh = mix64(h0[pf] + 1);
+                    __builtin_prefetch(l0->bits + 8 * (uint64_t)(
+                        ((__uint128_t)hh * l0->n_blocks) >> 64));
+                } else {
+                    uint64_t smask = st->pairs.cap - 1;
+                    __builtin_prefetch(&st->pairs.e[h0[pf] & smask]);
+                    __builtin_prefetch(&st->pairs.e[h1[pf] & smask]);
                 }
-                st->order[st->n_order++] = km;
-                if (st->counts.n * 10 > st->counts.cap * 7) {
-                    if (!map_grow(&st->counts)) { oom = 1; break; }
-                }
-            } else {
-                st->counts.vals[slot] = c + 1;
             }
+        }
+        if (fl[i] & FL_SKIP) continue;
+        uint64_t km = kmers[i];
+        int64_t slot = map_slot_h(&st->counts, mk[i], km);
+        uint32_t c = st->counts.e[slot].used ? st->counts.e[slot].val : 0;
+        if (!st->no_dedup && c < st->threshold && (fl[i] & FL_FPVALID)) {
+            int ret = 0;
+            int in0 = st->use_bloom
+                ? bloom_check_insert_h(&st->bloom, h0[i], &oom)
+                : set_check_insert_h(&st->pairs, h0[i], km, f0[i], &oom);
+            if (in0 && c > 0) ret = 1;
+            int in1 = st->use_bloom
+                ? bloom_check_insert_h(&st->bloom, h1[i], &oom)
+                : set_check_insert_h(&st->pairs, h1[i], km, f1[i], &oom);
+            if (in1 && c > 0) ret = 1;
+            if (ret) { st->ndup++; continue; }
+        }
+        if (!st->counts.e[slot].used) {
+            st->counts.e[slot].used = 1;
+            st->counts.e[slot].key = km;
+            st->counts.e[slot].val = 1;
+            st->counts.n++;
+            if (st->n_order >= st->order_cap) {
+                st->order_cap *= 2;
+                uint64_t *no = (uint64_t *)realloc(
+                    st->order,
+                    sizeof(uint64_t) * (size_t)st->order_cap);
+                if (!no) { oom = 1; break; }
+                st->order = no;
+            }
+            st->order[st->n_order++] = km;
+            if (st->counts.n * 10 > st->counts.cap * 7) {
+                if (!map_grow(&st->counts)) { oom = 1; break; }
+            }
+        } else {
+            st->counts.e[slot].val = c + 1;
         }
         if (oom) break;
     }
@@ -347,9 +502,13 @@ int64_t sk_fold_finish(void *p, uint64_t **out_kmers, uint32_t **out_counts,
     uint32_t *oc = (uint32_t *)malloc(sizeof(uint32_t)
                                       * (size_t)(n > 0 ? n : 1));
     if (!ok || !oc) { free(ok); free(oc); return -1; }
+    uint64_t mmask = st->counts.cap - 1;
     for (int64_t i = 0; i < n; i++) {
+        if (i + PF_DIST < n)
+            __builtin_prefetch(
+                &st->counts.e[mix64(st->order[i + PF_DIST]) & mmask]);
         ok[i] = st->order[i];
-        oc[i] = st->counts.vals[map_slot(&st->counts, st->order[i])];
+        oc[i] = st->counts.e[map_slot(&st->counts, st->order[i])].val;
     }
     *out_kmers = ok;
     *out_counts = oc;

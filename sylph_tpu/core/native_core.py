@@ -82,6 +82,8 @@ def get_lib():
         lib.sk_fold_finish.restype = ctypes.c_int64
         lib.sk_fold_free.argtypes = [ctypes.c_void_p]
         lib.sk_fold_free.restype = None
+        lib.sk_fold_reserve.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.sk_fold_reserve.restype = ctypes.c_int
         lib.sx_seed_concat.argtypes = [
             _U8P, _I64P, _I64P, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_int, ctypes.POINTER(_I64P), ctypes.POINTER(_U64P)]
@@ -171,6 +173,14 @@ class StreamingFold:
                                          np.uint32(thr), float(fpr))
         if not self._st:
             raise MemoryError("sk_fold_new failure")
+
+    def reserve(self, n_keys: int) -> None:
+        """Presize the tables for ~n_keys distinct k-mers (estimate; the
+        fold still grows past it if low). One rehash now replaces the
+        doubling cascade — the dominant fold cost at 10M+ keys."""
+        if n_keys > 0 and not self._lib.sk_fold_reserve(
+                self._st, int(n_keys)):
+            raise MemoryError("sk_fold_reserve failure")
 
     def push(self, kmers: np.ndarray, seg_starts: np.ndarray,
              fps: np.ndarray, fp_valid: np.ndarray,

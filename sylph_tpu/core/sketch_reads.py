@@ -21,6 +21,7 @@ fold runs per-survivor (~1/c of bases).
 """
 
 import logging
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -245,6 +246,13 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
     t.start()
     fold = StreamingFold(no_dedup, MAX_DEDUP_COUNT)
     lens_parts = []
+    # fold-table presize: extrapolate the first block's survivor rate
+    # over the whole file (compressed size x a typical fastq gzip ratio)
+    # so the hash tables take one rehash instead of a doubling cascade
+    fsize = os.path.getsize(read_file)
+    est_total_text = fsize * (3.3 if read_file.endswith((".gz", ".bgz"))
+                              else 1.0)
+    text_seen, occ_seen, reserved = 0, 0, False
     try:
         nw = _ingest_workers()
         with ThreadPoolExecutor(max_workers=nw) as pool:
@@ -256,17 +264,24 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
                     if block is None:
                         done = True
                         break
-                    futs.append(pool.submit(prepare, block))
+                    futs.append((pool.submit(prepare, block), len(block)))
                 if not futs:
                     break
                 t0 = t_wall()
-                lengths, hashes, seg_starts, fps, valid = \
-                    futs.popleft().result()
+                fut, blen = futs.popleft()
+                lengths, hashes, seg_starts, fps, valid = fut.result()
                 if acc:
                     acc.add("wait", t_wall() - t0)
                 lens_parts.append(lengths)
                 if seg_starts is not None:
                     t0 = t_wall()
+                    text_seen += blen
+                    occ_seen += hashes.size
+                    if not reserved and text_seen > 0:
+                        reserved = True
+                        if est_total_text > text_seen:
+                            fold.reserve(int(occ_seen * est_total_text
+                                             / text_seen * 1.25))
                     fold.push(hashes, seg_starts, fps, valid, None)
                     if acc:
                         acc.add("fold", t_wall() - t0)

@@ -159,7 +159,8 @@ def iter_decompressed(data, blocks: List[Tuple[int, int, int]],
                 if rc != 0 or nout.value != isize:
                     return inflate_zlib(group)   # corrupt ISIZE: redo safe
                 pos += isize
-            return bytes(out)
+            return out          # bytearray: parse takes it zero-copy; a
+                                # bytes() conversion would copy ~2 GB/Gbp
         finally:
             _dl.libdeflate_free_decompressor(d)
 

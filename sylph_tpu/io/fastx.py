@@ -111,20 +111,65 @@ def parse_fastx(path: str, skip_names: bool = False) -> ParsedFastx:
     return parse_fastx_py(path, skip_names)
 
 
+def _bgzf_first_text(data, blocks) -> bytes:
+    """Inflate just enough leading blocks to see the first record byte."""
+    import zlib
+    out = b""
+    for off, blen, isize in blocks[:64]:
+        if not isize:
+            continue
+        out += zlib.decompress(data[off:off + blen],
+                               16 + zlib.MAX_WBITS, isize)
+        if out.strip():
+            break
+    return out
+
+
 def stream_blocks(path: str, target_bytes: int = 64 << 20):
     """Yield decompressed record-aligned byte blocks of ~target_bytes.
 
     gzip decodes incrementally (multi-member files chain transparently;
     zlib releases the GIL so this can run in a producer thread); blocks
     are cut at record boundaries (groups of 4 non-blank lines for FASTQ,
-    '\\n>' for FASTA). Memory stays bounded at ~target_bytes regardless of
-    file size.
+    '\\n>' for FASTA). Memory stays bounded at ~target_bytes regardless
+    of file size. BGZF FASTQ takes a dedicated path: parallel member
+    inflate + one numpy newline pass per chunk, with blocks yielded as
+    memoryviews of the inflate buffers (no concat or per-block copies —
+    the generic framing's three memchr passes and two whole-stream
+    copies were the decode wall at Gbp scale).
     """
+    import zlib
+
+    if target_bytes < (1 << 20):            # tests use tiny windows; the
+        fastq_fast_path = False             # nl-framing assumes >=4 lines
+    else:                                   # per chunk
+        fastq_fast_path = True
+    with open(path, "rb") as f:
+        head = f.read(18)
+    if head[:4] == b"\x1f\x8b\x08\x04":
+        from . import bgzf
+        if bgzf.looks_like_bgzf(head):
+            with open(path, "rb") as f:
+                data = f.read()
+            blocks = bgzf.scan(data)
+            if blocks:
+                first = _bgzf_first_text(data, blocks).lstrip(b"\n\r \t")
+                chunks = bgzf.iter_decompressed(data, blocks,
+                                                target_bytes)
+                if fastq_fast_path and first[:1] == b"@":
+                    yield from _frame_fastq_nl(chunks)
+                else:
+                    yield from _frame_records(chunks, target_bytes)
+                return
+    yield from _frame_records(_text_chunks_generic(path), target_bytes)
+
+
+def _text_chunks_generic(path: str):
+    """Decompressed (or raw) text chunks for non-BGZF files."""
     import os
     import zlib
 
-    def text_chunks():
-        with open(path, "rb") as f:
+    with open(path, "rb") as f:
             head = f.read(18)
             f.seek(0)
             if head[:2] != b"\x1f\x8b":
@@ -134,17 +179,6 @@ def stream_blocks(path: str, target_bytes: int = 64 << 20):
                         return
                     yield raw
                 return
-            # BGZF (htslib blocked gzip — common for pipeline fastq.gz):
-            # member boundaries are in the headers, so blocks inflate in
-            # parallel across cores. Falls through on any irregularity.
-            from . import bgzf
-            if bgzf.looks_like_bgzf(head):
-                data = f.read()
-                blocks = bgzf.scan(data)
-                if blocks:
-                    yield from bgzf.iter_decompressed(data, blocks)
-                    return
-                f.seek(0)
             # gzip: libdeflate member-at-a-time when available and the
             # compressed size is modest (2-3x faster than zlib inflate;
             # multi-member Illumina-style files stay memory-bounded at one
@@ -179,10 +213,12 @@ def stream_blocks(path: str, target_bytes: int = 64 << 20):
                 if text:
                     yield text
 
+def _frame_records(chunk_iter, target_bytes: int):
+    """Generic record-aligned framing over a decompressed chunk stream."""
     carry = b""
     first = True
     fastq = False
-    for text in text_chunks():
+    for text in chunk_iter:
         buf = carry + text if carry else text
         mv = memoryview(buf)
         n = len(buf)
@@ -201,7 +237,8 @@ def stream_blocks(path: str, target_bytes: int = 64 << 20):
         while n - pos >= target_bytes:
             wend = min(n, pos + target_bytes)
             cut = (_record_cut_fast_fastq(buf, pos, wend)
-                   if fastq and isinstance(buf, bytes) else None)
+                   if fastq and isinstance(buf, (bytes, bytearray))
+                   else None)
             if cut is None:
                 cut = _record_cut(np.frombuffer(mv[pos:wend], np.uint8),
                                   fastq)
@@ -213,6 +250,74 @@ def stream_blocks(path: str, target_bytes: int = 64 << 20):
             yield bytes(mv[pos:pos + cut])
             pos += cut
         carry = bytes(mv[pos:])
+    if carry.strip():
+        yield carry
+
+
+def _frame_fastq_nl(chunk_iter):
+    """Record-aligned framing for clean FASTQ chunk streams, O(1) copies.
+
+    One numpy pass per chunk finds every newline; cuts are then pure
+    arithmetic on the position array (records are 4-line groups, and the
+    cumulative line count from the file start — a true boundary — is
+    exact). Blocks are yielded as memoryviews of the inflate buffers: no
+    carry+chunk concat, no per-block bytes() copy. A chunk containing
+    '\\r', a blank line, or a failed '@' boundary check falls back to the
+    exact `_record_cut` for that chunk (and the stream stays correct:
+    both framers cut only at record boundaries).
+    """
+    carry = b""          # partial trailing record; starts at a boundary
+    carry_nl = 0         # newlines inside carry
+    for chunk in chunk_iter:
+        if not len(chunk):
+            continue
+        arr = np.frombuffer(chunk, np.uint8)
+        nl = np.flatnonzero(arr == 0x0A)
+        total = carry_nl + nl.size
+        # a dirty-path carry can hold blank lines or '\r', which would
+        # poison the newline arithmetic — stay on the exact path then
+        dirty = bool(
+            (arr == 0x0D).any()
+            or (nl.size > 1 and (np.diff(nl) == 1).any())
+            or (nl.size and nl[0] == 0
+                and (carry.endswith(b"\n") or not carry))
+            or carry.startswith(b"\n") or b"\n\n" in carry
+            or b"\r" in carry)
+        cut = -1
+        if not dirty and total >= 4:
+            r = int(total % 4)
+            j = nl.size - 1 - r
+            cut = int(nl[j]) + 1
+            # the byte after a cut must start a header; when the cut is
+            # flush with the chunk end, the next chunk's head validates
+            if ((cut < arr.size and arr[cut] != 0x40)
+                    or (not carry and arr[0] != 0x40)):
+                dirty = True
+        if dirty:
+            buf = carry + chunk if carry else (
+                chunk if isinstance(chunk, (bytes, bytearray))
+                else bytes(chunk))
+            ecut = _record_cut(np.frombuffer(buf, np.uint8), True)
+            if ecut > 0:
+                yield buf[:ecut] if isinstance(buf, bytes) \
+                    else bytes(memoryview(buf)[:ecut])
+            carry = bytes(memoryview(buf)[ecut:])
+            carry_nl = carry.count(b"\n")
+            continue
+        if total < 4:        # degenerate: accumulate until a full record
+            carry = carry + chunk if carry else bytes(chunk)
+            carry_nl = total
+            continue
+        mvc = memoryview(chunk)
+        if carry:
+            fcut = int(nl[3 - carry_nl]) + 1
+            yield carry + bytes(mvc[:fcut])
+            if cut > fcut:
+                yield mvc[fcut:cut]
+        else:
+            yield mvc[:cut]
+        carry = bytes(mvc[cut:])
+        carry_nl = int(total % 4)
     if carry.strip():
         yield carry
 

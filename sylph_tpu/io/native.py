@@ -71,7 +71,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         lib.fx_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.fx_parse.restype = ctypes.POINTER(_FxResult)
-        lib.fx_parse_buffer.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+        lib.fx_parse_buffer.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_int]
         lib.fx_parse_buffer.restype = ctypes.POINTER(_FxResult)
         lib.fx_free.argtypes = [ctypes.POINTER(_FxResult)]
@@ -93,12 +93,21 @@ def parse_fastx_native(path: str, skip_names: bool = False):
     return _convert(lib, rp)
 
 
-def parse_fastx_buffer_native(data: bytes, skip_names: bool = False):
-    """Native parse of an in-memory decompressed block, or None."""
+def parse_fastx_buffer_native(data, skip_names: bool = False):
+    """Native parse of an in-memory decompressed block (bytes, bytearray,
+    or memoryview — the BGZF framer hands over views of the inflate
+    buffers without a bytes() copy), or None."""
+    import numpy as np
     lib = get_lib()
     if lib is None:
         return None
-    rp = lib.fx_parse_buffer(data, len(data), 1 if skip_names else 0)
+    n = len(data)
+    if n == 0:
+        ptr = None
+    else:
+        arr = np.frombuffer(data, np.uint8)   # zero-copy for all three
+        ptr = arr.ctypes.data
+    rp = lib.fx_parse_buffer(ptr, n, 1 if skip_names else 0)
     return _convert(lib, rp)
 
 

@@ -150,3 +150,47 @@ def test_record_cut_fast_matches_exact():
         exact = _record_cut(np.frombuffer(data[:e], np.uint8), True)
         if fast is not None:
             assert fast == exact, (case, fast, exact)
+
+
+def test_frame_fastq_nl_matches_generic_framer():
+    """The newline-position framer (BGZF fastq fast path) emits blocks
+    that (a) concatenate to the input, (b) each start at a record
+    boundary, and (c) parse identically to the generic framer — fuzzed
+    over chunk splits mid-record, CRLF, blank lines, '@' quality lines,
+    and missing trailing newlines."""
+    from sylph_tpu.io.fastx import (_frame_fastq_nl, _frame_records,
+                                    parse_block)
+
+    rng = np.random.default_rng(11)
+    for case in range(120):
+        n = int(rng.integers(1, 60))
+        recs = []
+        for i in range(n):
+            L = int(rng.integers(1, 120))
+            seq = bytes(rng.integers(65, 69, L).astype(np.uint8))
+            qat = rng.integers(0, 3) == 0
+            q = (b"@" if qat else b"I") * L
+            nl = b"\r\n" if rng.integers(0, 6) == 0 else b"\n"
+            recs.append(b"@r%d" % i + nl + seq + nl + b"+" + nl + q + nl)
+            if rng.integers(0, 9) == 0:
+                recs.append(b"\n")
+        data = b"".join(recs)
+        if rng.integers(0, 4) == 0:
+            data = data.rstrip(b"\n")       # no trailing newline
+        # random chunking, incl. tiny chunks that split records
+        cuts = np.sort(rng.integers(0, len(data) + 1,
+                                    size=int(rng.integers(0, 8))))
+        bounds = [0, *cuts.tolist(), len(data)]
+        chunks = [bytearray(data[a:b]) for a, b in zip(bounds, bounds[1:])
+                  if b > a]
+        fast = list(_frame_fastq_nl(iter(chunks)))
+        joined = b"".join(bytes(b) for b in fast)
+        # both framers drop a whitespace-only tail
+        assert joined == data[:len(joined)], case
+        assert not data[len(joined):].strip(), case
+        gen = list(_frame_records(iter([data]), target_bytes=256))
+        px_f = [parse_block(b, "t.fq") for b in fast]
+        px_g = [parse_block(b, "t.fq") for b in gen]
+        ids_f = np.concatenate([p.lengths for p in px_f])
+        ids_g = np.concatenate([p.lengths for p in px_g])
+        np.testing.assert_array_equal(ids_f, ids_g, err_msg=str(case))
