@@ -337,6 +337,22 @@ void *sk_fold_new(int no_dedup, uint32_t threshold, double fpr) {
     return st;
 }
 
+/* first-insertion-order key stream accessors: the device ingest path
+ * uploads the order array incrementally while decode/seed/fold still
+ * run, hiding the sample H2D behind the ingest wall */
+int64_t sk_fold_order_count(void *p) {
+    return ((FoldState *)p)->n_order;
+}
+
+void sk_fold_order_copy(void *p, int64_t start, int64_t end,
+                        uint64_t *out) {
+    FoldState *st = (FoldState *)p;
+    if (end > st->n_order) end = st->n_order;
+    if (start < 0 || start >= end) return;
+    memcpy(out, st->order + start,
+           sizeof(uint64_t) * (size_t)(end - start));
+}
+
 /* Presize for an expected number of distinct keys (estimated by the
  * caller from the first decoded block x the file's size ratio): one
  * calloc each instead of a cascade of rehashes. The pair set sees ~2

@@ -84,6 +84,12 @@ def get_lib():
         lib.sk_fold_free.restype = None
         lib.sk_fold_reserve.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.sk_fold_reserve.restype = ctypes.c_int
+        lib.sk_fold_order_count.argtypes = [ctypes.c_void_p]
+        lib.sk_fold_order_count.restype = ctypes.c_int64
+        lib.sk_fold_order_copy.argtypes = [ctypes.c_void_p,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           _U64P]
+        lib.sk_fold_order_copy.restype = None
         lib.sx_seed_concat.argtypes = [
             _U8P, _I64P, _I64P, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_int, ctypes.POINTER(_I64P), ctypes.POINTER(_U64P)]
@@ -173,6 +179,20 @@ class StreamingFold:
                                          np.uint32(thr), float(fpr))
         if not self._st:
             raise MemoryError("sk_fold_new failure")
+
+    def new_keys(self) -> np.ndarray:
+        """Keys inserted since the last call, in first-insertion order
+        (the exact prefix order finish() will return). Lets the device
+        ingest path stream the sample k-mers to the accelerator while
+        later blocks are still decoding."""
+        n1 = int(self._lib.sk_fold_order_count(self._st))
+        n0 = getattr(self, "_order_seen", 0)
+        self._order_seen = n1
+        if n1 <= n0:
+            return np.empty(0, np.uint64)
+        out = np.empty(n1 - n0, np.uint64)
+        self._lib.sk_fold_order_copy(self._st, n0, n1, _p(out, _U64P))
+        return out
 
     def reserve(self, n_keys: int) -> None:
         """Presize the tables for ~n_keys distinct k-mers (estimate; the

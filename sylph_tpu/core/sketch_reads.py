@@ -149,7 +149,8 @@ def _fp_single_arrays(px: ParsedFastx, seg_rids: np.ndarray):
 
 
 def _sketch_single_streaming(read_file: str, c: int, k: int,
-                             sample_name, no_dedup: bool, device: bool):
+                             sample_name, no_dedup: bool, device: bool,
+                             on_segment=None):
     """Streaming array-native single-end sketch, pipelined three ways:
     a producer thread decodes gzip blocks (zlib releases the GIL), a small
     worker pool parses + seeds + fingerprints each block concurrently
@@ -283,6 +284,8 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
                             fold.reserve(int(occ_seen * est_total_text
                                              / text_seen * 1.25))
                     fold.push(hashes, seg_starts, fps, valid, None)
+                    if on_segment is not None:
+                        on_segment(fold.new_keys())
                     if acc:
                         acc.add("fold", t_wall() - t0)
         t.join()
@@ -400,13 +403,20 @@ def _fold_native(seg_kmer_lists, seg_fps, filter_prev, no_dedup, threshold,
 def sketch_sequences(read_file: str, c: int, k: int,
                      sample_name: Optional[str] = None,
                      no_dedup: bool = False,
-                     device: bool = False) -> Optional[SequencesSketch]:
-    """Single-end read sketch (sylph src/sketch.rs:897-959)."""
+                     device: bool = False,
+                     on_segment=None) -> Optional[SequencesSketch]:
+    """Single-end read sketch (sylph src/sketch.rs:897-959).
+
+    ``on_segment(kmers_u64)``, if given, receives the newly-inserted
+    distinct k-mers after each pushed block, in first-insertion order
+    (their concatenation equals the returned sketch's ``kmers``) — the
+    device engine streams them to the accelerator during the ingest."""
     from .native_core import get_lib
     if get_lib() is not None:
         try:
             return _sketch_single_streaming(read_file, c, k, sample_name,
-                                            no_dedup, device)
+                                            no_dedup, device,
+                                            on_segment=on_segment)
         except (FastxParseError, OSError):
             log.warning("%s is not a valid fasta/fastq file; skipping.",
                         read_file)

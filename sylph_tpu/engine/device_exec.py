@@ -407,6 +407,15 @@ class DeviceContainment:
         self._cache_put(sample, counts)
         return counts
 
+    def sample_streamer(self):
+        """DeviceSampleStream for the grange single-device serving path
+        (None otherwise): the runner hands it to the read sketcher so
+        the sample k-mers upload WHILE the file is still decoding."""
+        if self._grange is None or len(self._devices) != 1:
+            return None
+        from .device_sketch import DeviceSampleStream
+        return DeviceSampleStream(self._devices[0])
+
     def candidates_mask(self, sample: SequencesSketch,
                         mask_kwargs: dict):
         """[G] bool candidate mask computed ON DEVICE, or None when the
@@ -436,19 +445,22 @@ class DeviceContainment:
                                          **mask_kwargs)
 
         skmers, scounts = sample.sorted_view()
+        dv = getattr(sample, "_device_view", None)
         from ..utils.timing import stage_timer
         with stage_timer(
                 f"device grange candidate mask ({g.m} k-mers x "
                 f"{skmers.size} sample k-mers)"):
             try:
                 out = self._grange.hists(skmers.astype(np.uint64),
-                                         scounts, mask_fn=mask_fn)
+                                         scounts, mask_fn=mask_fn,
+                                         device_view=dv)
             except Exception as e:
                 if not _is_transient_jax_error(e):
                     raise
                 log.warning("device mask failed (%s); retrying once", e)
                 out = self._grange.hists(skmers.astype(np.uint64),
-                                         scounts, mask_fn=mask_fn)
+                                         scounts, mask_fn=mask_fn,
+                                         device_view=dv)
         if out.ndim == 2:
             # engine fell back to the full histogram (bad chunk etc.):
             # cache it so the host prefilter path reuses it
@@ -468,13 +480,14 @@ class DeviceContainment:
             if hit is not None and hit[0] is sample:
                 return hit[1]
             skmers, scounts = sample.sorted_view()
+            dv = getattr(sample, "_device_view", None)
             from ..utils.timing import stage_timer
             with stage_timer(
                     f"device grange hists ({self._grange.gidx.m} k-mers x "
                     f"{skmers.size} sample k-mers)"):
                 try:
                     return self._grange.hists(skmers.astype(np.uint64),
-                                              scounts)
+                                              scounts, device_view=dv)
                 except Exception as e:  # transient backend/compile blip:
                     # one retry before surfacing (a relay 500 otherwise
                     # discards the whole sample's multi-minute setup).
@@ -486,7 +499,7 @@ class DeviceContainment:
                     log.warning("device hists failed (%s); retrying once",
                                 e)
                     return self._grange.hists(skmers.astype(np.uint64),
-                                              scounts)
+                                              scounts, device_view=dv)
         counts = self._counts(sample)
         gids = self.index.genome_ids
         G = int(self.index.n_genomes)

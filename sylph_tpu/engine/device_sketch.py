@@ -391,3 +391,113 @@ def genome_survivor_positions(px: ParsedFastx, c: int, k: int):
         return e, e, np.empty(0, np.uint64)
     return (np.concatenate(out_c), np.concatenate(out_p),
             np.concatenate(out_h))
+
+
+# ---------------------------------------------------------------------------
+# streamed device-resident sample (grange serving path)
+#
+# The grange sweep's sample upload (~100 MB padded at GTDB scale) rides a
+# relay whose H2D throughput swings 3x run-to-run; paid synchronously it
+# is the largest and noisiest slice of the prefilter wall. The dedup
+# fold's first-insertion order is append-only, so the k-mer stream can
+# ship to the accelerator WHILE later blocks are still decoding: fixed
+# 1 Mi-entry buffers flush as they fill (async device_put), and finalize
+# uploads only the counts (u8) plus the tail. The device then sorts and
+# slices the sample itself (tpu/grange.py device-view path) — compile
+# shapes stay stable because buffers are fixed-size and the buffer count
+# pads to a power of two.
+
+SEG_ENTRIES = 1 << 20
+
+
+class DeviceSampleStream:
+    """Accumulates first-insertion-order k-mers into fixed device
+    buffers during the host ingest. Not thread-safe; the ingest fold is
+    single-threaded by construction (order-dependent)."""
+
+    def __init__(self, device):
+        self.device = device
+        self._hi_bufs: List = []
+        self._lo_bufs: List = []
+        self._pend_hi = np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32)
+        self._pend_lo = np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32)
+        self._fill = 0
+        self.total = 0
+
+    def push(self, kmers_u64: np.ndarray) -> None:
+        import jax
+        if kmers_u64.size == 0:
+            return
+        hi = (kmers_u64 >> np.uint64(32)).astype(np.uint32)
+        lo = (kmers_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        self.total += int(kmers_u64.size)
+        pos = 0
+        while pos < hi.size:
+            take = min(SEG_ENTRIES - self._fill, hi.size - pos)
+            self._pend_hi[self._fill:self._fill + take] = hi[pos:pos + take]
+            self._pend_lo[self._fill:self._fill + take] = lo[pos:pos + take]
+            self._fill += take
+            pos += take
+            if self._fill == SEG_ENTRIES:
+                self._hi_bufs.append(
+                    jax.device_put(self._pend_hi, self.device))
+                self._lo_bufs.append(
+                    jax.device_put(self._pend_lo, self.device))
+                self._pend_hi = np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32)
+                self._pend_lo = np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32)
+                self._fill = 0
+
+    def finalize(self, kmers: np.ndarray, counts: np.ndarray):
+        """-> DeviceSampleView, or None if the stream went out of sync
+        with the finished sketch (callers then use the host path)."""
+        import jax
+        if self.total == 0:
+            return None          # nothing streamed (fallback sketcher)
+        if self.total != kmers.size:
+            log.warning("device sample stream out of sync (%d streamed vs "
+                        "%d sketched); host path", self.total, kmers.size)
+            return None
+        if self._fill:
+            self._pend_hi[self._fill:] = 0xFFFFFFFF
+            self._pend_lo[self._fill:] = 0xFFFFFFFF
+            self._hi_bufs.append(jax.device_put(self._pend_hi, self.device))
+            self._lo_bufs.append(jax.device_put(self._pend_lo, self.device))
+            self._fill = 0
+        nseg = len(self._hi_bufs)
+        w = np.zeros(nseg * SEG_ENTRIES, np.uint8)
+        w[:self.total] = np.minimum(counts, 63).astype(np.uint8)
+        w_bufs = [jax.device_put(w[i * SEG_ENTRIES:(i + 1) * SEG_ENTRIES],
+                                 self.device) for i in range(nseg)]
+        return DeviceSampleView(self.device, self._hi_bufs, self._lo_bufs,
+                                w_bufs, self.total)
+
+
+class DeviceSampleView:
+    """Device-resident unsorted sample: fixed [SEG_ENTRIES] buffers in
+    first-insertion order, sentinel-padded; consumed by
+    GRangeEngine.hists(device_view=...)."""
+
+    def __init__(self, device, hi_bufs, lo_bufs, w_bufs, n: int):
+        self.device = device
+        self.hi_bufs = hi_bufs
+        self.lo_bufs = lo_bufs
+        self.w_bufs = w_bufs
+        self.n = n
+
+    def padded_to_pow2(self):
+        """(hi, lo, w) lists padded with shared sentinel buffers so the
+        buffer count is a power of two (stable concat+sort shapes)."""
+        import jax
+        nseg = len(self.hi_bufs)
+        p2 = 1
+        while p2 < nseg:
+            p2 *= 2
+        if p2 == nseg:
+            return self.hi_bufs, self.lo_bufs, self.w_bufs
+        sent = jax.device_put(
+            np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32), self.device)
+        zw = jax.device_put(np.zeros(SEG_ENTRIES, np.uint8), self.device)
+        pad = p2 - nseg
+        return (self.hi_bufs + [sent] * pad,
+                self.lo_bufs + [sent] * pad,
+                self.w_bufs + [zw] * pad)

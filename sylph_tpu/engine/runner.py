@@ -248,7 +248,8 @@ def _get_genome_sketches(opts: ContainOptions, genome_sketch_files,
 
 def _get_seq_sketch(opts: ContainOptions, read_file: List[str],
                     is_sketch: bool, genome_c: int,
-                    genome_k: int) -> Optional[SequencesSketch]:
+                    genome_k: int,
+                    streamer=None) -> Optional[SequencesSketch]:
     """src/contain.rs:544-599."""
     if is_sketch:
         path = read_file[0]
@@ -281,7 +282,10 @@ def _get_seq_sketch(opts: ContainOptions, read_file: List[str],
         return None
     if len(read_file) == 1:
         return sketch_sequences(read_file[0], opts.c, opts.k, None, False,
-                                device=opts.tpu)
+                                device=opts.tpu,
+                                on_segment=(streamer.push
+                                            if streamer is not None
+                                            else None))
     # on-the-fly paired sketching uses DEFAULT_FPR like the reference
     # (src/contain.rs:591)
     from ..constants import DEFAULT_FPR
@@ -474,10 +478,18 @@ def contain(opts: ContainOptions, pseudotax: bool,
     def load(item):
         j, rf = item
         is_sketch = j >= n_raw
+        streamer = None
+        if device_engine is not None and not is_sketch and len(rf) == 1:
+            streamer = device_engine.sample_streamer()
         with stage_timer(f"load/sketch sample {rf[0]}"):
-            return rf, _get_seq_sketch(opts, rf, is_sketch,
-                                       genome_sketches[0].c,
-                                       genome_sketches[0].k)
+            sk = _get_seq_sketch(opts, rf, is_sketch,
+                                 genome_sketches[0].c,
+                                 genome_sketches[0].k, streamer=streamer)
+        if streamer is not None and sk is not None:
+            view = streamer.finalize(sk.kmers, sk.counts)
+            if view is not None:
+                sk._device_view = view
+        return rf, sk
 
     def process(rf, sample):
         if sample is None:

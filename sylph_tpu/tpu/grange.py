@@ -401,6 +401,62 @@ def slice_sample(gidx: GRangeIndex, skmers_u64: np.ndarray
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _sort_view_jit(nseg: int):
+    """Concat nseg fixed-size sample buffers and sort by (hi, lo); the
+    u8 weights ride along as a payload. Keys are distinct (dedup output)
+    so the device order equals the host stable sort exactly."""
+    @jax.jit
+    def f(his, los, ws):
+        hi = jnp.concatenate(his)
+        lo = jnp.concatenate(los)
+        w = jnp.concatenate(ws)
+        return jax.lax.sort((hi, lo, w), num_keys=2)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _edge_counts_jit():
+    """Chunk-edge offsets into the device-sorted sample: for each edge
+    pair, #{x < lo} and #{x <= hi} over the (hi, lo) u32-pair keys. The
+    broadcast-compare-reduce fuses; nothing [E, N] materializes."""
+    @jax.jit
+    def f(shi, slo, lhi, llo, hhi, hlo):
+        sh = shi[None, :]
+        sl = slo[None, :]
+        lt = (sh < lhi[:, None]) | ((sh == lhi[:, None])
+                                    & (sl < llo[:, None]))
+        le = (sh < hhi[:, None]) | ((sh == hhi[:, None])
+                                    & (sl <= hlo[:, None]))
+        return (jnp.sum(lt.astype(jnp.int32), axis=1),
+                jnp.sum(le.astype(jnp.int32), axis=1))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_slice_jit(P: int):
+    """Device-side _pad_slice: length-P window at a traced offset, tail
+    masked to sentinels. dynamic_slice clamps starts near the array end,
+    so the clamped delta is rolled off to keep index 0 == `start`."""
+    @jax.jit
+    def f(shi, slo, sw, start, n):
+        N = shi.shape[0]
+        safe = jnp.minimum(start, np.int32(max(N - P, 0)))
+        d = start - safe
+        ph = jax.lax.dynamic_slice(shi, (safe,), (P,))
+        pl = jax.lax.dynamic_slice(slo, (safe,), (P,))
+        pw = jax.lax.dynamic_slice(sw, (safe,), (P,))
+        ph = jnp.roll(ph, -d)
+        pl = jnp.roll(pl, -d)
+        pw = jnp.roll(pw, -d)
+        m = jnp.arange(P, dtype=jnp.int32) < n
+        ph = jnp.where(m, ph, jnp.uint32(0xFFFFFFFF))
+        pl = jnp.where(m, pl, jnp.uint32(0xFFFFFFFF))
+        pw = jnp.where(m, pw, jnp.uint8(0))
+        return ph, pl, pw
+    return f
+
+
 def _pad_slice(shi, slo, sw, s: int, e: int, P: int):
     out_hi = np.full(P, SENT, np.uint32)
     out_lo = np.full(P, SENT, np.uint32)
@@ -1319,8 +1375,35 @@ class GRangeEngine:
             out += np.bincount(seg, minlength=G * H).reshape(G, H)
         return out
 
+    def _sorted_device_sample(self, device_view):
+        """Concat + sort the streamed sample buffers on device; returns
+        (shi, slo, sw) sorted device arrays of length p2(nseg)*SEG
+        (sentinels at the tail) — shapes are stable per buffer count, so
+        the sort compiles once per power-of-two size class."""
+        vh, vl, vw = device_view.padded_to_pow2()
+        return _sort_view_jit(len(vh))(vh, vl, vw)
+
+    def _device_slices(self, shi_d, slo_d, sw_d, n_live: int):
+        """Per-chunk [start, end) offsets computed ON DEVICE (one tiny
+        fetch), equal to host slice_sample on the sorted live keys."""
+        gidx = self.gidx
+        edges = np.asarray([e for e in gidx.edges_u64], np.uint64)
+        lo_u, hi_u = edges[:, 0], edges[:, 1]
+        import jax
+        dev = shi_d.devices().pop() if hasattr(shi_d, "devices") else None
+        lhi = jax.device_put((lo_u >> np.uint64(32)).astype(np.uint32), dev)
+        llo = jax.device_put((lo_u & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32), dev)
+        hhi = jax.device_put((hi_u >> np.uint64(32)).astype(np.uint32), dev)
+        hlo = jax.device_put((hi_u & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32), dev)
+        ss, ee = _edge_counts_jit()(shi_d, slo_d, lhi, llo, hhi, hlo)
+        ss = np.minimum(np.asarray(ss), n_live)
+        ee = np.minimum(np.asarray(ee), n_live)
+        return [(int(s), int(e)) for s, e in zip(ss, ee)]
+
     def hists(self, skmers_u64: np.ndarray, scounts: np.ndarray,
-              mask_fn=None) -> np.ndarray:
+              mask_fn=None, device_view=None) -> np.ndarray:
         """[G, HIST_H] exact (clamped) per-genome multiplicity histograms.
 
         ``mask_fn`` (device [G*H] i32 histogram -> device [G] bool) short
@@ -1338,7 +1421,15 @@ class GRangeEngine:
         # losslessly and cross the (slow) host->device wire as uint8 — a
         # third off the per-sample upload; the device casts back to i32
         sw = np.minimum(scounts, HIST_H - 1).astype(np.uint8)
-        slices = slice_sample(gidx, skmers_u64)
+        dv_sorted = None
+        if device_view is not None and len(self._devices) == 1:
+            # streamed device-resident sample: the k-mers shipped during
+            # the host ingest; sort + chunk-slice on device instead of
+            # padding + uploading ~9 bytes/k-mer synchronously here
+            dv_sorted = self._sorted_device_sample(device_view)
+            slices = self._device_slices(*dv_sorted, device_view.n)
+        else:
+            slices = slice_sample(gidx, skmers_u64)
         max_n = max((e - s for s, e in slices), default=0)
         P = _quantize_p(float(max(max_n, 1)))
         from .bucket_join import sample_cs
@@ -1364,9 +1455,13 @@ class GRangeEngine:
         for i, (s, e) in enumerate(slices):
             cur = nxt
             nxt = self._chunk_dev(i + 1) if i + 1 < len(slices) else None
-            ph, plo, pw = _pad_slice(shi, slo, sw, s, e, P)
             di = i % len(self._devices)
-            smp = jax.device_put((ph, plo, pw), self._devices[di])
+            if dv_sorted is not None:
+                smp = _extract_slice_jit(P)(*dv_sorted, np.int32(s),
+                                            np.int32(e - s))
+            else:
+                ph, plo, pw = _pad_slice(shi, slo, sw, s, e, P)
+                smp = jax.device_put((ph, plo, pw), self._devices[di])
             ihi, ilo, gidg = cur
             base = jax.device_put(np.uint32(gidx.bases[i]),
                                   self._devices[di])

@@ -606,3 +606,57 @@ def test_grange_device_mask_with_spill_superset():
     dropped = host_keep & ~dev_keep
     assert not dropped.any(), np.flatnonzero(dropped)
     assert host_keep.sum() > 0
+
+
+def test_grange_device_view_matches_host_upload():
+    """The streamed device-resident sample path (DeviceSampleStream ->
+    device sort -> device chunk slicing) produces bit-identical
+    histograms AND candidate masks to the host pad+upload path."""
+    import jax
+    import jax.numpy as jnp
+
+    from sylph_tpu.engine.device_sketch import DeviceSampleStream
+    from sylph_tpu.engine.prefilter import (candidate_mask,
+                                            candidate_mask_device)
+
+    kmers, gids, sk, sc = _world(7)
+    G = 50
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 16,
+                              target_mean=128)
+    dev = jax.devices()[0]
+    eng = GRangeEngine(gidx, devices=[dev])
+    host = eng.hists(sk, sc)
+
+    # stream the sample in UNSORTED first-insertion-like order, in
+    # uneven segments (the view must sort on device)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(sk.size)
+    uk, uc = sk[perm], sc[perm]
+    st = DeviceSampleStream(dev)
+    pos = 0
+    while pos < uk.size:
+        step = int(rng.integers(1, uk.size // 3 + 2))
+        st.push(uk[pos:pos + step])
+        pos += step
+    view = st.finalize(uk, uc)
+    assert view is not None and view.n == sk.size
+
+    dv = eng.hists(sk, sc, device_view=view)
+    np.testing.assert_array_equal(dv, host)
+
+    # mask path through the device view
+    n_kmers = np.bincount(gids, minlength=G).astype(np.int64)
+    kw = dict(k=31, min_ani=0.5, min_number_kmers=50.0,
+              min_count_correct=3.0, no_adj=False)
+    host_keep = candidate_mask(host.astype(np.int64), n_kmers, **kw)
+
+    def mask_fn(hist_dev):
+        return candidate_mask_device(hist_dev, jnp.asarray(
+            n_kmers.astype(np.int32)), **kw)
+
+    out = eng.hists(sk, sc, mask_fn=mask_fn, device_view=view)
+    assert out.ndim == 1
+    spill_hit = (eng._spill_hist(sk, sc)[:, 1:].sum(axis=1) > 0
+                 if gidx.spill_kmers.size else np.zeros(G, bool))
+    dev_keep = out | spill_hit
+    assert not (host_keep & ~dev_keep).any()
