@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..constants import (CUTOFF_PVALUE, MAX_MEDIAN_FOR_MEAN_FINAL_EST,
-                         MEDIAN_ANI_THRESHOLD)
+                         MEDIAN_ANI_THRESHOLD, SAMPLE_SIZE_CUTOFF)
 from ..core.types import AdjustKind, AdjustStatus
 from .gammainc import poisson_cdf
 from .inference import (binary_search_lambda, mean_u32, mle_zip, mme_lambda,
@@ -205,13 +205,49 @@ def bootstrap_interval(full_covs: np.ndarray, k: float, p: StatParams):
                        minlength=_BOOTSTRAP_ITERS * width)
     hists = flat.reshape(_BOOTSTRAP_ITERS, width)
 
-    res_ani, res_lambda = [], []
-    for j in range(_BOOTSTRAP_ITERS):
-        lam = ratio_lambda_hist(hists[j], n, p.min_count_correct)
-        nonzero = n - int(hists[j, 0])
-        ani = ani_from_lambda(lam, k, n, nonzero)
-        if ani is not None and lam is not None:
-            if not math.isnan(ani) and not math.isnan(lam):
-                res_ani.append(ani)
-                res_lambda.append(lam)
-    return _percentiles(res_ani, res_lambda)
+    # vectorized across the 100 iterations, bit-identical to the scalar
+    # walk: every f64 op is elementwise (numpy array div/pow match the
+    # scalar np ops exactly); only exp stays a scalar loop — numpy's
+    # SIMD exp differs from libm in the last ulp and the scalar chain
+    # (math.exp, matching Rust f64::exp) is the parity target
+    lam_v, nz_v = _ratio_lambda_hist_batch(hists, n, p.min_count_correct)
+    denom = np.fromiter((1.0 - math.exp(-v) if not math.isnan(v) else
+                         np.nan for v in lam_v),
+                        dtype=np.float64, count=lam_v.size)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        adj = nz_v.astype(np.float64) / denom / np.float64(n)
+        ani_v = np.power(adj, np.float64(1.0 / k))
+    ok = (~np.isnan(lam_v)) & (~np.isnan(ani_v)) & (ani_v >= 0.0)
+    return _percentiles([float(v) for v in ani_v[ok]],
+                        [float(v) for v in lam_v[ok]])
+
+
+def _ratio_lambda_hist_batch(hists: np.ndarray, n_total: int,
+                             min_count_correct: float):
+    """ratio_lambda_hist over [I, W] histogram rows -> ([I] lambda with
+    NaN where the scalar form returns None, [I] nonzero counts).
+    Decision-for-decision identical to the scalar walk."""
+    I, W = hists.shape
+    pos = hists[:, 1:] > 0
+    nzc = pos.sum(axis=1)
+    num_zero = hists[:, 0]
+    # modal nonzero multiplicity, ties -> larger value: last argmax
+    H1 = hists[:, 1:]
+    best = H1.max(axis=1, initial=0)
+    rev_arg = np.argmax(H1[:, ::-1] == best[:, None], axis=1)
+    most_ind = (W - 1) - rev_arg             # value index into hists
+    rows = np.arange(I)
+    count = hists[rows, np.minimum(most_ind, W - 1)].astype(np.float64)
+    p1 = most_ind + 1
+    has_p1 = p1 < W
+    count_p1 = np.where(
+        has_p1, hists[rows, np.minimum(p1, W - 1)], 0).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = count_p1 / count * (most_ind.astype(np.float64) + 1.0)
+    invalid = ((nzc <= 1)
+               | (n_total - num_zero < SAMPLE_SIZE_CUTOFF)
+               | ~has_p1 | (count_p1 == 0)
+               | (count_p1 < min_count_correct)
+               | (count < min_count_correct))
+    lam = np.where(invalid, np.nan, lam)
+    return lam, n_total - num_zero

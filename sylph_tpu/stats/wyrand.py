@@ -125,11 +125,32 @@ def _mul_hi_lo_u64_small(a: np.ndarray, n: int):
     return mid >> u(32), (mid << u(32)) | (lo0 & m32)
 
 
+_IDX_CACHE = {}              # (seed, count, n) -> reduced index stream
+_IDX_CACHE_BUDGET = 256 << 20   # bytes; serving re-runs the same
+                                # (sample, genome) pairs every request
+
+
+def _idx_cache_put(key, val: np.ndarray) -> None:
+    _IDX_CACHE[key] = val
+    total = sum(v.nbytes for v in _IDX_CACHE.values())
+    while total > _IDX_CACHE_BUDGET and _IDX_CACHE:
+        k0 = next(iter(_IDX_CACHE))          # FIFO eviction
+        total -= _IDX_CACHE.pop(k0).nbytes
+
+
 def wyrand_indices(seed: int, count: int, n: int) -> np.ndarray:
     """The first ``count`` outputs of ``fastrand::usize(..n)`` after
-    ``fastrand::seed(seed)``, vectorized."""
+    ``fastrand::seed(seed)``, vectorized. The reduced stream is cached
+    per (seed, count, n): the raw u64 prefix is shared across genomes,
+    but the Lemire reduction depends on n (= the genome's contained-kmer
+    count), and in serving mode identical (sample, genome) pairs recur
+    every request."""
     if n <= 0:
         raise ValueError("n must be positive")
+    key = (seed, count, n)
+    hit = _IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
     r = _gen_u64_cached(seed, count)
     if n < (1 << 32):
         hi, lo = _mul_hi_lo_u64_small(r, n)
@@ -140,6 +161,10 @@ def wyrand_indices(seed: int, count: int, n: int) -> np.ndarray:
     if rejected.any():
         # rare: replay the exact scalar walk (rejections shift the stream)
         rng = WyRand(seed)
-        return np.fromiter((rng.usize(n) for _ in range(count)),
-                           dtype=np.uint64, count=count)
-    return hi
+        out = np.fromiter((rng.usize(n) for _ in range(count)),
+                          dtype=np.uint64, count=count)
+        _idx_cache_put(key, out)
+        return out
+    out = (hi.astype(np.uint32) if n < (1 << 32) else hi)
+    _idx_cache_put(key, out)
+    return out

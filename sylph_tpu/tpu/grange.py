@@ -477,6 +477,11 @@ def _pad_slice(shi, slo, sw, s: int, e: int, P: int):
 # ~0.25 density).
 _CODE_DENSITY = float(os.environ.get("SYLPH_CODE_DENSITY", "0.5"))
 
+# final-stream re-compaction floor: below this concatenated size the
+# histogram is cheap enough that the extra chain + verify fetch lose
+# (tests lower it to exercise the path at toy scale)
+_RECOMPACT_MIN = int(os.environ.get("SYLPH_RECOMPACT_MIN", str(1 << 22)))
+
 # fused compare+code-emission Pallas kernel (bucket_join._join_codes_kernel)
 # instead of materializing the [B, CI] count grid to HBM and re-reading it
 # (plus the gid grid) to form codes: "1" on, "0" restores the two-step
@@ -1471,18 +1476,23 @@ class GRangeEngine:
                 use_pallas=self._use_pallas, use_fill=use_fill,
                 fused=self._fused, kcompact=self._kcompact,
                 nt=gidx.nt, subwidth=gidx.subwidth, ov=gidx.ov)
-            parts.append((di, cod, jnp.abs(nl - nc) + wlost,
+            parts.append((di, cod, jnp.abs(nl - nc) + wlost, nl,
                           (i, smp, base)))
 
         _t1 = _time.perf_counter()
-        # one small fetch per device for all conservation checks
+        # one small fetch per device for all conservation checks (the
+        # true live counts ride along: they size the final-stream
+        # re-compaction below)
         by_dev = {}
-        for idx, (di, _c, d, _a) in enumerate(parts):
-            by_dev.setdefault(di, []).append((idx, d))
+        for idx, (di, _c, d, nl, _a) in enumerate(parts):
+            by_dev.setdefault(di, []).append((idx, d, nl))
         bad = set()
+        live_by_idx = {}
         for di, items in by_dev.items():
-            diffs = np.asarray(jnp.stack([d for _, d in items]))
-            for (idx, _), dv in zip(items, diffs):
+            fetched = np.asarray(jnp.stack(
+                [jnp.stack((d, nl)) for _, d, nl in items]))
+            for (idx, _, _), (dv, nlv) in zip(items, fetched):
+                live_by_idx[idx] = int(nlv)
                 if int(dv) != 0:
                     bad.add(idx)
         _t2 = _time.perf_counter()
@@ -1492,9 +1502,32 @@ class GRangeEngine:
         # good chunks: concatenate code streams per device, ONE bincount
         hist = np.zeros(G * H + 1, np.int64)
         by_codes = {}
-        for idx, (di, cod, _d, _a) in enumerate(parts):
+        live_total = 0
+        for idx, (di, cod, _d, _nl, _a) in enumerate(parts):
             if idx not in bad:
                 by_codes.setdefault(di, []).append(cod)
+                live_total += live_by_idx[idx]
+
+        def _recompact(cc):
+            """The per-chunk streams are sized by a conservative 4*P
+            estimate; the measured live count is typically far smaller
+            (CLI samples: ~0.03 true density vs the 0.5 stop), and the
+            histogram pays ~9 ns/element on the padding. One extra
+            butterfly chain at the TRUE density collapses it; a single
+            scalar verifies (overflow -> keep the original stream)."""
+            n = int(cc.shape[0])
+            if (n < _RECOMPACT_MIN or live_total * 8 >= n
+                    or not (self._use_pallas or _CODES_INTERPRET)):
+                return cc
+            d_true = max(live_total / n, 1e-6)
+            # the chain sizes window capacities FROM the assumed density,
+            # so safety = overstating it (understating starves the
+            # windows and overflows); quantized -> bounded compiles
+            dq = min(0.25, 2.0 ** np.ceil(np.log2(d_true)) * 2.0)
+            cc2 = _compact_codes(cc, dq, interpret=_CODES_INTERPRET)
+            n2 = int(np.asarray(jnp.sum(
+                (cc2 != SENT).astype(jnp.int32))))
+            return cc2 if n2 == live_total else cc
         # NOTE: the device mask covers GRID counts only — spill and heavy
         # side channels are the caller's to account for (device_exec ORs
         # spill-hit genomes in; heavy DBs don't take this path)
@@ -1504,6 +1537,7 @@ class GRangeEngine:
                 return np.zeros(gidx.n_genomes, bool)
             (_di, cods), = by_codes.items()
             cc = jnp.concatenate(cods) if len(cods) > 1 else cods[0]
+            cc = _recompact(cc)
             h_dev = hist_from_codes(cc, n_genomes=G)
             mask = np.asarray(mask_fn(h_dev[:G * H]))
             _log.debug("[timing] grange hists: device-mask path %.3f s",
@@ -1512,6 +1546,8 @@ class GRangeEngine:
         cap0 = (_HIST_RUNS_CAP if G * H + 2 > _HIST_RUNS_CAP else None)
         for di, cods in by_codes.items():
             cc = jnp.concatenate(cods) if len(cods) > 1 else cods[0]
+            if len(by_codes) == 1:
+                cc = _recompact(cc)
             if cap0 is not None:
                 h, runs = hist_from_codes(cc, n_genomes=G, runs_cap=cap0)
                 if int(np.asarray(runs)) > min(G * H + 2, cap0,
@@ -1523,7 +1559,7 @@ class GRangeEngine:
         for idx in bad:
             # compaction or bucket-capacity overflow (astronomically
             # rare): lossless redo at 4x the sample capacity
-            di, _c, _d, (ci, smp, base) = parts[idx]
+            di, _c, _d, _nl, (ci, smp, base) = parts[idx]
             ihi, ilo, gidg = self._chunk_dev(ci)
             h = _chunk_hist_lossless(
                 ihi, ilo, gidg, *smp, base, width=gidx.width,

@@ -660,3 +660,35 @@ def test_grange_device_view_matches_host_upload():
                  if gidx.spill_kmers.size else np.zeros(G, bool))
     dev_keep = out | spill_hit
     assert not (host_keep & ~dev_keep).any()
+
+
+def test_grange_final_stream_recompact(monkeypatch):
+    """The measured-density re-compaction of the concatenated code
+    stream (engaged when the conservative per-chunk capacities leave the
+    stream mostly padding) must not change the histogram or the mask."""
+    import importlib
+
+    import sylph_tpu.tpu.grange as gr
+
+    kmers, gids, sk, sc = _world(9)
+    G = 50
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 16,
+                              target_mean=128)
+    eng = GRangeEngine(gidx, devices=None)
+    base = eng.hists(sk, sc)
+    monkeypatch.setattr(gr, "_RECOMPACT_MIN", 1)
+    monkeypatch.setattr(gr, "_CODES_INTERPRET", True)
+    engaged = {"n": 0}
+    orig = gr._compact_codes
+
+    def spy(codes, density, interpret=False):
+        engaged["n"] += 1
+        return orig(codes, density, interpret=interpret)
+
+    monkeypatch.setattr(gr, "_compact_codes", spy)
+    eng2 = GRangeEngine(gidx, devices=None)
+    pre = engaged["n"]
+    out = eng2.hists(sk, sc)
+    # the recompact chain ran at least once beyond the per-chunk calls
+    np.testing.assert_array_equal(out, base)
+    assert engaged["n"] > pre

@@ -258,3 +258,50 @@ def test_ani_from_lambda_edges():
     a = ani_from_lambda(1.0, 31.0, 100, 10)
     exp = (10 / (1 - math.exp(-1.0)) / 100) ** (1 / 31.0)
     assert a == pytest.approx(exp)
+
+
+def test_bootstrap_interval_vectorized_bit_exact():
+    """The vectorized bootstrap must reproduce the scalar per-iteration
+    walk bit-for-bit (CIs land in the TSV; parity is load-bearing)."""
+    import math
+
+    from sylph_tpu.stats import contain_stats as cs
+    from sylph_tpu.stats.contain_stats import (_BOOTSTRAP_ITERS,
+                                               _BOOTSTRAP_SEED,
+                                               _percentiles,
+                                               bootstrap_interval)
+    from sylph_tpu.stats.inference import ratio_lambda_hist
+    from sylph_tpu.stats.contain_stats import ani_from_lambda
+
+    def scalar_ref(full_covs, k, p):
+        n = int(full_covs.size)
+        if n == 0:
+            return (None, None), (None, None)
+        idx = wyrand_indices(_BOOTSTRAP_SEED, _BOOTSTRAP_ITERS * n, n)
+        vals = full_covs[idx.astype(np.int64)].astype(np.int64)
+        width = int(full_covs.max()) + 2
+        it = np.repeat(np.arange(_BOOTSTRAP_ITERS, dtype=np.int64), n)
+        hists = np.bincount(it * width + vals,
+                            minlength=_BOOTSTRAP_ITERS * width
+                            ).reshape(_BOOTSTRAP_ITERS, width)
+        res_ani, res_lambda = [], []
+        for j in range(_BOOTSTRAP_ITERS):
+            lam = ratio_lambda_hist(hists[j], n, p.min_count_correct)
+            ani = ani_from_lambda(lam, k, n, n - int(hists[j, 0]))
+            if ani is not None and lam is not None \
+                    and not math.isnan(ani) and not math.isnan(lam):
+                res_ani.append(ani)
+                res_lambda.append(lam)
+        return _percentiles(res_ani, res_lambda)
+
+    rng = np.random.default_rng(5)
+    p = StatParams(k=31, estimator="ratio", min_count_correct=3.0)
+    for case in range(40):
+        n = int(rng.integers(30, 4000))
+        lam = rng.uniform(0.2, 30)
+        covs = rng.poisson(lam, n).astype(np.uint32)
+        if rng.integers(0, 3) == 0:
+            covs[: n // 2] = 0
+        got = bootstrap_interval(covs, 31.0, p)
+        want = scalar_ref(covs, 31.0, p)
+        assert got == want, (case, got, want)
