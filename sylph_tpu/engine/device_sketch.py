@@ -11,6 +11,7 @@ merge by read id, preserving file order.
 """
 
 
+import functools as _ft
 import logging
 from typing import Dict, List
 
@@ -464,40 +465,103 @@ class DeviceSampleStream:
             self._lo_bufs.append(jax.device_put(self._pend_lo, self.device))
             self._fill = 0
         nseg = len(self._hi_bufs)
-        w = np.zeros(nseg * SEG_ENTRIES, np.uint8)
-        w[:self.total] = np.minimum(counts, 63).astype(np.uint8)
-        w_bufs = [jax.device_put(w[i * SEG_ENTRIES:(i + 1) * SEG_ENTRIES],
-                                 self.device) for i in range(nseg)]
+        wq = np.minimum(counts, 63).astype(np.uint8)
+        exc = np.flatnonzero(wq != 1)
+        if exc.size <= max(1024, self.total // 8):
+            # almost every k-mer has multiplicity 1: ship only the
+            # exceptions (~KBs) and build the weight array on device.
+            # The finalize-time counts upload cannot hide under the
+            # ingest, and the relay's bad states put 12 MB at ~3 s.
+            w_spec = ("sparse", exc.astype(np.int32),
+                      wq[exc].copy())
+        else:
+            w = np.zeros(nseg * SEG_ENTRIES, np.uint8)
+            w[:self.total] = wq
+            w_spec = ("dense", [
+                jax.device_put(w[i * SEG_ENTRIES:(i + 1) * SEG_ENTRIES],
+                               self.device) for i in range(nseg)])
         return DeviceSampleView(self.device, self._hi_bufs, self._lo_bufs,
-                                w_bufs, self.total)
+                                w_spec, self.total)
 
 
 class DeviceSampleView:
-    """Device-resident unsorted sample: fixed [SEG_ENTRIES] buffers in
-    first-insertion order, sentinel-padded; consumed by
+    """Device-resident unsorted sample: fixed [SEG_ENTRIES] key buffers
+    in first-insertion order, sentinel-padded, plus a weight spec
+    (sparse exception list or dense u8 buffers); consumed by
     GRangeEngine.hists(device_view=...)."""
 
-    def __init__(self, device, hi_bufs, lo_bufs, w_bufs, n: int):
+    def __init__(self, device, hi_bufs, lo_bufs, w_spec, n: int):
         self.device = device
         self.hi_bufs = hi_bufs
         self.lo_bufs = lo_bufs
-        self.w_bufs = w_bufs
+        self.w_spec = w_spec
         self.n = n
 
     def padded_to_pow2(self):
-        """(hi, lo, w) lists padded with shared sentinel buffers so the
-        buffer count is a power of two (stable concat+sort shapes)."""
+        """(hi_bufs, lo_bufs, w_full) with the key-buffer count padded to
+        a power of two via shared sentinel buffers (stable concat+sort
+        shapes) and the weights materialized on device as ONE
+        [p2 * SEG_ENTRIES] u8 array.
+
+        Weight semantics at padding/tail positions don't matter: their
+        keys are sentinels, which sort past the live region and are
+        excluded by the n-clipped chunk offsets."""
+        import functools
+
         import jax
+        import jax.numpy as jnp
+
         nseg = len(self.hi_bufs)
         p2 = 1
         while p2 < nseg:
             p2 *= 2
-        if p2 == nseg:
-            return self.hi_bufs, self.lo_bufs, self.w_bufs
-        sent = jax.device_put(
-            np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32), self.device)
-        zw = jax.device_put(np.zeros(SEG_ENTRIES, np.uint8), self.device)
-        pad = p2 - nseg
-        return (self.hi_bufs + [sent] * pad,
-                self.lo_bufs + [sent] * pad,
-                self.w_bufs + [zw] * pad)
+        hi, lo = self.hi_bufs, self.lo_bufs
+        if p2 != nseg:
+            sent = jax.device_put(
+                np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32), self.device)
+            pad = p2 - nseg
+            hi = hi + [sent] * pad
+            lo = lo + [sent] * pad
+        N = p2 * SEG_ENTRIES
+        kind = self.w_spec[0]
+        if kind == "sparse":
+            _, idx, vals = self.w_spec
+            E = 1 << max(10, int(np.ceil(np.log2(max(idx.size, 1)))))
+            idx_p = np.full(E, N, np.int32)      # N = out of range: drop
+            idx_p[:idx.size] = idx
+            w_p = np.zeros(E, np.uint8)
+            w_p[:vals.size] = vals
+            w_full = _w_build_jit(N, E)(
+                jax.device_put(idx_p, self.device),
+                jax.device_put(w_p, self.device))
+        else:
+            bufs = list(self.w_spec[1])
+            if len(bufs) < p2:
+                zw = jax.device_put(np.zeros(SEG_ENTRIES, np.uint8),
+                                    self.device)
+                bufs = bufs + [zw] * (p2 - len(bufs))
+            w_full = _w_concat_jit(len(bufs))(bufs)
+        return hi, lo, w_full
+
+
+@_ft.lru_cache(maxsize=None)
+def _w_build_jit(N: int, E: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(idx, vals):
+        w = jnp.ones(N, jnp.uint8)
+        return w.at[idx].set(vals, mode="drop")
+    return f
+
+
+@_ft.lru_cache(maxsize=None)
+def _w_concat_jit(nseg: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(bufs):
+        return jnp.concatenate(bufs)
+    return f

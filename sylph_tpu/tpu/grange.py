@@ -403,14 +403,14 @@ def slice_sample(gidx: GRangeIndex, skmers_u64: np.ndarray
 
 @functools.lru_cache(maxsize=None)
 def _sort_view_jit(nseg: int):
-    """Concat nseg fixed-size sample buffers and sort by (hi, lo); the
-    u8 weights ride along as a payload. Keys are distinct (dedup output)
-    so the device order equals the host stable sort exactly."""
+    """Concat nseg fixed-size sample key buffers and sort by (hi, lo);
+    the u8 weights (already one device array) ride along as a payload.
+    Keys are distinct (dedup output) so the device order equals the host
+    stable sort exactly."""
     @jax.jit
-    def f(his, los, ws):
+    def f(his, los, w):
         hi = jnp.concatenate(his)
         lo = jnp.concatenate(los)
-        w = jnp.concatenate(ws)
         return jax.lax.sort((hi, lo, w), num_keys=2)
     return f
 

@@ -692,3 +692,31 @@ def test_grange_final_stream_recompact(monkeypatch):
     # the recompact chain ran at least once beyond the per-chunk calls
     np.testing.assert_array_equal(out, base)
     assert engaged["n"] > pre
+
+
+def test_grange_device_view_sparse_weights():
+    """Counts that are almost all 1 ship as an exception list and build
+    the weight array on device — histograms must still match exactly."""
+    import jax
+
+    from sylph_tpu.engine.device_sketch import DeviceSampleStream
+
+    kmers, gids, sk, sc = _world(12)
+    sc = np.ones_like(sc)
+    rng = np.random.default_rng(4)
+    hot = rng.choice(sk.size, size=max(3, sk.size // 200), replace=False)
+    sc[hot] = rng.integers(2, 90, hot.size)
+    G = 50
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=1 << 16,
+                              target_mean=128)
+    dev = jax.devices()[0]
+    eng = GRangeEngine(gidx, devices=[dev])
+    host = eng.hists(sk, sc)
+
+    perm = rng.permutation(sk.size)
+    st = DeviceSampleStream(dev)
+    st.push(sk[perm])
+    view = st.finalize(sk[perm], sc[perm])
+    assert view is not None and view.w_spec[0] == "sparse"
+    dv = eng.hists(sk, sc, device_view=view)
+    np.testing.assert_array_equal(dv, host)
