@@ -1388,7 +1388,7 @@ class GRangeEngine:
         vh, vl, vw = device_view.padded_to_pow2()
         return _sort_view_jit(len(vh))(vh, vl, vw)
 
-    def _device_slices(self, shi_d, slo_d, sw_d, n_live: int):
+    def _device_view_slices(self, shi_d, slo_d, sw_d, n_live: int):
         """Per-chunk [start, end) offsets computed ON DEVICE (one tiny
         fetch), equal to host slice_sample on the sorted live keys."""
         gidx = self.gidx
@@ -1432,7 +1432,8 @@ class GRangeEngine:
             # the host ingest; sort + chunk-slice on device instead of
             # padding + uploading ~9 bytes/k-mer synchronously here
             dv_sorted = self._sorted_device_sample(device_view)
-            slices = self._device_slices(*dv_sorted, device_view.n)
+            slices = self._device_view_slices(*dv_sorted,
+                                              device_view.n)
         else:
             slices = slice_sample(gidx, skmers_u64)
         max_n = max((e - s for s, e in slices), default=0)
