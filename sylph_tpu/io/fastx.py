@@ -154,12 +154,14 @@ def stream_blocks(path: str, target_bytes: int = 64 << 20):
             blocks = bgzf.scan(data)
             if blocks:
                 first = _bgzf_first_text(data, blocks).lstrip(b"\n\r \t")
-                chunks = bgzf.iter_decompressed(data, blocks,
-                                                target_bytes)
                 if fastq_fast_path and first[:1] == b"@":
-                    yield from _frame_fastq_nl(chunks)
+                    yield from _frame_fastq_nl(bgzf.iter_decompressed(
+                        data, blocks, target_bytes, with_nl=True))
                 else:
-                    yield from _frame_records(chunks, target_bytes)
+                    yield from _frame_records(
+                        bgzf.iter_decompressed(data, blocks,
+                                               target_bytes),
+                        target_bytes)
                 return
     yield from _frame_records(_text_chunks_generic(path), target_bytes)
 
@@ -268,17 +270,26 @@ def _frame_fastq_nl(chunk_iter):
     """
     carry = b""          # partial trailing record; starts at a boundary
     carry_nl = 0         # newlines inside carry
-    for chunk in chunk_iter:
+    for item in chunk_iter:
+        if isinstance(item, tuple):
+            # scan precomputed inside the inflate pool (bgzf with_nl)
+            chunk, nl, has_cr, has_blank = item
+            arr = np.frombuffer(chunk, np.uint8)
+        else:
+            chunk = item
+            if not len(chunk):
+                continue
+            arr = np.frombuffer(chunk, np.uint8)
+            nl = np.flatnonzero(arr == 0x0A)
+            has_cr = bool((arr == 0x0D).any())
+            has_blank = bool(nl.size > 1 and (np.diff(nl) == 1).any())
         if not len(chunk):
             continue
-        arr = np.frombuffer(chunk, np.uint8)
-        nl = np.flatnonzero(arr == 0x0A)
         total = carry_nl + nl.size
         # a dirty-path carry can hold blank lines or '\r', which would
         # poison the newline arithmetic — stay on the exact path then
         dirty = bool(
-            (arr == 0x0D).any()
-            or (nl.size > 1 and (np.diff(nl) == 1).any())
+            has_cr or has_blank
             or (nl.size and nl[0] == 0
                 and (carry.endswith(b"\n") or not carry))
             or carry.startswith(b"\n") or b"\n\n" in carry
