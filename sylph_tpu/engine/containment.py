@@ -33,6 +33,44 @@ class WinnerTable:
         return out
 
 
+def genome_covs_batch(genomes, sample: SequencesSketch,
+                      winner: Optional[WinnerTable] = None,
+                      self_groups=None):
+    """[(covs, kmers_lost)] for many genomes via ONE batched probe.
+
+    Concatenates every genome's k-mers, runs a single searchsorted into
+    the sample (and one winner lookup), then splits — bit-identical to
+    per-genome genome_covs, but ~n_genomes fewer passes over the sorted
+    sample's cache-cold pages. Pass-1/pass-2 of the profile pipeline
+    call this for the candidate set (src/contain.rs:624-652 probes a
+    hashmap per genome; batching is free with the sorted layout)."""
+    sk, sc = sample.sorted_view()
+    sizes = [int(g.genome_kmers.size) for g in genomes]
+    bounds = np.cumsum([0] + sizes)
+    if not genomes or bounds[-1] == 0 or sk.size == 0:
+        return [(np.empty(0, np.uint32), 0) for _ in genomes]
+    all_k = np.concatenate([g.genome_kmers for g in genomes])
+    idx = np.searchsorted(sk, all_k)
+    idxc = np.minimum(idx, sk.size - 1)
+    found = (sk[idxc] == all_k) & (idx < sk.size)
+    counts = sc[idxc]
+    hit = found & (counts > 0)
+    owners = winner.owner_groups(all_k) if winner is not None else None
+    out = []
+    for i in range(len(genomes)):
+        s, e = bounds[i], bounds[i + 1]
+        h = hit[s:e]
+        kmers_lost = 0
+        if owners is not None:
+            owned = owners[s:e] == self_groups[i]
+            kmers_lost = int(np.count_nonzero(h & ~owned))
+            h = h & owned
+        covs = counts[s:e][h]
+        covs.sort()
+        out.append((covs.astype(np.uint32, copy=False), kmers_lost))
+    return out
+
+
 def genome_covs(genome: GenomeSketch, sample: SequencesSketch,
                 winner: Optional[WinnerTable] = None,
                 self_group: int = -1) -> Tuple[np.ndarray, int]:

@@ -91,8 +91,12 @@ def get_stats(opts: ContainOptions, genome: GenomeSketch, genome_index: int,
               sample: SequencesSketch, winner: Optional[WinnerTable] = None,
               self_group: int = -1,
               log_reassign: bool = False,
-              device_engine=None) -> Optional[AniResult]:
-    """Engine half of sylph get_stats (src/contain.rs:601-814)."""
+              device_engine=None,
+              covs_kl=None) -> Optional[AniResult]:
+    """Engine half of sylph get_stats (src/contain.rs:601-814).
+
+    ``covs_kl``: precomputed (covs, kmers_lost) from genome_covs_batch —
+    the profile passes probe all candidates in one batch."""
     if genome.k != sample.k:
         log.error("k parameter for reads %s != k parameter for genome %s",
                   sample.k, genome.k)
@@ -104,7 +108,9 @@ def get_stats(opts: ContainOptions, genome: GenomeSketch, genome_index: int,
     n_kmers = int(genome.genome_kmers.size)
     if float(n_kmers) < opts.min_number_kmers:
         return None
-    if device_engine is not None:
+    if covs_kl is not None:
+        covs, kmers_lost = covs_kl
+    elif device_engine is not None:
         covs, kmers_lost = device_engine.genome_covs(
             genome_index, sample, winner, self_group)
     else:
@@ -332,11 +338,29 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
                   len(genome_sketches))
         candidate_iter = ((int(i), genome_sketches[int(i)])
                           for i in candidates)
+    def _host_probe(engine):
+        return engine is None or getattr(engine, "_grange", None) \
+            is not None
+
+    def _batchable(genomes):
+        # cap the concat: an unfiltered 100k-genome query would
+        # materialize the whole database's k-mers
+        return (1 < len(genomes)
+                and sum(g.genome_kmers.size for g in genomes) <= (1 << 26))
+
+    candidate_list = list(candidate_iter)
     results = []
     with stage_timer("pass-1 exact stats"):
-        for i, g in candidate_iter:
+        batch = None
+        if _host_probe(device_engine) \
+                and _batchable([g for _, g in candidate_list]):
+            from .containment import genome_covs_batch
+            batch = genome_covs_batch([g for _, g in candidate_list],
+                                      sample)
+        for j, (i, g) in enumerate(candidate_list):
             r = get_stats(opts, g, i, sample, None, -1,
-                          opts.log_reassignments, device_engine)
+                          opts.log_reassignments, device_engine,
+                          covs_kl=batch[j] if batch is not None else None)
             if r is not None:
                 results.append(r)
     estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,
@@ -350,10 +374,19 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
         groups = assign_groups(results)
         results2 = []
         with stage_timer("pass-2 reassigned stats"):
-            for r, grp in zip(results, groups):
+            batch2 = None
+            if _host_probe(device_engine) \
+                    and _batchable([r.genome_sketch for r in results]):
+                from .containment import genome_covs_batch
+                batch2 = genome_covs_batch(
+                    [r.genome_sketch for r in results], sample, winner,
+                    list(groups))
+            for j, (r, grp) in enumerate(zip(results, groups)):
                 r2 = get_stats(opts, r.genome_sketch, r.genome_index,
                                sample, winner, grp,
-                               opts.log_reassignments, device_engine)
+                               opts.log_reassignments, device_engine,
+                               covs_kl=(batch2[j] if batch2 is not None
+                                        else None))
                 if r2 is not None:
                     results2.append(r2)
         results = derep_if_reassign_threshold(results, results2,

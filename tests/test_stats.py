@@ -305,3 +305,38 @@ def test_bootstrap_interval_vectorized_bit_exact():
         got = bootstrap_interval(covs, 31.0, p)
         want = scalar_ref(covs, 31.0, p)
         assert got == want, (case, got, want)
+
+
+def test_genome_covs_batch_matches_scalar():
+    """One batched probe == per-genome genome_covs, winner included."""
+    from sylph_tpu.core.types import GenomeSketch, SequencesSketch
+    from sylph_tpu.engine.containment import (WinnerTable, genome_covs,
+                                              genome_covs_batch)
+
+    rng = np.random.default_rng(6)
+    sk = np.sort(rng.integers(0, 1 << 40, 50_000, dtype=np.uint64))
+    sc = rng.integers(0, 5, sk.size).astype(np.uint32)   # some zeros
+    sample = SequencesSketch(kmers=sk, counts=sc, c=100, k=31,
+                             file_name="x")
+    sample._sorted = (sk, sc)
+    genomes, groups = [], []
+    for gi in range(17):
+        n = int(rng.integers(0, 900))
+        gk = np.sort(np.unique(np.concatenate([
+            rng.choice(sk, min(n, sk.size) // 2 + 1),
+            rng.integers(0, 1 << 40, n // 2 + 1, dtype=np.uint64)])))
+        genomes.append(GenomeSketch(
+            genome_kmers=gk, c=100, k=31, file_name=f"g{gi}",
+            first_contig_name="c", gn_size=1, min_spacing=30,
+            pseudotax_tracked_nonused_kmers=np.empty(0, np.uint64)))
+        groups.append(int(rng.integers(0, 5)))
+    wk = np.sort(np.unique(rng.choice(sk, 20_000)))
+    wo = rng.integers(0, 5, wk.size).astype(np.int32)
+    winner = WinnerTable(wk, wo)
+    for w, grps in ((None, None), (winner, groups)):
+        got = genome_covs_batch(genomes, sample, w, grps)
+        for i, g in enumerate(genomes):
+            want = genome_covs(g, sample, w,
+                               grps[i] if grps else -1)
+            np.testing.assert_array_equal(got[i][0], want[0]), i
+            assert got[i][1] == want[1], i
