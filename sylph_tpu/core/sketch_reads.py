@@ -514,7 +514,7 @@ def _paired_fold_arrays(px1, px2, rids1, h1, rids2, h2, no_dedup):
 
 def _sketch_pair_streaming(read_file1: str, read_file2: str, c: int,
                            k: int, sample_name, no_dedup: bool,
-                           fpr: float, device: bool):
+                           fpr: float, device: bool, on_segment=None):
     """Streaming array-native paired-end sketch: both mate files decode
     and parse in record-aligned chunks (memory bounded), segments
     interleave vectorized, and the stateful C fold (exact set or bloom
@@ -590,6 +590,8 @@ def _sketch_pair_streaming(read_file1: str, read_file2: str, c: int,
                 if built is not None:
                     fold.push(built[0], built[1], built[2], built[3],
                               built[4])
+                    if on_segment is not None:
+                        on_segment(fold.new_keys())
         t.join()
         if err:
             raise err[0]
@@ -613,7 +615,8 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
                           sample_name: Optional[str] = None,
                           no_dedup: bool = False,
                           fpr: float = 0.0,
-                          device: bool = False) -> Optional[SequencesSketch]:
+                          device: bool = False,
+                          on_segment=None) -> Optional[SequencesSketch]:
     """Paired-end read sketch (sylph src/sketch.rs:771-895).
 
     ``fpr == 0`` dedups with an exact pair set; ``fpr > 0`` (the CLI
@@ -624,7 +627,7 @@ def sketch_pair_sequences(read_file1: str, read_file2: str, c: int, k: int,
         try:
             return _sketch_pair_streaming(read_file1, read_file2, c, k,
                                           sample_name, no_dedup, fpr,
-                                          device)
+                                          device, on_segment=on_segment)
         except (FastxParseError, OSError):
             log.error("Paired end reading failed for '%s' and '%s'.",
                       read_file1, read_file2)

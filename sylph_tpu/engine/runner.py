@@ -297,6 +297,9 @@ def _get_seq_sketch(opts: ContainOptions, read_file: List[str],
     from ..constants import DEFAULT_FPR
     return sketch_pair_sequences(read_file[0], read_file[1], opts.c, opts.k,
                                  None, False, fpr=DEFAULT_FPR,
+                                 on_segment=(streamer.push
+                                             if streamer is not None
+                                             else None),
                                  device=opts.tpu)
 
 
@@ -512,7 +515,7 @@ def contain(opts: ContainOptions, pseudotax: bool,
         j, rf = item
         is_sketch = j >= n_raw
         streamer = None
-        if device_engine is not None and not is_sketch and len(rf) == 1:
+        if device_engine is not None and not is_sketch and len(rf) <= 2:
             streamer = device_engine.sample_streamer()
         with stage_timer(f"load/sketch sample {rf[0]}"):
             sk = _get_seq_sketch(opts, rf, is_sketch,

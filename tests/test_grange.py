@@ -720,3 +720,82 @@ def test_grange_device_view_sparse_weights():
     assert view is not None and view.w_spec[0] == "sparse"
     dv = eng.hists(sk, sc, device_view=view)
     np.testing.assert_array_equal(dv, host)
+
+
+def test_grange_cli_parity_raw_reads(tmp_path, monkeypatch):
+    """profile --tpu on RAW fastq (single and paired): the device-view
+    streamer engages during ingest and the TSV stays byte-identical to
+    the host engine."""
+    import gzip
+    import io
+
+    from sylph_tpu.engine.device_exec import DeviceContainment
+    from sylph_tpu.engine.runner import ContainOptions, contain
+    from sylph_tpu.engine.sketch_cmd import SketchOptions, sketch
+
+    rng = np.random.default_rng(33)
+    BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_genomes, glen = 70, 12_000
+    genomes, paths = [], []
+    for g in range(n_genomes):
+        seq = rng.integers(0, 4, size=glen).astype(np.uint8)
+        genomes.append(seq)
+        p = tmp_path / f"g{g:03d}.fa.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(b">genome%03d\n" % g + BASES[seq].tobytes() + b"\n")
+        paths.append(str(p))
+    reads = []
+    for t, cov in [(5, 3.0), (33, 5.0)]:
+        src = genomes[t]
+        for s in rng.integers(0, glen - 150, size=int(glen * cov / 150)):
+            reads.append(src[s:s + 150].copy())
+    perm = rng.permutation(len(reads))
+    with open(tmp_path / "s.fq", "wb") as f:
+        for i in perm:
+            f.write(b"@r%d\n" % i + BASES[reads[i]].tobytes()
+                    + b"\n+\n" + b"I" * 150 + b"\n")
+    with open(tmp_path / "r1.fq", "wb") as f1, \
+            open(tmp_path / "r2.fq", "wb") as f2:
+        for i in perm:
+            f1.write(b"@p%d\n" % i + BASES[reads[i][:75]].tobytes()
+                     + b"\n+\n" + b"I" * 75 + b"\n")
+            f2.write(b"@p%d\n" % i + BASES[reads[i][75:]].tobytes()
+                     + b"\n+\n" + b"I" * 75 + b"\n")
+    sketch(SketchOptions(files=[], genomes=paths, reads=[],
+                         db_out_name=str(tmp_path / "db"),
+                         sample_output_dir=str(tmp_path), c=25, k=31,
+                         threads=4))
+
+    def run(tpu, paired):
+        out = io.StringIO()
+        opts = ContainOptions(files=[str(tmp_path / "db.syldb")], tpu=tpu,
+                              c=25)
+        if paired:
+            opts.first_pair = [str(tmp_path / "r1.fq")]
+            opts.second_pair = [str(tmp_path / "r2.fq")]
+        else:
+            opts.files.append(str(tmp_path / "s.fq"))
+        contain(opts, pseudotax=True, out=out)
+        return out.getvalue()
+
+    monkeypatch.setattr(DeviceContainment, "GRANGE_MIN", 0)
+    # single device so the DeviceSampleStream serving path engages
+    monkeypatch.setenv("SYLPH_TPU_DEVICES", "1")
+    import sylph_tpu.engine.device_sketch as ds
+    seen = {"n": 0}
+    orig_fin = ds.DeviceSampleStream.finalize
+
+    def spy(self, kmers, counts):
+        view = orig_fin(self, kmers, counts)
+        if view is not None:
+            seen["n"] += 1
+        return view
+
+    monkeypatch.setattr(ds.DeviceSampleStream, "finalize", spy)
+    for paired in (False, True):
+        host = run(tpu=False, paired=paired)
+        pre = seen["n"]
+        dev = run(tpu=True, paired=paired)
+        assert seen["n"] > pre, f"streamer did not engage (paired={paired})"
+        assert dev == host, f"paired={paired}"
+        assert len(host.strip().splitlines()) > 1, f"paired={paired}"
