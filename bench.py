@@ -608,7 +608,7 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
         _, ok2 = run_once()
         assert ok2, "grange conservation check failed"
 
-    med = _timed_median(timed, 5, "gtdb")
+    med = _timed_median(timed, 7, "gtdb")
     total_bases = n_batches * BATCH_READS * READ_LEN
     return total_bases / med / 1e9
 
