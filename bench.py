@@ -497,10 +497,18 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                 entries_cap=exp_caps[1], lbase=dup.lbase, lmod=dup.lmod)
         hist2 = hist[:G * 64].reshape(G, 64)
         st = stats_from_histograms(hist2, n_kmers_dev, k=K, min_ani=0.5)
-        ok = check()          # conservation scalars force completion
+        # ONE fused fetch: result + conservation probe (+ expansion flag)
+        # — each separate np.asarray is a serial ~27 ms relay round trip
+        parts = [st.contained.sum().reshape(1).astype(jnp.float32),
+                 check.probe.astype(jnp.float32)]
         if okx is not None:
-            ok = ok and bool(np.asarray(okx))
-        return float(np.asarray(st.contained.sum())), ok
+            parts.append(okx.astype(jnp.float32).reshape(1))
+        v = np.asarray(jnp.concatenate(parts))
+        np_ = 1 + int(check.probe.shape[0])
+        ok = check(v[1:np_].astype(np.int64))
+        if okx is not None:
+            ok = ok and bool(v[np_])
+        return float(v[0]), ok
 
     def _auto_cs():
         from sylph_tpu.tpu.bucket_join import cell_cs, sample_cs
@@ -547,10 +555,16 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                 st = stats_from_histograms(
                     hist.reshape(len(gs) * G, 64),
                     jnp.tile(n_kmers_dev, len(gs)), k=K, min_ani=0.5)
-                tot += float(np.asarray(st.contained.sum()))
-                ok = check() and ok
+                parts = [st.contained.sum().reshape(1).astype(
+                    jnp.float32), check.probe.astype(jnp.float32)]
                 if okx is not None:
-                    ok = ok and bool(np.asarray(okx))
+                    parts.append(okx.astype(jnp.float32).reshape(1))
+                v = np.asarray(jnp.concatenate(parts))
+                np_ = 1 + int(check.probe.shape[0])
+                tot += float(v[0])
+                ok = check(v[1:np_].astype(np.int64)) and ok
+                if okx is not None:
+                    ok = ok and bool(v[np_])
             return tot, ok
 
         t0 = _t.perf_counter()

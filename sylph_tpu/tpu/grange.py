@@ -1181,12 +1181,21 @@ class GRangeEngine:
             cap = min(G * HIST_H + 2, cap, int(all_codes.shape[0]))
         diag_v = jnp.stack(diag_parts)
         ml = max_len
+        # one fused conservation vector: a single fetch instead of three
+        # serial ~27 ms relay round-trips (check.probe lets callers fold
+        # it into their own result fetch for zero extra round trips)
+        probe_parts = [jnp.sum(jnp.abs(diag_v)).astype(jnp.int32),
+                       jnp.asarray(ml, jnp.int32)]
+        if runs is not None:
+            probe_parts.append(runs.astype(jnp.int32).reshape(()))
+        probe = jnp.stack(probe_parts)
 
-        def check() -> bool:
-            return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
-                    and int(np.asarray(ml)) <= P
-                    and (runs is None or int(np.asarray(runs)) <= cap))
+        def check(vals=None) -> bool:
+            v = np.asarray(probe) if vals is None else np.asarray(vals)
+            return (int(v[0]) == 0 and int(v[1]) <= P
+                    and (runs is None or int(v[2]) <= cap))
 
+        check.probe = probe
         if diag:
             info = dict(diag=diag_v, max_len=ml, P=P, CS=CS,
                         density=density, use_fill=use_fill,
@@ -1287,11 +1296,18 @@ class GRangeEngine:
             cap = min(S * G * HIST_H + 2, cap, int(all_codes.shape[0]))
         diag_v = jnp.stack(diag)
         ml = jnp.max(max_len_s)
+        probe_parts = [jnp.sum(jnp.abs(diag_v)).astype(jnp.int32),
+                       ml.astype(jnp.int32)]
+        if runs is not None:
+            probe_parts.append(runs.astype(jnp.int32).reshape(()))
+        probe = jnp.stack(probe_parts)
 
-        def check() -> bool:
-            return (int(np.asarray(jnp.sum(jnp.abs(diag_v)))) == 0
-                    and int(np.asarray(ml)) <= P
-                    and (runs is None or int(np.asarray(runs)) <= cap))
+        def check(vals=None) -> bool:
+            v = np.asarray(probe) if vals is None else np.asarray(vals)
+            return (int(v[0]) == 0 and int(v[1]) <= P
+                    and (runs is None or int(v[2]) <= cap))
+
+        check.probe = probe
         return hist[:S * G * HIST_H].reshape(S, G * HIST_H), check
 
     def heavy_expand(self, hh: np.ndarray) -> np.ndarray:
