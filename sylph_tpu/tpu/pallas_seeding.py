@@ -283,6 +283,10 @@ def _butterfly_pack_kernel(bases_ref, len_ref, hi_ref, lo_ref, *,
                            k, thr_hi, thr_lo):
     """Fused seeding + per-read butterfly compaction."""
     bases = bases_ref[...]
+    if bases.dtype != jnp.uint32:
+        # u8 wire format: 4x less HBM input traffic and no separate
+        # upcast pass; the VPU widens on load
+        bases = bases.astype(jnp.uint32)
     R, L = bases.shape
     hi_len = k - 16
     f16, r16 = _mers16_tile(bases)

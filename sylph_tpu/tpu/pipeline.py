@@ -82,10 +82,15 @@ def _sketch_compact(bases, lengths, *, c: int, k: int):
         from .pallas_seeding import (BLOCK_ROWS, seed_pack_pallas,
                                      seed_pack_pallas_t)
         if _USE_TRANSPOSED_SEED and (N % 512 == 0 or N < 512):
-            return seed_pack_pallas_t(bases.T, lengths, c=c, k=k)
+            return seed_pack_pallas_t(bases.astype(jnp.uint32).T,
+                                      lengths, c=c, k=k)
         if N % BLOCK_ROWS == 0 or N < BLOCK_ROWS:
+            # the kernel widens u8 on load: no upcast pass, 4x less
+            # input HBM traffic
             chi, clo = seed_pack_pallas(bases, lengths, c=c, k=k)
             return chi[:, :cap], clo[:, :cap]
+    if bases.dtype != jnp.uint32:
+        bases = bases.astype(jnp.uint32)
     hhi, hlo, keep = _seed(bases, lengths, c=c, k=k)
     W = L - k + 1                       # drop structurally-dead columns
     if hhi.shape[1] > W:
