@@ -799,3 +799,21 @@ def test_grange_cli_parity_raw_reads(tmp_path, monkeypatch):
         assert seen["n"] > pre, f"streamer did not engage (paired={paired})"
         assert dev == host, f"paired={paired}"
         assert len(host.strip().splitlines()) > 1, f"paired={paired}"
+
+
+def test_device_sample_stream_out_of_sync_falls_back():
+    """A streamer that saw fewer k-mers than the finished sketch (or
+    none at all) must return None from finalize -> callers take the
+    host upload path."""
+    import jax
+
+    from sylph_tpu.engine.device_sketch import DeviceSampleStream
+
+    dev = jax.devices()[0]
+    st = DeviceSampleStream(dev)
+    assert st.finalize(np.arange(4, dtype=np.uint64),
+                       np.ones(4, np.uint32)) is None    # nothing pushed
+    st2 = DeviceSampleStream(dev)
+    st2.push(np.arange(3, dtype=np.uint64))
+    assert st2.finalize(np.arange(4, dtype=np.uint64),
+                        np.ones(4, np.uint32)) is None   # partial stream
