@@ -403,7 +403,7 @@ void sk_fold_free(void *p) {
  * single reads (1-3 surviving k-mers each), so lookahead must cross
  * segment boundaries — hence the flattening. Decisions, insertion
  * order, grows, and ndup are bit-identical to the naive loop. */
-#define PF_DIST 16
+#define PF_DIST 32
 int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
                      const int64_t *seg_starts, int64_t n_segs,
                      const uint64_t *fp, const uint8_t *fp_valid,
