@@ -194,3 +194,29 @@ def test_frame_fastq_nl_matches_generic_framer():
         ids_f = np.concatenate([p.lengths for p in px_f])
         ids_g = np.concatenate([p.lengths for p in px_g])
         np.testing.assert_array_equal(ids_f, ids_g, err_msg=str(case))
+
+
+def test_bgzf_fasta_genome_sketch_matches_plain(tmp_path):
+    """BGZF-compressed genome FASTA (generic framing path) sketches
+    identically to the same data in plain gzip."""
+    from sylph_tpu.core.sketch_genomes import sketch_genome
+
+    rng = np.random.default_rng(9)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    recs = []
+    for i in range(5):
+        seq = BASES[rng.integers(0, 4, size=30_000)].tobytes()
+        recs.append(b">contig%d desc\n" % i + seq + b"\n")
+    raw = b"".join(recs)
+    pb = str(tmp_path / "g.fa.gz")
+    pg = str(tmp_path / "h.fa.gz")
+    bgzf.write(pb, [raw])
+    with gzip.open(pg, "wb") as f:
+        f.write(raw)
+    a = sketch_genome(25, 31, pb, 30, True)
+    b = sketch_genome(25, 31, pg, 30, True)
+    assert a is not None and b is not None
+    np.testing.assert_array_equal(a.genome_kmers, b.genome_kmers)
+    np.testing.assert_array_equal(a.pseudotax_tracked_nonused_kmers,
+                                  b.pseudotax_tracked_nonused_kmers)
+    assert a.gn_size == b.gn_size
