@@ -410,7 +410,7 @@ int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
                      const uint8_t *filter_prev) {
     FoldState *st = (FoldState *)p;
     int oom = 0;
-    if (n_kmers <= 0) return st->ndup;
+    if (n_kmers <= 0 || n_segs <= 0) return st->ndup;
     if (!fold_scratch_reserve(st, n_kmers)) return -1;
     uint64_t *mk = st->sc_mk, *h0 = st->sc_h0, *h1 = st->sc_h1;
     uint64_t *f0 = st->sc_f0, *f1 = st->sc_f1;
@@ -449,7 +449,10 @@ int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
         }
     }
 
-    for (int64_t i = 0; i < n_kmers; i++) {
+    /* pass 1 only initialized scratch for indices covered by segments;
+     * start pass 2 at the first covered index so a caller with
+     * seg_starts[0] != 0 can't fold through uninitialized scratch */
+    for (int64_t i = seg_starts[0]; i < n_kmers; i++) {
         if (i + PF_DIST < n_kmers) {
             int64_t pf = i + PF_DIST;
             __builtin_prefetch(

@@ -14,11 +14,11 @@ echo "=== phase2 gtdb_cli --stages: $(date -u +%H:%M:%S) ===" | tee -a $OUT/batt
 timeout 7200 python bench.py --config gtdb_cli --stages > $OUT/gtdb_cli_diag.log 2>&1
 echo "exit=$? $(tail -1 $OUT/gtdb_cli_diag.log)" | tee -a $OUT/battery.log
 
-echo "=== phase2 gbench prefix (revpairs default): $(date -u +%H:%M:%S) ===" | tee -a $OUT/battery.log
-timeout 3600 python scripts/gbench.py --reps 3 prefix > $OUT/gbench_revpairs.log 2>&1
+echo "=== phase2 gbench prefix (rolled default): $(date -u +%H:%M:%S) ===" | tee -a $OUT/battery.log
+timeout 3600 python scripts/gbench.py --reps 3 prefix > $OUT/gbench_rolled.log 2>&1
 echo "exit=$?" | tee -a $OUT/battery.log
 
-echo "=== phase2 gbench prefix (SYLPH_RC_ROLL=1): $(date -u +%H:%M:%S) ===" | tee -a $OUT/battery.log
-SYLPH_RC_ROLL=1 timeout 3600 python scripts/gbench.py --reps 3 prefix > $OUT/gbench_rcroll.log 2>&1
+echo "=== phase2 gbench prefix (SYLPH_RC_REV=1 revpairs): $(date -u +%H:%M:%S) ===" | tee -a $OUT/battery.log
+SYLPH_RC_REV=1 timeout 3600 python scripts/gbench.py --reps 3 prefix > $OUT/gbench_rcrev.log 2>&1
 echo "exit=$?" | tee -a $OUT/battery.log
 echo "=== phase2 done: $(date -u +%H:%M:%S) ===" | tee -a $OUT/battery.log

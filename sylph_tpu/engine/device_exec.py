@@ -121,13 +121,15 @@ class DeviceContainment:
         self._cache = {}
         self._hists_cache = {}      # grange regime: id -> (ref, [G,64])
         self._cache_cap = 16
+        self._grange_span = None    # (pid, n_procs) in multi-host mode
         if total >= self.GRANGE_MIN:
             from ..tpu.grange import GRangeEngine, build_grange_index
             gidx = None
             cache_dir = os.environ.get("SYLPH_GRANGE_CACHE")
+            fp = _grange_fingerprint(genome_sketches) if cache_dir else ""
             if cache_dir:
                 gidx = _grange_cache_load(cache_dir, total,
-                                          len(genome_sketches))
+                                          len(genome_sketches), fp)
             if gidx is None:
                 kmers = np.concatenate(
                     [g.genome_kmers for g in genome_sketches]
@@ -140,10 +142,25 @@ class DeviceContainment:
                 del kmers, gids
                 if cache_dir:
                     _grange_cache_save(cache_dir, total,
-                                       len(genome_sketches), gidx)
+                                       len(genome_sketches), gidx, fp)
             max_res = self._grange_residency(gidx)
+            # multi-host session (jax.distributed): each process owns a
+            # round-robin chunk subset on its LOCAL devices and hists()
+            # merges the [G, H] partials across processes (grange.py
+            # merge_process_hists — BASELINE.md's pod-scale shape)
+            span = None
+            try:
+                if jax.process_count() > 1:
+                    span = (jax.process_index(), jax.process_count())
+                    local = [d for d in self._devices
+                             if d.process_index == jax.process_index()]
+                    self._devices = local or jax.local_devices()
+            except Exception:
+                span = None
+            self._grange_span = span
             self._grange = GRangeEngine(gidx, devices=self._devices,
-                                        max_resident_chunks=max_res)
+                                        max_resident_chunks=max_res,
+                                        process_span=span)
             log.debug(
                 "Device index (grange): %d genomes, %d k-mers, %d chunks "
                 "of [%d, %d] buckets (%s resident), %d spilled, over %d "
@@ -295,7 +312,8 @@ class DeviceContainment:
             # (single-device engines only — the stream path keeps the
             # whole batch on one chip)
             todo = [s for s in samples if id(s) not in self._hists_cache]
-            if len(todo) < 2 or len(self._devices) != 1:
+            if len(todo) < 2 or len(self._devices) != 1 \
+                    or self._grange_span is not None:
                 return
             from ..utils.timing import stage_timer
             tables = [s.sorted_view() for s in todo]
@@ -411,7 +429,8 @@ class DeviceContainment:
         """DeviceSampleStream for the grange single-device serving path
         (None otherwise): the runner hands it to the read sketcher so
         the sample k-mers upload WHILE the file is still decoding."""
-        if self._grange is None or len(self._devices) != 1:
+        if self._grange is None or len(self._devices) != 1 \
+                or self._grange_span is not None:
             return None
         from .device_sketch import DeviceSampleStream
         return DeviceSampleStream(self._devices[0])
@@ -422,7 +441,8 @@ class DeviceContainment:
         regime doesn't support it (multi-device merges / spill / heavy
         CSR are host-side, and non-grange regimes fetch exact counts
         anyway). Saves the [G, 64] histogram fetch at database scale."""
-        if self._grange is None or len(self._devices) != 1:
+        if self._grange is None or len(self._devices) != 1 \
+                or self._grange_span is not None:
             return None
         g = self._grange.gidx
         # heavy-run marker bins expand host-side, so their contribution
@@ -463,8 +483,12 @@ class DeviceContainment:
                                          device_view=dv)
         if out.ndim == 2:
             # engine fell back to the full histogram (bad chunk etc.):
-            # cache it so the host prefilter path reuses it
+            # cache it so the host prefilter path reuses it (same bounded
+            # eviction as the prefetch path, or a long serving session of
+            # repeated fallbacks would pin every sample's sketch)
             self._hists_cache[id(sample)] = (sample, out)
+            while len(self._hists_cache) > max(self._cache_cap, 3):
+                self._hists_cache.pop(next(iter(self._hists_cache)))
             return None
         if g.spill_kmers.size:
             sh = self._grange._spill_hist(skmers.astype(np.uint64),
@@ -486,8 +510,8 @@ class DeviceContainment:
                     f"device grange hists ({self._grange.gidx.m} k-mers x "
                     f"{skmers.size} sample k-mers)"):
                 try:
-                    return self._grange.hists(skmers.astype(np.uint64),
-                                              scounts, device_view=dv)
+                    out = self._grange.hists(skmers.astype(np.uint64),
+                                             scounts, device_view=dv)
                 except Exception as e:  # transient backend/compile blip:
                     # one retry before surfacing (a relay 500 otherwise
                     # discards the whole sample's multi-minute setup).
@@ -498,8 +522,12 @@ class DeviceContainment:
                         raise
                     log.warning("device hists failed (%s); retrying once",
                                 e)
-                    return self._grange.hists(skmers.astype(np.uint64),
-                                              scounts, device_view=dv)
+                    out = self._grange.hists(skmers.astype(np.uint64),
+                                             scounts, device_view=dv)
+            if self._grange_span is not None:
+                from ..tpu.grange import merge_process_hists
+                out = merge_process_hists(out)
+            return out
         counts = self._counts(sample)
         gids = self.index.genome_ids
         G = int(self.index.n_genomes)
@@ -540,17 +568,41 @@ def u64_recombine(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return to_u64_np(hi, lo)
 
 
-def _grange_cache_path(cache_dir: str, total: int, n_genomes: int) -> str:
+def _grange_fingerprint(genome_sketches) -> str:
+    """Cheap content fingerprint of a genome-sketch list: per-genome sizes
+    plus three sampled k-mers per genome (first/middle/last of the sorted-
+    insertion-order array). A rebuilt or swapped syldb that happens to
+    match on (n_genomes, total k-mers) alone changes this with overwhelming
+    probability, so a stale cached grange layout can't silently load."""
+    import hashlib
+    h = hashlib.sha1()
+    sizes = np.array([g.genome_kmers.size for g in genome_sketches],
+                     np.int64)
+    h.update(sizes.tobytes())
+    for g in genome_sketches:
+        k = g.genome_kmers
+        if k.size:
+            h.update(np.asarray([k[0], k[k.size // 2], k[-1]],
+                                np.uint64).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _grange_cache_path(cache_dir: str, total: int, n_genomes: int,
+                       fp: str = "") -> str:
     nt = os.environ.get("SYLPH_NT", "auto")
-    return os.path.join(cache_dir, f"grange_{n_genomes}_{total}_nt{nt}")
+    tag = f"_{fp}" if fp else ""
+    return os.path.join(cache_dir,
+                        f"grange_{n_genomes}_{total}{tag}_nt{nt}")
 
 
-def _grange_cache_load(cache_dir: str, total: int, n_genomes: int):
+def _grange_cache_load(cache_dir: str, total: int, n_genomes: int,
+                       fp: str = ""):
     """Disk-cached grange layout (opt-in via SYLPH_GRANGE_CACHE: a rebuild
     of a 10^8-k-mer database costs 10-20 min of host time; the cache key
-    is (genome count, total k-mers, layout) — callers own invalidation,
-    which is why the CLI leaves it off by default)."""
-    d = _grange_cache_path(cache_dir, total, n_genomes)
+    is (genome count, total k-mers, content fingerprint, layout), so a
+    swapped database with matching counts rebuilds instead of loading a
+    stale layout)."""
+    d = _grange_cache_path(cache_dir, total, n_genomes, fp)
     meta_p = os.path.join(d, "meta.npz")
     if not os.path.exists(meta_p):
         return None
@@ -568,8 +620,9 @@ def _grange_cache_load(cache_dir: str, total: int, n_genomes: int):
         heavy_gids=meta["heavy_gids"], heavy_ptr=meta["heavy_ptr"])
 
 
-def _grange_cache_save(cache_dir: str, total: int, n_genomes: int, gidx):
-    d = _grange_cache_path(cache_dir, total, n_genomes)
+def _grange_cache_save(cache_dir: str, total: int, n_genomes: int, gidx,
+                       fp: str = ""):
+    d = _grange_cache_path(cache_dir, total, n_genomes, fp)
     os.makedirs(d, exist_ok=True)
     np.savez(os.path.join(d, "meta.npz"),
              n_chunks=len(gidx.chunk_hi), bases=gidx.bases,

@@ -290,6 +290,8 @@ def _frame_fastq_nl(chunk_iter):
         # poison the newline arithmetic — stay on the exact path then
         dirty = bool(
             has_cr or has_blank
+            or carry_nl >= 4     # malformed input left >=1 whole record
+            #                      of newlines in carry; j below would wrap
             or (nl.size and nl[0] == 0
                 and (carry.endswith(b"\n") or not carry))
             or carry.startswith(b"\n") or b"\n\n" in carry
@@ -298,6 +300,9 @@ def _frame_fastq_nl(chunk_iter):
         if not dirty and total >= 4:
             r = int(total % 4)
             j = nl.size - 1 - r
+            if j < 0:
+                dirty = True
+        if not dirty and total >= 4:
             cut = int(nl[j]) + 1
             # the byte after a cut must start a header; when the cut is
             # flush with the chunk end, the next chunk's head validates

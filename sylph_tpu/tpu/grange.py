@@ -1030,21 +1030,35 @@ class GRangeEngine:
     (the fast path when the index fits, as GTDB-R220 does on 16 GB v5e)."""
 
     def __init__(self, gidx: GRangeIndex, devices=None,
-                 max_resident_chunks: Optional[int] = None):
+                 max_resident_chunks: Optional[int] = None,
+                 process_span: Optional[tuple] = None):
+        """``process_span=(proc_id, n_procs)`` selects the multi-host mode:
+        this engine owns only chunks i with i % n_procs == proc_id (the
+        analog of sharding the syldb index over hosts' HBM — BASELINE.md's
+        pod-scale row). hists() then returns a PARTIAL [G, H] histogram of
+        the owned chunks — spill and heavy side channels are accounted by
+        process 0 only — and callers merge across processes with
+        merge_process_hists (host allreduce; hists are [G, 64] i64)."""
         self.gidx = gidx
         self._GE = gidx.g_eff       # code-space genomes (real + markers)
         devs = devices if devices is not None else jax.devices()
         self._devices = devs
+        if process_span is not None:
+            pid, npr = process_span
+            assert 0 <= pid < npr, process_span
+        self._span = process_span
         n_res = (len(gidx.chunk_hi) if max_resident_chunks is None
                  else max(0, min(max_resident_chunks, len(gidx.chunk_hi))))
         self._n_resident = n_res
-        self._dev_chunks = []
+        self._dev_chunks = {}
         for i in range(n_res):
+            if not self._owns(i):
+                continue
             d = devs[i % len(devs)]
-            self._dev_chunks.append((
+            self._dev_chunks[i] = (
                 jax.device_put(gidx.chunk_hi[i], d),
                 jax.device_put(gidx.chunk_lo[i], d),
-                jax.device_put(gidx.chunk_gid[i], d)))
+                jax.device_put(gidx.chunk_gid[i], d))
         self._use_pallas = jax.default_backend() != "cpu"
         self._fused = _USE_FUSED_CODES and (self._use_pallas
                                             or _CODES_INTERPRET)
@@ -1057,10 +1071,23 @@ class GRangeEngine:
             (e[:, 1] >> np.uint64(32)).astype(np.uint32),
             (e[:, 1] & m32).astype(np.uint32)), self._devices[0])
 
+    def _owns(self, i: int) -> bool:
+        """Chunk ownership: all chunks (single-process), or a round-robin
+        subset by chunk id when a process_span is set."""
+        if self._span is None:
+            return True
+        pid, npr = self._span
+        return i % npr == pid
+
+    def _owns_sides(self) -> bool:
+        """Spill/global side channels: exactly one process accounts them."""
+        return self._span is None or self._span[0] == 0
+
     def _chunk_dev(self, i: int):
         """Device arrays for chunk i: pinned, or a per-use async upload."""
-        if i < self._n_resident:
-            return self._dev_chunks[i]
+        hit = self._dev_chunks.get(i)
+        if hit is not None:
+            return hit
         d = self._devices[i % len(self._devices)]
         g = self.gidx
         return (jax.device_put(g.chunk_hi[i], d),
@@ -1093,6 +1120,9 @@ class GRangeEngine:
         [0, n_genomes*H) are real genome counts; bins past that are
         heavy-run marker rows — expand with ``heavy_expand`` (all zero
         when the index has no heavy runs, as synthetic benches don't)."""
+        assert self._span is None, (
+            "hist_device_stream sweeps every chunk; multi-host engines "
+            "(process_span set) must use hists() + merge_process_hists")
         shi = shi.reshape(-1)
         slo = slo.reshape(-1)
         gidx = self.gidx
@@ -1220,6 +1250,9 @@ class GRangeEngine:
         duplicate-run fold. Per-sample rows span g_eff*H bins (real
         genomes first, heavy-run marker rows after — see
         hist_device_stream)."""
+        assert self._span is None, (
+            "hist_device_stream_batched sweeps every chunk; multi-host "
+            "engines (process_span set) must use hists()")
         gidx = self.gidx
         G = self._GE
         S, t = int(shi_s.shape[0]), int(shi_s.shape[1])
@@ -1350,6 +1383,10 @@ class GRangeEngine:
         pre-folded weights). Spill slots probe host-side per sample; a
         failed conservation check falls back to the per-sample path."""
         from . import u64 as u64mod
+        if self._span is not None:   # multi-host: per-sample partials
+            return np.stack([self.hists(k.astype(np.uint64),
+                                        c.astype(np.uint32))
+                             for k, c in tables])
         G, H = self.gidx.n_genomes, HIST_H
         S = len(tables)
         T = max(1024, 1 << int(np.ceil(np.log2(max(
@@ -1377,6 +1414,16 @@ class GRangeEngine:
                 out[s] += self._spill_hist(k.astype(np.uint64),
                                            c.astype(np.uint32))
         return out
+
+    def partial_hists(self, skmers_u64: np.ndarray,
+                      scounts: np.ndarray) -> np.ndarray:
+        """Multi-host entry: this process's partial [G, H] histogram over
+        its owned chunk subset (== hists(); named for call-site clarity).
+        Merge with merge_process_hists. The reference's counterpart is
+        the single-host rayon genome loop (src/contain.rs:284-292); the
+        TPU-native design instead shards the index over hosts and merges
+        [G, 64] i64 histograms (SURVEY.md §5 'Distributed backend')."""
+        return self.hists(skmers_u64, scounts)
 
     def _spill_hist(self, skmers_u64: np.ndarray,
                     scounts: np.ndarray) -> np.ndarray:
@@ -1473,11 +1520,14 @@ class GRangeEngine:
         _log = logging.getLogger("sylph")
         _t0 = _time.perf_counter()
         parts = []          # (dev_i, codes_dev, nl-nc diff, (i, smp, base))
-        nxt = self._chunk_dev(0) if slices else None
-        for i, (s, e) in enumerate(slices):
+        owned = [i for i in range(len(slices)) if self._owns(i)]
+        nxt = self._chunk_dev(owned[0]) if owned else None
+        for oi, i in enumerate(owned):
+            s, e = slices[i]
             cur = nxt
-            nxt = self._chunk_dev(i + 1) if i + 1 < len(slices) else None
-            di = i % len(self._devices)
+            nxt = (self._chunk_dev(owned[oi + 1])
+                   if oi + 1 < len(owned) else None)
+            di = i % len(self._devices)   # matches _chunk_dev placement
             if dv_sorted is not None:
                 smp = _extract_slice_jit(P)(*dv_sorted, np.int32(s),
                                             np.int32(e - s))
@@ -1549,7 +1599,7 @@ class GRangeEngine:
         # side channels are the caller's to account for (device_exec ORs
         # spill-hit genomes in; heavy DBs don't take this path)
         if (mask_fn is not None and not bad and len(by_codes) <= 1
-                and gidx.n_heavy == 0):
+                and gidx.n_heavy == 0 and self._span is None):
             if not by_codes:
                 return np.zeros(gidx.n_genomes, bool)
             (_di, cods), = by_codes.items()
@@ -1586,8 +1636,26 @@ class GRangeEngine:
         out = self._fold_heavy(hist)
 
         # spilled (over-capacity) slots: host probe of the tiny overflow
-        if gidx.spill_kmers.size:
+        # (accounted once across processes in multi-host mode)
+        if gidx.spill_kmers.size and self._owns_sides():
             out += self._spill_hist(skmers_u64, scounts)
         _log.debug("[timing] grange hists: hist fetch+fold %.3f s",
                    _time.perf_counter() - _t2)
         return out
+
+
+def merge_process_hists(partial: np.ndarray) -> np.ndarray:
+    """Sum per-process partial grange histograms across jax.distributed
+    processes (the DCN histogram merge of BASELINE.md's pod-scale row).
+
+    Histograms are [G, 64] i64 — ~50 MB at GTDB scale — so a host-level
+    allgather-and-sum is the right tool: the payload is tiny next to the
+    index shards and needs no device round trip. Outside a distributed
+    session (process_count == 1) this is the identity."""
+    import jax
+    if jax.process_count() == 1:
+        return partial
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.ascontiguousarray(partial.astype(np.int64)))
+    return np.asarray(gathered).sum(axis=0)

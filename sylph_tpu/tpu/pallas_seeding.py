@@ -65,11 +65,12 @@ def _mers16_tile(bases):
     fwd16[., j] = sum_{i<16} b[j+i] << 2(15-i);
     rc16[., j]  = sum_{i<16} (3-b[j+i]) << 2i.
     The forward chain takes 4 doubling levels = 4 lane-rolls (rolls are
-    the expensive op on the VPU); the revcomp chain is then ROLL-FREE:
+    the expensive op on the VPU); a roll-free revcomp chain exists:
     rc16 = revpairs(~fwd16) — complementing flips each base (3-b) and the
-    2-bit-group reversal turns MSB-first into LSB-first order, which
-    halves the pyramid's roll count vs building rc with its own rolls
-    (SYLPH_RC_ROLL=1 restores the rolled chain for A/B). Every shorter
+    2-bit-group reversal turns MSB-first into LSB-first order. Measured
+    on v5e the rolled rc chain is FASTER (Mosaic lowers the butterfly
+    worse than lane rolls), so the rolled chain is the DEFAULT and
+    SYLPH_RC_REV=1 selects the revpairs variant for A/B. Every shorter
     m-mer derives roll-free from these: fwd_m = fwd16 >> 2(16-m) keeps
     the top m bases, rc_m = rc16 & (4^m-1) keeps the low m bases.
     Positions within 15 of the row end wrap (masked by the caller).
@@ -450,7 +451,8 @@ def _mers16_tile_t(bases):
 
     Row(sublane)-axis rolls measure ~5x cheaper than 256-lane rolls on
     v5e (scripts/kbench.py), which is why this layout exists. The
-    revcomp chain is derived roll-free exactly as in _mers16_tile."""
+    revcomp chain defaults to rolled exactly as in _mers16_tile
+    (SYLPH_RC_REV=1 selects the roll-free revpairs variant)."""
     f = bases
     if _RC_VIA_ROLLS:
         r = np.uint32(3) - bases

@@ -18,13 +18,57 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=4")
 
 
+def grange_main(pid: int, n_procs: int, out_path: str):
+    """Multi-host grange: each process owns a round-robin chunk subset of
+    the same deterministic database-scale index, computes its PARTIAL
+    [G, H] histogram on its local devices, and the histograms merge with
+    a real cross-process collective (merge_process_hists). Process 0
+    writes the merged result for the oracle comparison."""
+    import jax
+    import numpy as np
+
+    from sylph_tpu.tpu.grange import (GRangeEngine, build_grange_index,
+                                      merge_process_hists)
+
+    rng = np.random.default_rng(3)
+    G, c = 40, 20
+    thr = ((1 << 64) - 1) // c
+    chunk_slots = 1 << 14
+    m = chunk_slots * 4
+    kmers = rng.integers(0, thr, size=m, dtype=np.uint64)
+    ndup = m // 8      # strain-duplication slab -> heavy-run CSR engaged
+    kmers[:ndup] = rng.choice(kmers[ndup:ndup + 64], size=ndup)
+    gids = rng.integers(0, G, size=m).astype(np.int32)
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=chunk_slots,
+                              target_mean=256, ci_cap=256, heavy_run=8)
+    assert len(gidx.chunk_hi) >= n_procs
+
+    t = 6_000
+    sk = np.unique(np.concatenate([
+        rng.choice(kmers, size=t // 2),
+        rng.integers(0, thr, size=t // 2, dtype=np.uint64)]))
+    sc = rng.integers(1, 100, size=sk.size).astype(np.uint32)
+
+    eng = GRangeEngine(gidx, devices=jax.local_devices(),
+                       process_span=(pid, n_procs))
+    partial = eng.partial_hists(sk, sc)
+    merged = merge_process_hists(partial)
+    if pid == 0:
+        np.save(out_path, merged)
+
+
 def main():
     coord, n_procs, pid, out_path = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "profile"
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=int(n_procs),
                                process_id=int(pid))
+    if mode == "grange":
+        grange_main(int(pid), int(n_procs), out_path)
+        jax.distributed.shutdown()
+        return
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -55,3 +55,60 @@ def test_two_process_profile(tmp_path):
                            idx.n_kmers, c=c, k=k, n_genomes=G,
                            n_buckets=32, min_ani=0.0)
     assert (hist == np.asarray(want)).all()
+
+
+def test_two_process_grange(tmp_path):
+    """Multi-host mode of the flagship database-scale engine: 2
+    jax.distributed processes each own half the grange chunks, compute
+    partial histograms on local devices, and merge over gRPC — the
+    BASELINE.md pod-scale shape ('>=2 hosts vs the big syldb'). The
+    merged histogram must be integer-identical to the single-process
+    engine AND a numpy searchsorted oracle on the same data."""
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out = str(tmp_path / "grange_hist.npy")
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(i), out, "grange"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    merged = np.load(out)
+
+    # single-process oracle: same deterministic data as grange_main
+    from sylph_tpu.tpu.grange import HIST_H, GRangeEngine, \
+        build_grange_index
+    rng = np.random.default_rng(3)
+    G, c = 40, 20
+    thr = ((1 << 64) - 1) // c
+    chunk_slots = 1 << 14
+    m = chunk_slots * 4
+    kmers = rng.integers(0, thr, size=m, dtype=np.uint64)
+    ndup = m // 8
+    kmers[:ndup] = rng.choice(kmers[ndup:ndup + 64], size=ndup)
+    gids = rng.integers(0, G, size=m).astype(np.int32)
+    gidx = build_grange_index(kmers, gids, G, chunk_slots=chunk_slots,
+                              target_mean=256, ci_cap=256, heavy_run=8)
+    assert gidx.n_heavy > 0
+    t = 6_000
+    sk = np.unique(np.concatenate([
+        rng.choice(kmers, size=t // 2),
+        rng.integers(0, thr, size=t // 2, dtype=np.uint64)]))
+    sc = rng.integers(1, 100, size=sk.size).astype(np.uint32)
+    full = GRangeEngine(gidx).hists(sk, sc)
+    assert (merged == full).all(), (
+        f"2-process merged grange histogram diverges from single-process:"
+        f" {np.abs(merged - full).sum()} total count error")
+
+    want = np.zeros((G, HIST_H), np.int64)
+    idx = np.searchsorted(sk, kmers)
+    idxc = np.minimum(idx, sk.size - 1)
+    cts = np.where((idx < sk.size) & (sk[idxc] == kmers), sc[idxc], 0)
+    live = cts > 0
+    np.add.at(want, (gids[live], np.minimum(cts[live], HIST_H - 1)), 1)
+    assert (merged == want).all()
+    assert merged[:, 1:].sum() > 0
