@@ -127,3 +127,59 @@ def _engine(db, tpu: bool):
         return None
     from .engine.device_exec import DeviceContainment, device_available
     return DeviceContainment(db) if device_available() else None
+
+
+class Profiler:
+    """Resident-index serving handle: builds (and, with ``tpu=True``,
+    uploads) the containment index ONCE, then serves profile()/query()
+    calls per sample against the warm index — the library form of
+    ``sylph profile --serve`` (and the first-class surface for what
+    SYLPH_TPU_CACHE_INDEX enables across one-shot contain() calls).
+
+        prof = sylph.Profiler(db, tpu=True)
+        for s in samples:
+            rows = prof.profile(s)
+
+    Reference counterpart: the resident-DB chunked sample loop
+    (src/contain.rs:239-256), which amortizes the database load across
+    one invocation's file list; here it amortizes across calls."""
+
+    def __init__(self, db: List[GenomeSketch], tpu: bool = True,
+                 **default_opts):
+        self.db = db
+        self._engine = _engine(db, tpu)
+        self._defaults = default_opts
+
+    def _run(self, sample, pseudotax: bool, min_ani, estimate_unknown,
+             opts) -> List[ProfileRow]:
+        if isinstance(sample, str):
+            sample = (load_sample(sample)
+                      if sample.endswith((".sylsp", ".sylsample"))
+                      else sketch_reads(sample))
+            if sample is None:
+                return []
+        kw = dict(self._defaults)
+        kw.update(opts)
+        o = ContainOptions(minimum_ani=min_ani,
+                           estimate_unknown=estimate_unknown,
+                           pseudotax=pseudotax, **kw)
+        if pseudotax and self.db \
+                and self.db[0].pseudotax_tracked_nonused_kmers is None:
+            raise ValueError(
+                "database was sketched with profiling disabled")
+        return _rows(process_sample(o, sample, self.db, self._engine),
+                     pseudotax)
+
+    def profile(self, sample, min_ani: Optional[float] = None,
+                estimate_unknown: bool = False,
+                **opts) -> List[ProfileRow]:
+        """Taxonomic profiling of one sample (path or SequencesSketch)
+        against the resident database."""
+        return self._run(sample, True, min_ani, estimate_unknown, opts)
+
+    def query(self, sample, min_ani: Optional[float] = None,
+              estimate_unknown: bool = False,
+              **opts) -> List[ProfileRow]:
+        """Containment-ANI query of one sample against the resident
+        database."""
+        return self._run(sample, False, min_ani, estimate_unknown, opts)

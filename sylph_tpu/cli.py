@@ -121,6 +121,12 @@ def _add_contain(sub, name, helptext):
     p.add_argument("--profile-trace", dest="profile_trace", default=None,
                    metavar="DIR",
                    help="write a jax.profiler trace of the run to DIR")
+    p.add_argument("--serve", action="store_true",
+                   help="serving mode: load the database (and build the "
+                   "--tpu device index) once, then read sample paths from "
+                   "stdin — one per line, two whitespace-separated paths "
+                   "for a read pair — emitting each sample's TSV rows "
+                   "immediately; EOF ends the loop")
     return p
 
 
@@ -240,7 +246,13 @@ def main(argv=None) -> int:
                 tpu=args.tpu))
         elif args.mode in ("profile", "query"):
             _setup_logging(args.trace, args.debug)
-            contain(_contain_options(args), pseudotax=(args.mode == "profile"))
+            if args.serve:
+                from .engine.runner import serve
+                serve(_contain_options(args),
+                      pseudotax=(args.mode == "profile"))
+            else:
+                contain(_contain_options(args),
+                        pseudotax=(args.mode == "profile"))
         elif args.mode == "inspect":
             _setup_logging()
             if not args.files:

@@ -62,14 +62,19 @@ class SequencesSketch:
             # np.argsort(kind="stable")): a GTDB-scale sample table is
             # ~10^7 entries and the mergesort fallback costs seconds
             from .native_core import radix_sort_kv
+            # the C sort runs in place on keys/vals, so they must NOT
+            # alias the sketch arrays: ascontiguousarray can return a
+            # same-buffer VIEW (e.g. for an equivalent dtype), which an
+            # `is` check misses — guard on shared memory instead, or the
+            # sketch's (kmer -> count) pairing is silently scrambled
             keys = np.ascontiguousarray(self.kmers, np.uint64)
-            if keys is self.kmers:
+            if np.shares_memory(keys, self.kmers):
                 keys = keys.copy()
             fits_i32 = (self.counts.size == 0
                         or int(self.counts.max()) < (1 << 31))
             vals = (np.ascontiguousarray(self.counts, np.int32)
                     if fits_i32 else None)
-            if vals is self.counts:
+            if vals is not None and np.shares_memory(vals, self.counts):
                 vals = vals.copy()
             if vals is not None and radix_sort_kv(keys, vals):
                 self._sorted = (keys, vals.astype(self.counts.dtype,

@@ -464,23 +464,23 @@ class DeviceContainment:
             return candidate_mask_device(hist_dev, self._n_kmers_dev,
                                          **mask_kwargs)
 
-        skmers, scounts = sample.sorted_view()
         dv = getattr(sample, "_device_view", None)
+        table_fn = _warm_table(sample, dv is not None)
         from ..utils.timing import stage_timer
         with stage_timer(
                 f"device grange candidate mask ({g.m} k-mers x "
-                f"{skmers.size} sample k-mers)"):
+                f"{sample.kmers.size} sample k-mers)"):
             try:
-                out = self._grange.hists(skmers.astype(np.uint64),
-                                         scounts, mask_fn=mask_fn,
-                                         device_view=dv)
+                out = self._grange.hists(None, None, mask_fn=mask_fn,
+                                         device_view=dv,
+                                         table_fn=table_fn)
             except Exception as e:
                 if not _is_transient_jax_error(e):
                     raise
                 log.warning("device mask failed (%s); retrying once", e)
-                out = self._grange.hists(skmers.astype(np.uint64),
-                                         scounts, mask_fn=mask_fn,
-                                         device_view=dv)
+                out = self._grange.hists(None, None, mask_fn=mask_fn,
+                                         device_view=dv,
+                                         table_fn=table_fn)
         if out.ndim == 2:
             # engine fell back to the full histogram (bad chunk etc.):
             # cache it so the host prefilter path reuses it (same bounded
@@ -491,9 +491,15 @@ class DeviceContainment:
                 self._hists_cache.pop(next(iter(self._hists_cache)))
             return None
         if g.spill_kmers.size:
+            import time as _time
+            _t = _time.perf_counter()
+            skmers, scounts = table_fn()
             sh = self._grange._spill_hist(skmers.astype(np.uint64),
                                           scounts)
             out = out | (sh[:, 1:].sum(axis=1) > 0)
+            log.debug("[timing] candidate mask: spill OR (%d spill "
+                      "k-mers) %.3f s", g.spill_kmers.size,
+                      _time.perf_counter() - _t)
         return out
 
     def hists(self, sample: SequencesSketch) -> np.ndarray:
@@ -503,15 +509,15 @@ class DeviceContainment:
             hit = self._hists_cache.get(id(sample))
             if hit is not None and hit[0] is sample:
                 return hit[1]
-            skmers, scounts = sample.sorted_view()
             dv = getattr(sample, "_device_view", None)
+            table_fn = _warm_table(sample, dv is not None)
             from ..utils.timing import stage_timer
             with stage_timer(
                     f"device grange hists ({self._grange.gidx.m} k-mers x "
-                    f"{skmers.size} sample k-mers)"):
+                    f"{sample.kmers.size} sample k-mers)"):
                 try:
-                    out = self._grange.hists(skmers.astype(np.uint64),
-                                             scounts, device_view=dv)
+                    out = self._grange.hists(None, None, device_view=dv,
+                                             table_fn=table_fn)
                 except Exception as e:  # transient backend/compile blip:
                     # one retry before surfacing (a relay 500 otherwise
                     # discards the whole sample's multi-minute setup).
@@ -522,8 +528,8 @@ class DeviceContainment:
                         raise
                     log.warning("device hists failed (%s); retrying once",
                                 e)
-                    out = self._grange.hists(skmers.astype(np.uint64),
-                                             scounts, device_view=dv)
+                    out = self._grange.hists(None, None, device_view=dv,
+                                             table_fn=table_fn)
             if self._grange_span is not None:
                 from ..tpu.grange import merge_process_hists
                 out = merge_process_hists(out)
@@ -566,6 +572,28 @@ class DeviceContainment:
 def u64_recombine(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     from ..tpu.u64 import to_u64_np
     return to_u64_np(hi, lo)
+
+
+def _warm_table(sample, overlap: bool):
+    """() -> (sorted_kmers_u64, counts) supplier for the grange sweep.
+
+    With ``overlap`` (device-resident sample view present), the host sort
+    runs on a side thread so it overlaps the device dispatch + compute —
+    the table is only consumed at the spill probe / fallback, by which
+    time the sort is usually done. Without a device view the sweep needs
+    the table immediately, so it's computed inline."""
+    if not overlap:
+        sk, sc = sample.sorted_view()
+        return lambda: (sk.astype(np.uint64, copy=False), sc)
+    import threading
+    th = threading.Thread(target=sample.sorted_view, daemon=True)
+    th.start()
+
+    def table_fn():
+        th.join()
+        sk, sc = sample.sorted_view()
+        return sk.astype(np.uint64, copy=False), sc
+    return table_fn
 
 
 def _grange_fingerprint(genome_sketches) -> str:

@@ -583,3 +583,125 @@ def contain(opts: ContainOptions, pseudotax: bool,
     log.info("sylph finished.")
     if close_out:
         out.close()
+
+
+def serve(opts: ContainOptions, pseudotax: bool,
+          out: Optional[TextIO] = None,
+          in_stream: Optional[TextIO] = None):
+    """Resident-index serving loop (``sylph profile/query --serve``).
+
+    Loads the database and builds/uploads the device index ONCE, then
+    reads sample requests from ``in_stream`` (default stdin) — one per
+    line: a read-file or .sylsp path, or two whitespace-separated paths
+    for a read pair. Each request's TSV rows are written and flushed
+    before the next line is read, so a driving process can pipeline
+    samples against the warm index. This is the first-class surface for
+    the warm-serving scenario SYLPH_TPU_CACHE_INDEX enables across
+    library calls (reference counterpart: the resident-DB chunked sample
+    loop, src/contain.rs:239-256 — amortized here across requests
+    instead of across one invocation's file list). A bad request logs
+    and continues; EOF ends the loop."""
+    from ..utils.threads import set_thread_budget
+    from ..utils.timing import stage_timer
+    set_thread_budget(opts.threads)
+    if pseudotax:
+        opts.pseudotax = True
+    close_out = False
+    if out is None:
+        if opts.out_file_name:
+            out = open(opts.out_file_name, "w")
+            close_out = True
+        else:
+            out = sys.stdout
+    if in_stream is None:
+        in_stream = sys.stdin
+
+    log.info("Obtaining sketches...")
+    (genome_sketch_files, genome_files, read_sketch_files,
+     read_files) = _classify_files(opts)
+    if not genome_sketch_files and not genome_files:
+        log.error("No genome files found; see sylph query/profile -h for "
+                  "help. Exiting")
+        raise SystemExit(1)
+    genome_sketches = _get_genome_sketches(opts, genome_sketch_files,
+                                           genome_files)
+    log.info("Finished obtaining genome sketches.")
+    if not genome_sketches:
+        log.error("No genome sketches found; see sylph query/profile -h "
+                  "for help. Exiting")
+        raise SystemExit(1)
+    if (genome_sketches[0].pseudotax_tracked_nonused_kmers is None
+            and opts.pseudotax):
+        log.error("Attempting profiling, but *.syldb was sketched with the "
+                  "--disable-profiling option. Exiting")
+        raise SystemExit(1)
+
+    device_engine = None
+    if opts.tpu:
+        from .device_exec import device_available
+        if device_available():
+            import jax
+            device_engine = _device_engine_for(genome_sketch_files,
+                                               genome_files,
+                                               genome_sketches)
+            log.info("Containment runs on %d device(s).",
+                     len(jax.devices()))
+        else:
+            log.warning("--tpu requested but no JAX device available; "
+                        "falling back to the host engine.")
+
+    print_header(opts.pseudotax, out, opts.estimate_unknown)
+
+    def one(rfiles: List[str], is_sketch: bool) -> None:
+        streamer = None
+        if device_engine is not None and not is_sketch \
+                and len(rfiles) <= 2:
+            streamer = device_engine.sample_streamer()
+        with stage_timer(f"load/sketch sample {rfiles[0]}"):
+            sk = _get_seq_sketch(opts, rfiles, is_sketch,
+                                 genome_sketches[0].c,
+                                 genome_sketches[0].k, streamer=streamer)
+        if streamer is not None and sk is not None:
+            view = streamer.finalize(sk.kmers, sk.counts)
+            if view is not None:
+                sk._device_view = view
+        if sk is None:
+            return
+        with stage_timer(f"process sample {rfiles[0]}",
+                         items=len(genome_sketches)):
+            results = process_sample(opts, sk, genome_sketches,
+                                     device_engine)
+        for r in results:
+            print_ani_result(r, opts.pseudotax, out)
+        out.flush()
+        log.info("Finished %ssample %s.",
+                 "paired " if len(rfiles) > 1 else "", rfiles[0])
+
+    log.info("Serving: reading sample paths from stdin "
+             "(one per line; two paths = read pair).")
+    # samples given up front (argv) serve first, then the request stream
+    queued = ([(rf, False) for rf in read_files]
+              + [([f], True) for f in read_sketch_files])
+    for rfiles, is_sketch in queued:
+        one(rfiles, is_sketch)
+    for line in in_stream:
+        parts = line.split()
+        if not parts:
+            continue
+        if len(parts) > 2:
+            log.error("serve: expected 1 or 2 paths per line, got %d "
+                      "(%r); skipping.", len(parts), line.strip())
+            continue
+        is_sketch = (len(parts) == 1 and any(
+            parts[0].endswith(s) for s in SAMPLE_FILE_SUFFIX_VALID))
+        try:
+            one(parts, is_sketch)
+        except SystemExit as e:      # per-sample fatal (bad sketch file):
+            log.error("serve: sample %s failed (exit %s); continuing.",
+                      parts[0], e.code)
+        except Exception:
+            log.exception("serve: sample %s failed; continuing.",
+                          parts[0])
+    log.info("sylph serve finished.")
+    if close_out:
+        out.close()

@@ -1470,8 +1470,9 @@ class GRangeEngine:
         ee = np.minimum(np.asarray(ee), n_live)
         return [(int(s), int(e)) for s, e in zip(ss, ee)]
 
-    def hists(self, skmers_u64: np.ndarray, scounts: np.ndarray,
-              mask_fn=None, device_view=None) -> np.ndarray:
+    def hists(self, skmers_u64: Optional[np.ndarray],
+              scounts: Optional[np.ndarray],
+              mask_fn=None, device_view=None, table_fn=None) -> np.ndarray:
         """[G, HIST_H] exact (clamped) per-genome multiplicity histograms.
 
         ``mask_fn`` (device [G*H] i32 histogram -> device [G] bool) short
@@ -1480,25 +1481,56 @@ class GRangeEngine:
         side channels, only the [G] boolean mask crosses the wire (25 MB
         -> 100 KB at GTDB scale — material through a slow interconnect).
         Returns the bool mask in that case; any fallback condition
-        returns the full histogram as usual (callers detect via ndim)."""
+        returns the full histogram as usual (callers detect via ndim).
+
+        With a ``device_view``, the host-sorted table is only needed for
+        the spill side channel — callers may pass ``skmers_u64=None`` and
+        a ``table_fn`` returning (sorted_kmers_u64, counts) on demand, so
+        the host sort can overlap the device sweep instead of gating the
+        dispatch."""
         from . import u64 as u64mod
         gidx = self.gidx
         G, H = self._GE, HIST_H
-        shi, slo = u64mod.from_u64_np(skmers_u64)
-        # histogram bins clamp multiplicity at H-1, so weights clamp to 63
-        # losslessly and cross the (slow) host->device wire as uint8 — a
-        # third off the per-sample upload; the device casts back to i32
-        sw = np.minimum(scounts, HIST_H - 1).astype(np.uint8)
+
+        _tbl_cache = [skmers_u64, scounts]
+
+        def _tbl():
+            if _tbl_cache[0] is None:
+                _tbl_cache[0], _tbl_cache[1] = table_fn()
+            return _tbl_cache[0], _tbl_cache[1]
+
+        shi = slo = sw = None
+        if device_view is None or len(self._devices) != 1:
+            sk_h, sc_h = _tbl()
+            shi, slo = u64mod.from_u64_np(sk_h)
+            # histogram bins clamp multiplicity at H-1, so weights clamp
+            # to 63 losslessly and cross the (slow) host->device wire as
+            # uint8 — a third off the per-sample upload; the device casts
+            # back to i32
+            sw = np.minimum(sc_h, HIST_H - 1).astype(np.uint8)
+        import logging
+        import time as _time
+        _log = logging.getLogger("sylph")
+        _ts = _time.perf_counter
         dv_sorted = None
         if device_view is not None and len(self._devices) == 1:
             # streamed device-resident sample: the k-mers shipped during
             # the host ingest; sort + chunk-slice on device instead of
             # padding + uploading ~9 bytes/k-mer synchronously here
+            _t = _ts()
             dv_sorted = self._sorted_device_sample(device_view)
+            _t_sort = _ts() - _t
+            _t = _ts()
             slices = self._device_view_slices(*dv_sorted,
                                               device_view.n)
+            _log.debug("[timing] grange hists: device sort dispatch "
+                       "%.3f s, slice fetch(sync) %.3f s", _t_sort,
+                       _ts() - _t)
         else:
-            slices = slice_sample(gidx, skmers_u64)
+            _t = _ts()
+            slices = slice_sample(gidx, _tbl()[0])
+            _log.debug("[timing] grange hists: host slice_sample %.3f s",
+                       _ts() - _t)
         max_n = max((e - s for s, e in slices), default=0)
         P = _quantize_p(float(max(max_n, 1)))
         from .bucket_join import sample_cs
@@ -1638,7 +1670,7 @@ class GRangeEngine:
         # spilled (over-capacity) slots: host probe of the tiny overflow
         # (accounted once across processes in multi-host mode)
         if gidx.spill_kmers.size and self._owns_sides():
-            out += self._spill_hist(skmers_u64, scounts)
+            out += self._spill_hist(*_tbl())
         _log.debug("[timing] grange hists: hist fetch+fold %.3f s",
                    _time.perf_counter() - _t2)
         return out

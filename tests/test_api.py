@@ -60,3 +60,31 @@ def test_profile_rejects_disabled_db():
     sample = sylph.sketch_reads(f"{TF}/t1.fq", c=5, k=31)
     with pytest.raises(ValueError):
         sylph.profile(db, sample)
+
+
+def test_profiler_handle(db, sample):
+    """api.Profiler: resident-index serving handle matches the one-shot
+    api.profile/query rows across repeated calls."""
+    import sylph_tpu.api as sylph
+    prof = sylph.Profiler(db, tpu=False)
+    want_p = sylph.profile(db, sample)
+    want_q = sylph.query(db, sample)
+    for _ in range(2):           # repeated calls hit the same engine
+        rows = prof.profile(sample)
+        assert [(r.genome, r.adjusted_ani, r.rel_abundance)
+                for r in rows] == \
+            [(r.genome, r.adjusted_ani, r.rel_abundance) for r in want_p]
+        rows = prof.query(sample)
+        assert [(r.genome, r.adjusted_ani) for r in rows] == \
+            [(r.genome, r.adjusted_ani) for r in want_q]
+
+
+def test_profiler_path_input(db, sample, tmp_path):
+    import sylph_tpu.api as sylph
+    p = str(tmp_path / "s.sylsp")
+    sylph.save_sample(p, sample)
+    prof = sylph.Profiler(db, tpu=False)
+    rows = prof.profile(p)
+    want = sylph.profile(db, sample)
+    assert [(r.genome, r.adjusted_ani) for r in rows] == \
+        [(r.genome, r.adjusted_ani) for r in want]

@@ -270,3 +270,45 @@ def test_flags_interleave_with_positionals(d):
     r = run(["sketch", tf("e.coli-o157.fasta.gz"), "-o",
              os.path.join(d, "db2"), tf("o157_reads.fastq.gz"), "-d", d])
     assert r.returncode == 0, r.stderr
+
+
+def test_serve_mode(d):
+    """--serve: resident-index loop reading sample paths from stdin; the
+    emitted TSV rows must equal the one-shot CLI's for the same samples,
+    bad request lines log-and-continue, EOF exits 0."""
+    r = run(["sketch", tf("e.coli-EC590.fasta.gz"), tf("e.coli-K12.fasta.gz"),
+             tf("e.coli-o157.fasta.gz"), tf("o157_reads.fastq.gz"),
+             "-o", f"{d}/db", "-d", d])
+    assert r.returncode == 0, r.stderr
+    sylsp = f"{d}/o157_reads.fastq.gz.sylsp"
+
+    # request stream: a sketch, a raw fastq (same sample), a bogus path,
+    # a 3-token malformed line, a paired request
+    req = "\n".join([sylsp, tf("o157_reads.fastq.gz"), f"{d}/nope.fq",
+                     "a b c", f"{tf('t1.fq')} {tf('t2.fq')}", ""])
+    rs = subprocess.run(
+        [sys.executable, "-m", "sylph_tpu", "profile", "--serve",
+         f"{d}/db.syldb"],
+        input=req, capture_output=True, text=True, cwd=REPO)
+    assert rs.returncode == 0, rs.stderr
+
+    one = run(["profile", f"{d}/db.syldb", sylsp])
+    assert one.returncode == 0, one.stderr
+    # the serve stream's first block == the one-shot rows (header + rows)
+    serve_lines = rs.stdout.splitlines()
+    one_lines = one.stdout.splitlines()
+    assert serve_lines[0] == one_lines[0]                  # header
+    assert serve_lines[1:len(one_lines)] == one_lines[1:]  # sketch rows
+    # raw-fastq request of the same reads reproduces the same rows
+    # (concordance through the serve surface)
+    n = len(one_lines) - 1
+    raw_rows = serve_lines[len(one_lines):len(one_lines) + n]
+    assert [r.split("\t")[1:] for r in raw_rows] == \
+        [r.split("\t")[1:] for r in one_lines[1:]]
+
+
+def test_serve_requires_database():
+    rs = subprocess.run(
+        [sys.executable, "-m", "sylph_tpu", "profile", "--serve"],
+        input="", capture_output=True, text=True, cwd=REPO)
+    assert rs.returncode == 1

@@ -348,3 +348,25 @@ def test_mean_fold_matches_sequential():
     assert _mean_fold(lens) == mean
     assert _mean_fold(np.array([151] * 10)) == 151.0
     assert _mean_fold(np.empty(0, np.int64)) == 0.0
+
+
+def test_sorted_view_does_not_mutate_sketch():
+    """Regression: the in-place C radix sort must never alias the sketch
+    arrays (ascontiguousarray can return a same-buffer view) — a profile
+    followed by save_sample once wrote a scrambled (kmer, count)
+    pairing."""
+    import numpy as np
+
+    from sylph_tpu.core.types import SequencesSketch
+    rng = np.random.default_rng(11)
+    kmers = rng.integers(0, 1 << 63, size=4096, dtype=np.uint64)
+    counts = rng.integers(1, 9, size=4096).astype(np.uint32)
+    s = SequencesSketch(kmers=kmers, counts=counts, c=200, k=31,
+                        file_name="x", sample_name=None, paired=False,
+                        mean_read_length=100.0)
+    k0, c0 = kmers.copy(), counts.copy()
+    sk, sc = s.sorted_view()
+    assert (s.kmers == k0).all() and (s.counts == c0).all()
+    assert (np.diff(sk.astype(np.uint64)) >= 0).all()
+    want = dict(zip(k0.tolist(), c0.tolist()))
+    assert dict(zip(sk.tolist(), sc.tolist())) == want
