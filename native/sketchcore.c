@@ -280,8 +280,20 @@ typedef struct {
     int use_bloom, no_dedup;
     uint32_t threshold;
     uint64_t *order;
+    uint64_t *order_seq;    /* sharded mode: global occurrence index of
+                             * each first insertion (merge key) */
     int64_t n_order, order_cap;
     int64_t ndup;
+    /* hash-sharded parallel mode (sk_fold_set_shard): this state owns
+     * only k-mers with mix64(km) >> shard_shift == shard; every shard
+     * receives every push (same arrays) and skips foreign k-mers, so
+     * per-key decision sequences are bit-identical to the serial fold
+     * (exact pair set only — the bloom filter is shared cross-key
+     * state and must stay unsharded). occ_base accumulates pushed
+     * occurrences to form global seqnos. */
+    int shard;
+    int shard_shift;        /* 0 = unsharded; else 64 - log2(n_shards) */
+    int64_t occ_base;
     /* per-push scratch (pass 1 materializes per-occurrence hashes and
      * flags so pass 2 can software-prefetch the table lines ~16
      * occurrences ahead — the fold is pure memory latency otherwise) */
@@ -337,6 +349,24 @@ void *sk_fold_new(int no_dedup, uint32_t threshold, double fpr) {
     return st;
 }
 
+/* Configure hash-sharded mode: this state processes only k-mers whose
+ * mix64 lands in its shard. n_shards must be a power of two >= 2; call
+ * once, before any push. Returns 0 on OOM/bad args. */
+int sk_fold_set_shard(void *p, int shard, int n_shards) {
+    FoldState *st = (FoldState *)p;
+    int b = 0;
+    if (!st || n_shards < 2 || (n_shards & (n_shards - 1))
+        || shard < 0 || shard >= n_shards || st->n_order
+        || st->use_bloom)
+        return 0;
+    while ((1 << b) < n_shards) b++;
+    st->shard = shard;
+    st->shard_shift = 64 - b;
+    st->order_seq = (uint64_t *)malloc(sizeof(uint64_t)
+                                       * (size_t)st->order_cap);
+    return st->order_seq != NULL;
+}
+
 /* first-insertion-order key stream accessors: the device ingest path
  * uploads the order array incrementally while decode/seed/fold still
  * run, hiding the sample H2D behind the ingest wall */
@@ -377,6 +407,12 @@ int sk_fold_reserve(void *p, int64_t n_keys) {
             st->order, sizeof(uint64_t) * (size_t)n_keys);
         if (!no) return 0;
         st->order = no;
+        if (st->order_seq) {
+            uint64_t *ns = (uint64_t *)realloc(
+                st->order_seq, sizeof(uint64_t) * (size_t)n_keys);
+            if (!ns) return 0;
+            st->order_seq = ns;
+        }
         st->order_cap = n_keys;
     }
     return 1;
@@ -389,9 +425,50 @@ void sk_fold_free(void *p) {
     free(st->pairs.e);
     if (st->use_bloom) bloom_free(&st->bloom);
     free(st->order);
+    free(st->order_seq);
     free(st->sc_mk); free(st->sc_h0); free(st->sc_h1);
     free(st->sc_f0); free(st->sc_f1); free(st->sc_fl);
     free(st);
+}
+
+/* Partition one block's occurrences by fold-hash shard for the parallel
+ * fold: out_kmers/out_seq lay out shard-major ([shard_base[w],
+ * shard_base[w+1]) holds shard w's k-mers in stream order; out_seq holds
+ * their ORIGINAL in-block indices — the merge key for global insertion
+ * order). Per-shard segment starts are RELATIVE to the shard's base
+ * (out_segs[w*n_segs + s]); empty segments are kept so fps/valid/
+ * filter_prev arrays are shared with the serial layout. */
+void sk_fold_partition(const uint64_t *kmers, int64_t n,
+                       const int64_t *seg_starts, int64_t n_segs,
+                       int n_shards,
+                       uint64_t *out_kmers, int64_t *out_seq,
+                       int64_t *out_segs, int64_t *shard_base) {
+    int b = 0;
+    int64_t cnt[64] = {0};
+    int64_t pos[64];
+    while ((1 << b) < n_shards) b++;
+    int shift = 64 - b;
+    int64_t start = n_segs > 0 ? seg_starts[0] : n;
+    for (int64_t i = start; i < n; i++)
+        cnt[mix64(kmers[i]) >> shift]++;
+    shard_base[0] = 0;
+    for (int w = 0; w < n_shards; w++) {
+        shard_base[w + 1] = shard_base[w] + cnt[w];
+        pos[w] = 0;
+    }
+    for (int64_t s = 0; s < n_segs; s++) {
+        int64_t lo = seg_starts[s];
+        int64_t hi = (s + 1 < n_segs) ? seg_starts[s + 1] : n;
+        for (int w = 0; w < n_shards; w++)
+            out_segs[(int64_t)w * n_segs + s] = pos[w];
+        for (int64_t i = lo; i < hi; i++) {
+            int w = (int)(mix64(kmers[i]) >> shift);
+            int64_t d = shard_base[w] + pos[w];
+            out_kmers[d] = kmers[i];
+            out_seq[d] = i;
+            pos[w]++;
+        }
+    }
 }
 
 /* one chunk of segments; returns cumulative ndup, or -1 on OOM.
@@ -404,13 +481,17 @@ void sk_fold_free(void *p) {
  * segment boundaries — hence the flattening. Decisions, insertion
  * order, grows, and ndup are bit-identical to the naive loop. */
 #define PF_DIST 32
-int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
-                     const int64_t *seg_starts, int64_t n_segs,
-                     const uint64_t *fp, const uint8_t *fp_valid,
-                     const uint8_t *filter_prev) {
-    FoldState *st = (FoldState *)p;
+static int64_t fold_push_impl(FoldState *st, const uint64_t *kmers,
+                              int64_t n_kmers,
+                              const int64_t *seg_starts, int64_t n_segs,
+                              const uint64_t *fp, const uint8_t *fp_valid,
+                              const uint8_t *filter_prev,
+                              const int64_t *seqs, int64_t occ_advance) {
     int oom = 0;
-    if (n_kmers <= 0 || n_segs <= 0) return st->ndup;
+    if (n_kmers <= 0 || n_segs <= 0) {
+        st->occ_base += occ_advance;
+        return st->ndup;
+    }
     if (!fold_scratch_reserve(st, n_kmers)) return -1;
     uint64_t *mk = st->sc_mk, *h0 = st->sc_h0, *h1 = st->sc_h1;
     uint64_t *f0 = st->sc_f0, *f1 = st->sc_f1;
@@ -435,11 +516,21 @@ int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
         for (int64_t i = lo; i < hi; i++) {
             uint64_t km = kmers[i];
             uint8_t flags = v;
+            uint64_t h = mix64(km);
+            if (st->shard_shift
+                && (h >> st->shard_shift) != (uint64_t)st->shard) {
+                fl[i] = flags | FL_SKIP; /* foreign shard's k-mer: flag
+                                          * only — skipping the 40 B of
+                                          * scratch writes keeps the W-way
+                                          * fold's aggregate memory
+                                          * traffic near the serial
+                                          * fold's */
+                continue;
+            }
             if (phi > plo) {            /* present in previous segment? */
                 for (int64_t j = plo; j < phi; j++)
                     if (kmers[j] == km) { flags |= FL_SKIP; break; }
             }
-            uint64_t h = mix64(km);
             mk[i] = h;
             h0[i] = h ^ m0;
             h1[i] = h ^ m1;
@@ -453,7 +544,7 @@ int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
      * start pass 2 at the first covered index so a caller with
      * seg_starts[0] != 0 can't fold through uninitialized scratch */
     for (int64_t i = seg_starts[0]; i < n_kmers; i++) {
-        if (i + PF_DIST < n_kmers) {
+        if (i + PF_DIST < n_kmers && !(fl[i + PF_DIST] & FL_SKIP)) {
             int64_t pf = i + PF_DIST;
             __builtin_prefetch(
                 &st->counts.e[mk[pf] & (st->counts.cap - 1)]);
@@ -498,7 +589,17 @@ int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
                     sizeof(uint64_t) * (size_t)st->order_cap);
                 if (!no) { oom = 1; break; }
                 st->order = no;
+                if (st->order_seq) {
+                    uint64_t *ns = (uint64_t *)realloc(
+                        st->order_seq,
+                        sizeof(uint64_t) * (size_t)st->order_cap);
+                    if (!ns) { oom = 1; break; }
+                    st->order_seq = ns;
+                }
             }
+            if (st->order_seq)
+                st->order_seq[st->n_order] =
+                    (uint64_t)(st->occ_base + (seqs ? seqs[i] : i));
             st->order[st->n_order++] = km;
             if (st->counts.n * 10 > st->counts.cap * 7) {
                 if (!map_grow(&st->counts)) { oom = 1; break; }
@@ -508,7 +609,109 @@ int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
         }
         if (oom) break;
     }
+    st->occ_base += occ_advance;    /* original block span, so global
+                                     * seqnos stay aligned across shards */
     return oom ? -1 : st->ndup;
+}
+
+int64_t sk_fold_push(void *p, const uint64_t *kmers, int64_t n_kmers,
+                     const int64_t *seg_starts, int64_t n_segs,
+                     const uint64_t *fp, const uint8_t *fp_valid,
+                     const uint8_t *filter_prev) {
+    return fold_push_impl((FoldState *)p, kmers, n_kmers, seg_starts,
+                          n_segs, fp, fp_valid, filter_prev, NULL,
+                          n_kmers);
+}
+
+/* pre-partitioned push (sk_fold_partition layout): kmers/seg_starts are
+ * one shard's compacted slice, seqs its original in-block indices, and
+ * occ_advance the ORIGINAL block's occurrence count. */
+int64_t sk_fold_push_seq(void *p, const uint64_t *kmers, int64_t n_kmers,
+                         const int64_t *seg_starts, int64_t n_segs,
+                         const uint64_t *fp, const uint8_t *fp_valid,
+                         const uint8_t *filter_prev,
+                         const int64_t *seqs, int64_t occ_advance) {
+    return fold_push_impl((FoldState *)p, kmers, n_kmers, seg_starts,
+                          n_segs, fp, fp_valid, filter_prev, seqs,
+                          occ_advance);
+}
+
+/* ---- hash-sharded merge: W disjoint shard states -> one stream ----
+ *
+ * Shard seqnos (global first-insertion occurrence indices) are strictly
+ * increasing within each state, so the global first-insertion order is
+ * a W-way merge by seqno. Keys are disjoint across shards. */
+
+/* merge the [starts[i], ends[i]) order slices of each state by seqno
+ * into out; returns merged count (used for incremental per-push key
+ * streaming — new_keys — in the parallel fold) */
+int64_t sk_fold_merge_order(void **states, int n_states,
+                            const int64_t *starts, const int64_t *ends,
+                            uint64_t *out) {
+    int64_t pos[64];
+    int64_t t = 0;
+    if (n_states > 64) return -1;
+    for (int s = 0; s < n_states; s++) pos[s] = starts[s];
+    for (;;) {
+        int best = -1;
+        uint64_t bseq = 0;
+        for (int s = 0; s < n_states; s++) {
+            FoldState *st = (FoldState *)states[s];
+            if (pos[s] >= ends[s] || pos[s] >= st->n_order) continue;
+            uint64_t sq = st->order_seq[pos[s]];
+            if (best < 0 || sq < bseq) { best = s; bseq = sq; }
+        }
+        if (best < 0) break;
+        out[t++] = ((FoldState *)states[best])->order[pos[best]];
+        pos[best]++;
+    }
+    return t;
+}
+
+/* emit the merged (kmers, counts) of all shard states in global
+ * first-insertion order; returns summed ndup or -1 on OOM */
+int64_t sk_fold_merge_finish(void **states, int n_states,
+                             uint64_t **out_kmers, uint32_t **out_counts,
+                             int64_t *out_n) {
+    int64_t pos[64];
+    int64_t total = 0, ndup = 0, t = 0;
+    if (n_states > 64) return -1;
+    for (int s = 0; s < n_states; s++) {
+        FoldState *st = (FoldState *)states[s];
+        if (!st->order_seq && st->n_order) return -1;
+        total += st->n_order;
+        ndup += st->ndup;
+        pos[s] = 0;
+    }
+    uint64_t *ok = (uint64_t *)malloc(sizeof(uint64_t)
+                                      * (size_t)(total > 0 ? total : 1));
+    uint32_t *oc = (uint32_t *)malloc(sizeof(uint32_t)
+                                      * (size_t)(total > 0 ? total : 1));
+    if (!ok || !oc) { free(ok); free(oc); return -1; }
+    for (;;) {
+        int best = -1;
+        uint64_t bseq = 0;
+        for (int s = 0; s < n_states; s++) {
+            FoldState *st = (FoldState *)states[s];
+            if (pos[s] >= st->n_order) continue;
+            uint64_t sq = st->order_seq[pos[s]];
+            if (best < 0 || sq < bseq) { best = s; bseq = sq; }
+        }
+        if (best < 0) break;
+        FoldState *st = (FoldState *)states[best];
+        int64_t i = pos[best]++;
+        if (i + PF_DIST < st->n_order)
+            __builtin_prefetch(&st->counts.e[
+                mix64(st->order[i + PF_DIST]) & (st->counts.cap - 1)]);
+        uint64_t km = st->order[i];
+        ok[t] = km;
+        oc[t] = st->counts.e[map_slot(&st->counts, km)].val;
+        t++;
+    }
+    *out_kmers = ok;
+    *out_counts = oc;
+    *out_n = t;
+    return ndup;
 }
 
 /* emit (kmers, counts) in first-insertion order; state stays valid */

@@ -90,6 +90,25 @@ def get_lib():
                                            ctypes.c_int64, ctypes.c_int64,
                                            _U64P]
         lib.sk_fold_order_copy.restype = None
+        lib.sk_fold_set_shard.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                          ctypes.c_int]
+        lib.sk_fold_set_shard.restype = ctypes.c_int
+        lib.sk_fold_partition.argtypes = [
+            _U64P, ctypes.c_int64, _I64P, ctypes.c_int64, ctypes.c_int,
+            _U64P, _I64P, _I64P, _I64P]
+        lib.sk_fold_partition.restype = None
+        lib.sk_fold_push_seq.argtypes = [
+            ctypes.c_void_p, _U64P, ctypes.c_int64, _I64P, ctypes.c_int64,
+            _U64P, _U8P, _U8P, _I64P, ctypes.c_int64]
+        lib.sk_fold_push_seq.restype = ctypes.c_int64
+        lib.sk_fold_merge_order.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, _I64P, _I64P,
+            _U64P]
+        lib.sk_fold_merge_order.restype = ctypes.c_int64
+        lib.sk_fold_merge_finish.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+            ctypes.POINTER(_U64P), ctypes.POINTER(_U32P), _I64P]
+        lib.sk_fold_merge_finish.restype = ctypes.c_int64
         lib.sx_seed_concat.argtypes = [
             _U8P, _I64P, _I64P, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_int, ctypes.POINTER(_I64P), ctypes.POINTER(_U64P)]
@@ -243,6 +262,156 @@ class StreamingFold:
         if self._st:
             self._lib.sk_fold_free(self._st)
             self._st = None
+
+
+class ShardedStreamingFold:
+    """Hash-sharded parallel dedup fold: W shard states each own the
+    k-mers whose mix64 lands in their shard, and each push fans the SAME
+    block out to W pool threads (the C pass releases the GIL; foreign
+    k-mers are skipped in-stream, so no partition pass exists). Per-key
+    decision sequences are bit-identical to the serial StreamingFold —
+    cross-key state is shard-local with the exact pair set — and the
+    global first-insertion order is reconstructed by merging per-shard
+    order streams on their recorded global occurrence seqnos. The serial
+    fold's emit order, counts, and ndup are reproduced exactly
+    (regression-tested); bloom mode (fpr > 0) shares filter bits across
+    keys and must use the serial fold.
+
+    The serial fold is the ingest wall's critical path at GTDB scale
+    (~2 s of a ~3.7 s ingest on this box's 4 cores); sharding moves it
+    off the main thread and divides it by W."""
+
+    def __init__(self, no_dedup: bool, threshold: Optional[int],
+                 n_shards: int = 4):
+        from concurrent.futures import ThreadPoolExecutor
+        assert n_shards >= 2 and (n_shards & (n_shards - 1)) == 0
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native sketchcore unavailable")
+        thr = threshold if threshold is not None else (1 << 32) - 1
+        self._sts = []
+        for w in range(n_shards):
+            st = self._lib.sk_fold_new(1 if no_dedup else 0,
+                                       np.uint32(thr), 0.0)
+            if not st or not self._lib.sk_fold_set_shard(st, w, n_shards):
+                for s in self._sts:
+                    self._lib.sk_fold_free(s)
+                raise MemoryError("sk_fold_set_shard failure")
+            self._sts.append(st)
+        self._W = n_shards
+        self._starr = (ctypes.c_void_p * n_shards)(*self._sts)
+        self._pool = ThreadPoolExecutor(max_workers=n_shards)
+        self._order_seen = [0] * n_shards
+
+    def reserve(self, n_keys: int) -> None:
+        per = int(n_keys // self._W * 1.15) + 16
+        for st in self._sts:
+            if not self._lib.sk_fold_reserve(st, per):
+                raise MemoryError("sk_fold_reserve failure")
+
+    def push(self, kmers: np.ndarray, seg_starts: np.ndarray,
+             fps: np.ndarray, fp_valid: np.ndarray,
+             filter_prev: Optional[np.ndarray] = None) -> int:
+        kmers = np.ascontiguousarray(kmers, np.uint64)
+        seg_starts = np.ascontiguousarray(seg_starts, np.int64)
+        fps = np.ascontiguousarray(fps, np.uint64)
+        fp_valid = np.ascontiguousarray(fp_valid, np.uint8)
+        fprev = (np.ascontiguousarray(filter_prev, np.uint8)
+                 if filter_prev is not None else None)
+        n, S, W = len(kmers), len(seg_starts), self._W
+        # one C partition pass (GIL-released), then each shard folds only
+        # its compacted slice — aggregate fold work stays ~serial while
+        # the wall divides by W
+        pk = np.empty(n, np.uint64)
+        pseq = np.empty(n, np.int64)
+        psegs = np.empty(W * S, np.int64)
+        pbase = np.empty(W + 1, np.int64)
+        self._lib.sk_fold_partition(
+            _p(kmers, _U64P), n, _p(seg_starts, _I64P), S, W,
+            _p(pk, _U64P), _p(pseq, _I64P), _p(psegs, _I64P),
+            _p(pbase, _I64P))
+
+        def one(w):
+            st = self._sts[w]
+            lo, hi = int(pbase[w]), int(pbase[w + 1])
+            kk = pk[lo:hi]
+            sq = pseq[lo:hi]
+            sg = psegs[w * S:(w + 1) * S]
+            return self._lib.sk_fold_push_seq(
+                st, _p(kk, _U64P), hi - lo, _p(sg, _I64P), S,
+                _p(fps, _U64P), _p(fp_valid, _U8P),
+                _p(fprev, _U8P) if fprev is not None else None,
+                _p(sq, _I64P), n)
+
+        ndups = list(self._pool.map(one, range(W)))
+        if any(d < 0 for d in ndups):
+            raise MemoryError("sk_fold_push allocation failure")
+        return int(sum(ndups))
+
+    def new_keys(self) -> np.ndarray:
+        """Keys inserted since the last call, in global first-insertion
+        order (merged across shards by seqno)."""
+        ends = np.array([int(self._lib.sk_fold_order_count(st))
+                         for st in self._sts], np.int64)
+        starts = np.array(self._order_seen, np.int64)
+        total = int((ends - starts).sum())
+        if total <= 0:
+            return np.empty(0, np.uint64)
+        out = np.empty(total, np.uint64)
+        n = self._lib.sk_fold_merge_order(
+            self._starr, self._W, _p(starts, _I64P), _p(ends, _I64P),
+            _p(out, _U64P))
+        assert n == total
+        self._order_seen = [int(e) for e in ends]
+        return out
+
+    def finish(self):
+        out_k = _U64P()
+        out_c = _U32P()
+        out_n = ctypes.c_int64()
+        ndup = self._lib.sk_fold_merge_finish(
+            self._starr, self._W, ctypes.byref(out_k),
+            ctypes.byref(out_c), ctypes.byref(out_n))
+        if ndup < 0:
+            raise MemoryError("sk_fold_merge_finish failure")
+        n = out_n.value
+        try:
+            ks = np.ctypeslib.as_array(out_k, shape=(n,)).copy() if n \
+                else np.empty(0, np.uint64)
+            cs = np.ctypeslib.as_array(out_c, shape=(n,)).copy() if n \
+                else np.empty(0, np.uint32)
+        finally:
+            self._lib.sk_free(out_k)
+            self._lib.sk_free(out_c)
+        return ks, cs, int(ndup)
+
+    def close(self):
+        self._pool.shutdown(wait=True)
+        for st in self._sts:
+            self._lib.sk_fold_free(st)
+        self._sts = []
+
+
+def make_streaming_fold(no_dedup: bool, threshold: Optional[int],
+                        fpr: float = 0.0):
+    """StreamingFold or its sharded parallel variant, by box and mode.
+
+    Sharding engages when the pair filter is exact (fpr == 0 — bloom
+    shares bits across keys), >= 2 cores exist, and SYLPH_FOLD_SHARDS
+    doesn't disable it; the env var also overrides the width."""
+    env = os.environ.get("SYLPH_FOLD_SHARDS")
+    ncpu = os.cpu_count() or 1
+    if env is not None:
+        w = int(env)
+    else:
+        # measured on the 4-core dev box: the ingest pipeline already
+        # saturates the cores, so sharding's extra work (partition +
+        # merge) loses (~4.2 s vs ~3.8 s serial at GTDB scale); with
+        # spare cores (real TPU VMs) the fold wall divides by W
+        w = 4 if ncpu >= 8 else 1
+    if fpr > 0.0 or w <= 1:
+        return StreamingFold(no_dedup, threshold, fpr)
+    return ShardedStreamingFold(no_dedup, threshold, n_shards=w)
 
     def __del__(self):
         try:

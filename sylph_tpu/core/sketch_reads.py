@@ -166,7 +166,7 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
     from concurrent.futures import ThreadPoolExecutor
 
     from ..io.fastx import parse_block, stream_blocks
-    from .native_core import StreamingFold
+    from .native_core import make_streaming_fold
 
     use_device = False
     if device:
@@ -245,7 +245,7 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
     t_start = t_wall()
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    fold = StreamingFold(no_dedup, MAX_DEDUP_COUNT)
+    fold = make_streaming_fold(no_dedup, MAX_DEDUP_COUNT)
     lens_parts = []
     # fold-table presize: extrapolate the first block's survivor rate
     # over the whole file (compressed size x a typical fastq gzip ratio)
@@ -256,25 +256,31 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
     text_seen, occ_seen, reserved = 0, 0, False
     try:
         nw = _ingest_workers()
-        with ThreadPoolExecutor(max_workers=nw) as pool:
-            futs = deque()
-            done = False
-            while futs or not done:
-                while not done and len(futs) < nw + 1:
-                    block = q.get()
-                    if block is None:
-                        done = True
-                        break
-                    futs.append((pool.submit(prepare, block), len(block)))
-                if not futs:
-                    break
-                t0 = t_wall()
-                fut, blen = futs.popleft()
-                lengths, hashes, seg_starts, fps, valid = fut.result()
-                if acc:
-                    acc.add("wait", t_wall() - t0)
-                lens_parts.append(lengths)
-                if seg_starts is not None:
+        # the fold (and the device key streamer) run on a DEDICATED
+        # thread consuming prepared blocks in file order: the fold is
+        # the longest serial chain (~2 s at GTDB scale) and keeping it
+        # off the submission loop lets decode/parse/seed of later
+        # blocks overlap it fully instead of serializing behind it
+        import queue as _queue
+        fold_q: "_queue.Queue" = _queue.Queue(maxsize=nw + 2)
+        fold_err = []
+
+        def fold_worker():
+            nonlocal text_seen, occ_seen, reserved
+            try:
+                while True:
+                    item = fold_q.get()
+                    if item is None:
+                        return
+                    fut, blen = item
+                    t0 = t_wall()
+                    (lengths, hashes, seg_starts, fps,
+                     valid) = fut.result()
+                    if acc:
+                        acc.add("wait", t_wall() - t0)
+                    lens_parts.append(lengths)
+                    if seg_starts is None:
+                        continue
                     t0 = t_wall()
                     text_seen += blen
                     occ_seen += hashes.size
@@ -288,9 +294,47 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
                         on_segment(fold.new_keys())
                     if acc:
                         acc.add("fold", t_wall() - t0)
+            except Exception as e:
+                fold_err.append(e)
+                while True:          # drain so the producer can't block
+                    if fold_q.get() is None:
+                        return
+
+        use_ft = os.environ.get("SYLPH_FOLD_THREAD", "1") != "0"
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            if use_ft:
+                ft = threading.Thread(target=fold_worker, daemon=True)
+                ft.start()
+                while True:
+                    block = q.get()
+                    if block is None:
+                        break
+                    fold_q.put((pool.submit(prepare, block),
+                                len(block)))
+                fold_q.put(None)
+                ft.join()
+            else:                    # in-loop fold (A/B: the main thread
+                #                      folds between submissions)
+                futs = deque()
+                done = False
+                while futs or not done:
+                    while not done and len(futs) < nw + 1:
+                        block = q.get()
+                        if block is None:
+                            done = True
+                            break
+                        futs.append((pool.submit(prepare, block),
+                                     len(block)))
+                    if not futs:
+                        break
+                    fold_q.put(futs.popleft())
+                    fold_q.put(None)
+                    fold_worker()
         t.join()
         if err:
             raise err[0]
+        if fold_err:
+            raise fold_err[0]
         if not lens_parts:
             raise FastxParseError(f"{read_file}: empty file")
         t0 = t_wall()
@@ -520,7 +564,7 @@ def _sketch_pair_streaming(read_file1: str, read_file2: str, c: int,
     interleave vectorized, and the stateful C fold (exact set or bloom
     per fpr) runs in pair order. Native C lib required."""
     from ..io.fastx import stream_fastx_pairs
-    from .native_core import StreamingFold, seed_concat_native
+    from .native_core import make_streaming_fold, seed_concat_native
 
     use_device = False
     if device:
@@ -569,7 +613,8 @@ def _sketch_pair_streaming(read_file1: str, read_file2: str, c: int,
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    fold = StreamingFold(no_dedup, None, fpr=0.0 if no_dedup else fpr)
+    fold = make_streaming_fold(no_dedup, None,
+                               fpr=0.0 if no_dedup else fpr)
     lens1 = []
     try:
         nw = _ingest_workers()

@@ -470,17 +470,31 @@ class DeviceContainment:
         with stage_timer(
                 f"device grange candidate mask ({g.m} k-mers x "
                 f"{sample.kmers.size} sample k-mers)"):
-            try:
-                out = self._grange.hists(None, None, mask_fn=mask_fn,
-                                         device_view=dv,
-                                         table_fn=table_fn)
-            except Exception as e:
-                if not _is_transient_jax_error(e):
-                    raise
-                log.warning("device mask failed (%s); retrying once", e)
-                out = self._grange.hists(None, None, mask_fn=mask_fn,
-                                         device_view=dv,
-                                         table_fn=table_fn)
+            out = None
+            if dv is not None and os.environ.get(
+                    "SYLPH_MASK_STREAM", "1") != "0":
+                # one-dispatch stream sweep: a single fused probe+mask
+                # fetch instead of three serial round trips
+                try:
+                    out = self._grange.candidate_mask_stream(dv, mask_fn)
+                except Exception as e:
+                    if not _is_transient_jax_error(e):
+                        raise
+                    log.warning("mask stream failed (%s); per-chunk "
+                                "path", e)
+            if out is None:
+                try:
+                    out = self._grange.hists(None, None, mask_fn=mask_fn,
+                                             device_view=dv,
+                                             table_fn=table_fn)
+                except Exception as e:
+                    if not _is_transient_jax_error(e):
+                        raise
+                    log.warning("device mask failed (%s); retrying once",
+                                e)
+                    out = self._grange.hists(None, None, mask_fn=mask_fn,
+                                             device_view=dv,
+                                             table_fn=table_fn)
         if out.ndim == 2:
             # engine fell back to the full histogram (bad chunk etc.):
             # cache it so the host prefilter path reuses it (same bounded

@@ -286,11 +286,13 @@ def prefilter_candidates(opts, sample, genome_sketches,
                else (MIN_ANI_P_DEF if opts.pseudotax else MIN_ANI_DEF))
     if device_engine is not None and hasattr(device_engine,
                                              "candidates_mask"):
-        mask = device_engine.candidates_mask(sample, dict(
-            k=int(genome_sketches[0].k), min_ani=min_ani,
-            min_number_kmers=opts.min_number_kmers,
-            min_count_correct=opts.min_count_correct,
-            no_adj=opts.no_adj))
+        from ..utils.timing import stage_timer
+        with stage_timer("prefilter: device mask call"):
+            mask = device_engine.candidates_mask(sample, dict(
+                k=int(genome_sketches[0].k), min_ani=min_ani,
+                min_number_kmers=opts.min_number_kmers,
+                min_count_correct=opts.min_count_correct,
+                no_adj=opts.no_adj))
         if mask is not None:
             return np.flatnonzero(mask)
     if device_engine is not None:

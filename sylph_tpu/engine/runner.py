@@ -308,15 +308,16 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
                    device_engine=None) -> List[AniResult]:
     """One sample vs all genomes (body of src/contain.rs:267-339)."""
     first_read_file = sample.file_name
+    from ..utils.timing import stage_timer
     if opts.seq_id is not None:
         kmer_id_opt = math.pow(opts.seq_id / 100.0, float(sample.k))
     else:
-        kmer_id_opt = get_kmer_identity(sample, opts.estimate_unknown)
+        with stage_timer("kmer identity estimate"):
+            kmer_id_opt = get_kmer_identity(sample, opts.estimate_unknown)
         if kmer_id_opt is not None:
             log.debug("%s has estimated identity %.3f.", first_read_file,
                       math.pow(kmer_id_opt, 1.0 / sample.k) * 100.0)
 
-    from ..utils.timing import stage_timer
     from .prefilter import prefilter_candidates
     with stage_timer("pass-1 prefilter"):
         candidates = prefilter_candidates(opts, sample, genome_sketches,
@@ -381,17 +382,21 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
             if _host_probe(device_engine) \
                     and _batchable([r.genome_sketch for r in results]):
                 from .containment import genome_covs_batch
-                batch2 = genome_covs_batch(
-                    [r.genome_sketch for r in results], sample, winner,
-                    list(groups))
-            for j, (r, grp) in enumerate(zip(results, groups)):
-                r2 = get_stats(opts, r.genome_sketch, r.genome_index,
-                               sample, winner, grp,
-                               opts.log_reassignments, device_engine,
-                               covs_kl=(batch2[j] if batch2 is not None
-                                        else None))
-                if r2 is not None:
-                    results2.append(r2)
+                with stage_timer("pass-2 batched probes"):
+                    batch2 = genome_covs_batch(
+                        [r.genome_sketch for r in results], sample,
+                        winner, list(groups))
+            with stage_timer("pass-2 per-genome stats",
+                             items=len(results)):
+                for j, (r, grp) in enumerate(zip(results, groups)):
+                    r2 = get_stats(opts, r.genome_sketch,
+                                   r.genome_index, sample, winner, grp,
+                                   opts.log_reassignments, device_engine,
+                                   covs_kl=(batch2[j]
+                                            if batch2 is not None
+                                            else None))
+                    if r2 is not None:
+                        results2.append(r2)
         results = derep_if_reassign_threshold(results, results2,
                                               opts.redundant_ani, sample.k)
         estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,

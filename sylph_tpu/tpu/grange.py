@@ -1099,7 +1099,8 @@ class GRangeEngine:
                            n_unique: Optional[int] = None,
                            n_matches: Optional[int] = None,
                            diag: bool = False,
-                           cs: Optional[int] = None):
+                           cs: Optional[int] = None,
+                           w_dev=None):
         """All-device histogram for a SORTED sample occurrence stream
         (sentinel-padded tail; duplicates encode multiplicity). Single
         device only (the bench/serving hot path: nothing crosses the
@@ -1135,8 +1136,13 @@ class GRangeEngine:
         # reference's kmer_counts multiplicity map, sylph
         # src/sketch.rs:930-939, built as a sorted-run reduction): the
         # per-bucket sample capacity CS then scales with UNIQUE hashes,
-        # which is what bounds compare work in the join kernel.
-        shi, slo, w = _fold_weights(shi, slo)
+        # which is what bounds compare work in the join kernel. Callers
+        # with an already-unique sorted stream (the CLI's device-resident
+        # sample) pass w_dev to skip the fold.
+        if w_dev is None:
+            shi, slo, w = _fold_weights(shi, slo)
+        else:
+            w = w_dev
         if P is None:
             mean = n_live / n_chunks
             P = _quantize_p(1.3 * mean + 6.0 * np.sqrt(mean) + 64, t)
@@ -1414,6 +1420,44 @@ class GRangeEngine:
                 out[s] += self._spill_hist(k.astype(np.uint64),
                                            c.astype(np.uint32))
         return out
+
+    def candidate_mask_stream(self, device_view, mask_fn):
+        """[G] bool candidate mask via the single-dispatch stream sweep.
+
+        The per-chunk hists() path pays three serial host<->device round
+        trips (slice fetch, conservation fetch, mask fetch) at ~30-100 ms
+        each through a slow interconnect; this path sorts the streamed
+        device-resident sample, runs hist_device_stream (chunk offsets
+        computed ON device, one fused conservation probe) and fetches
+        probe + mask in ONE vector. Returns the bool mask, or None when
+        the regime doesn't apply or the conservation check failed
+        (callers fall back to hists())."""
+        if (self.gidx.n_heavy or self._span is not None
+                or len(self._devices) != 1 or device_view is None):
+            return None
+        import logging
+        import time as _time
+        _log = logging.getLogger("sylph")
+        _t0 = _time.perf_counter()
+        G, H = self._GE, HIST_H
+        shi, slo, w = self._sorted_device_sample(device_view)
+        n = device_view.n
+        hist, check = self.hist_device_stream(
+            shi, slo, n_live=n, n_unique=n,
+            w_dev=w.astype(jnp.int32))
+        mask_dev = mask_fn(hist[:G * H])
+        probe = check.probe
+        fused = jnp.concatenate([probe.astype(jnp.int32),
+                                 mask_dev.astype(jnp.int32)])
+        v = np.asarray(fused)
+        np_len = int(probe.shape[0])
+        _log.debug("[timing] grange mask stream: dispatch+fetch %.3f s",
+                   _time.perf_counter() - _t0)
+        if not check(v[:np_len]):
+            _log.debug("mask stream conservation check failed; "
+                       "falling back to the per-chunk path")
+            return None
+        return v[np_len:].astype(bool)
 
     def partial_hists(self, skmers_u64: np.ndarray,
                       scounts: np.ndarray) -> np.ndarray:

@@ -661,6 +661,12 @@ def test_grange_device_view_matches_host_upload():
     dev_keep = out | spill_hit
     assert not (host_keep & ~dev_keep).any()
 
+    # single-dispatch stream sweep (the serving mask path): same mask as
+    # the per-chunk device path
+    ms = eng.candidate_mask_stream(view, mask_fn)
+    assert ms is not None and ms.dtype == bool
+    np.testing.assert_array_equal(ms, out)
+
 
 def test_grange_final_stream_recompact(monkeypatch):
     """The measured-density re-compaction of the concatenated code

@@ -218,3 +218,81 @@ def test_radix_sort_kv_matches_stable_argsort():
     k2, v2 = k.copy(), v.copy()
     radix_sort_kv(k2, v2, threads=4)
     np.testing.assert_array_equal(v2, v[np.argsort(k, kind="stable")])
+
+
+def test_sharded_fold_parity():
+    """ShardedStreamingFold must reproduce the serial StreamingFold
+    bit-for-bit: emit order, counts, ndup, and per-push new_keys —
+    including heavy duplication, the zero key, alternating filter_prev,
+    and fingerprint collisions."""
+    import numpy as np
+
+    from sylph_tpu.core.native_core import (ShardedStreamingFold,
+                                            StreamingFold, get_lib)
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(42)
+    pool = rng.integers(0, 1 << 56, size=40, dtype=np.uint64)
+    pool[0] = 0                      # Set128 zero_present edge case
+    blocks = []
+    for _ in range(40):
+        n_segs = int(rng.integers(2, 30))
+        kmers, seg_starts, fps, valid, fprev = [], [0], [], [], []
+        for s in range(n_segs):
+            ln = int(rng.integers(1, 5))
+            kmers.append(rng.choice(pool, size=ln))
+            seg_starts.append(seg_starts[-1] + ln)
+            fps.append(rng.integers(0, 4, size=4, dtype=np.uint64))
+            valid.append(int(rng.random() < 0.9))
+            fprev.append(int(s % 2 == 1))
+        blocks.append((np.concatenate(kmers),
+                       np.array(seg_starts[:-1], np.int64),
+                       np.stack(fps).reshape(-1),
+                       np.array(valid, np.uint8),
+                       np.array(fprev, np.uint8)))
+    for W in (2, 4):
+        a = StreamingFold(False, 4)
+        b = ShardedStreamingFold(False, 4, n_shards=W)
+        nk_a, nk_b = [], []
+        for km, ss, fp, v, fv in blocks:
+            a.push(km, ss, fp, v, fv)
+            b.push(km, ss, fp, v, fv)
+            nk_a.append(a.new_keys())
+            nk_b.append(b.new_keys())
+        ka, ca, da = a.finish()
+        kb, cb, db = b.finish()
+        a.close()
+        b.close()
+        assert (ka == kb).all() and (ca == cb).all() and da == db
+        for x, y in zip(nk_a, nk_b):
+            assert (x == y).all()
+
+
+def test_sharded_fold_reserve_and_large():
+    """Reserve + growth path: 200k random occurrences through 4 shards
+    equals the serial fold (exercises per-shard rehash + realloc of the
+    seq arrays)."""
+    import numpy as np
+
+    from sylph_tpu.core.native_core import (ShardedStreamingFold,
+                                            StreamingFold, get_lib)
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    a = StreamingFold(True, None)
+    b = ShardedStreamingFold(True, None, n_shards=4)
+    b.reserve(100_000)
+    for _ in range(10):
+        km = rng.integers(1, 1 << 56, size=20_000, dtype=np.uint64)
+        ss = np.arange(0, km.size, 3, dtype=np.int64)
+        fp = np.zeros(ss.size * 4, np.uint64)
+        v = np.zeros(ss.size, np.uint8)
+        a.push(km, ss, fp, v)
+        b.push(km, ss, fp, v)
+    ka, ca, da = a.finish()
+    kb, cb, db = b.finish()
+    a.close()
+    b.close()
+    assert (ka == kb).all() and (ca == cb).all() and da == db
