@@ -352,6 +352,21 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
         return (1 < len(genomes)
                 and sum(g.genome_kmers.size for g in genomes) <= (1 << 26))
 
+    def _stats_map(fn, n_items):
+        """Order-preserving map over per-genome get_stats calls,
+        threaded like the reference's nested genome par_iter
+        (src/contain.rs:284-292) when the pool is worth it — the
+        bootstrap's big vectorized numpy ops drop the GIL."""
+        if n_items < 8 or opts.threads <= 1 or opts.log_reassignments \
+                or not _host_probe(device_engine):
+            # non-grange device engines serve counts from a per-sample
+            # cache filled on first use — keep those single-threaded so
+            # parallel first calls can't dispatch duplicate joins
+            return [fn(j) for j in range(n_items)]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(opts.threads, 8)) as ex:
+            return list(ex.map(fn, range(n_items)))
+
     candidate_list = list(candidate_iter)
     results = []
     with stage_timer("pass-1 exact stats"):
@@ -361,10 +376,15 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
             from .containment import genome_covs_batch
             batch = genome_covs_batch([g for _, g in candidate_list],
                                       sample)
-        for j, (i, g) in enumerate(candidate_list):
-            r = get_stats(opts, g, i, sample, None, -1,
-                          opts.log_reassignments, device_engine,
-                          covs_kl=batch[j] if batch is not None else None)
+
+        def one1(j):
+            i, g = candidate_list[j]
+            return get_stats(opts, g, i, sample, None, -1,
+                             opts.log_reassignments, device_engine,
+                             covs_kl=batch[j] if batch is not None
+                             else None)
+
+        for r in _stats_map(one1, len(candidate_list)):
             if r is not None:
                 results.append(r)
     estimate_true_cov(results, kmer_id_opt, opts.estimate_unknown,
@@ -388,13 +408,20 @@ def process_sample(opts: ContainOptions, sample: SequencesSketch,
                         winner, list(groups))
             with stage_timer("pass-2 per-genome stats",
                              items=len(results)):
-                for j, (r, grp) in enumerate(zip(results, groups)):
-                    r2 = get_stats(opts, r.genome_sketch,
-                                   r.genome_index, sample, winner, grp,
-                                   opts.log_reassignments, device_engine,
-                                   covs_kl=(batch2[j]
-                                            if batch2 is not None
-                                            else None))
+                groups_l = list(groups)
+
+                def one2(j):
+                    r = results[j]
+                    return get_stats(opts, r.genome_sketch,
+                                     r.genome_index, sample, winner,
+                                     groups_l[j],
+                                     opts.log_reassignments,
+                                     device_engine,
+                                     covs_kl=(batch2[j]
+                                              if batch2 is not None
+                                              else None))
+
+                for r2 in _stats_map(one2, len(results)):
                     if r2 is not None:
                         results2.append(r2)
         results = derep_if_reassign_threshold(results, results2,
@@ -546,22 +573,28 @@ def contain(opts: ContainOptions, pseudotax: bool,
 
     def device_batched(items):
         """Groups of samples share one vmapped device join; output order
-        is preserved (multi-sample batching through the CLI)."""
+        is preserved (multi-sample batching through the CLI). Groups are
+        DOUBLE-BUFFERED: group i+1's loads/sketches run on the host pool
+        while group i's device joins and statistics execute, so the
+        device no longer idles through every group's ingest (the same
+        overlap the grange chunk loop uses for uploads)."""
+        from concurrent.futures import ThreadPoolExecutor
         B = 8
-        for i in range(0, len(items), B):
-            grp = items[i:i + B]
-            if len(grp) > 1 and opts.threads > 1:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(
-                        max_workers=min(opts.threads, len(grp))) as lex:
-                    loaded = list(lex.map(load, grp))
-            else:
-                loaded = [load(it) for it in grp]
-            samples = [s for _, s in loaded if s is not None]
-            if len(samples) > 1:
-                device_engine.prefetch(samples)
-            for rf, sample in loaded:
-                yield process(rf, sample)
+        groups = [items[i:i + B] for i in range(0, len(items), B)]
+        if not groups:
+            return
+        with ThreadPoolExecutor(
+                max_workers=max(1, min(opts.threads, B))) as lex:
+            pend = [lex.submit(load, it) for it in groups[0]]
+            for gi, grp in enumerate(groups):
+                cur = [f.result() for f in pend]
+                pend = ([lex.submit(load, it) for it in groups[gi + 1]]
+                        if gi + 1 < len(groups) else [])
+                samples = [s for _, s in cur if s is not None]
+                if len(samples) > 1:
+                    device_engine.prefetch(samples)
+                for rf, sample in cur:
+                    yield process(rf, sample)
 
     from ..utils.timing import maybe_profile, stage_timer
     with maybe_profile(opts.profile_trace):

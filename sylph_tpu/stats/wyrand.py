@@ -93,8 +93,11 @@ def _gen_u64_vec(seed: int, start: int, count: int) -> np.ndarray:
     return lo ^ hi
 
 
+import threading as _threading
+
 _U64_CACHE = {}              # seed -> raw gen_u64 output prefix
 _U64_CACHE_MAX = 1 << 24     # cap (128 MB of u64) for huge genomes
+_CACHE_LOCK = _threading.Lock()   # stats passes run on a thread pool
 
 
 def _gen_u64_cached(seed: int, count: int) -> np.ndarray:
@@ -106,12 +109,14 @@ def _gen_u64_cached(seed: int, count: int) -> np.ndarray:
     128-bit multiplies)."""
     if count > _U64_CACHE_MAX:
         return _gen_u64_vec(seed, 0, count)
-    cur = _U64_CACHE.get(seed)
-    if cur is None or cur.size < count:
-        newlen = min(max(count, 2 * (cur.size if cur is not None else 0),
-                         1 << 16), _U64_CACHE_MAX)
-        _U64_CACHE[seed] = _gen_u64_vec(seed, 0, newlen)
-    return _U64_CACHE[seed][:count]
+    with _CACHE_LOCK:
+        cur = _U64_CACHE.get(seed)
+        if cur is None or cur.size < count:
+            newlen = min(max(count,
+                             2 * (cur.size if cur is not None else 0),
+                             1 << 16), _U64_CACHE_MAX)
+            _U64_CACHE[seed] = _gen_u64_vec(seed, 0, newlen)
+        return _U64_CACHE[seed][:count]
 
 
 def _mul_hi_lo_u64_small(a: np.ndarray, n: int):
@@ -131,11 +136,12 @@ _IDX_CACHE_BUDGET = 256 << 20   # bytes; serving re-runs the same
 
 
 def _idx_cache_put(key, val: np.ndarray) -> None:
-    _IDX_CACHE[key] = val
-    total = sum(v.nbytes for v in _IDX_CACHE.values())
-    while total > _IDX_CACHE_BUDGET and _IDX_CACHE:
-        k0 = next(iter(_IDX_CACHE))          # FIFO eviction
-        total -= _IDX_CACHE.pop(k0).nbytes
+    with _CACHE_LOCK:
+        _IDX_CACHE[key] = val
+        total = sum(v.nbytes for v in _IDX_CACHE.values())
+        while total > _IDX_CACHE_BUDGET and _IDX_CACHE:
+            k0 = next(iter(_IDX_CACHE))      # FIFO eviction
+            total -= _IDX_CACHE.pop(k0).nbytes
 
 
 def wyrand_indices(seed: int, count: int, n: int) -> np.ndarray:
