@@ -311,7 +311,13 @@ class DeviceContainment:
             # database-scale regime: batch the per-sample histogram sweeps
             # (single-device engines only — the stream path keeps the
             # whole batch on one chip)
-            todo = [s for s in samples if id(s) not in self._hists_cache]
+            # samples that streamed to the device during ingest carry a
+            # _device_view: their mask/hists run per-sample against the
+            # resident view (~35 MB shipped DURING ingest) — re-uploading
+            # them as [S, T] padded tables here would put GBs on a slow
+            # wire at GTDB sample sizes
+            todo = [s for s in samples if id(s) not in self._hists_cache
+                    and getattr(s, "_device_view", None) is None]
             if len(todo) < 2 or len(self._devices) != 1 \
                     or self._grange_span is not None:
                 return
