@@ -405,7 +405,7 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
               f"({n_ab} deep-coverage over 512 genomes)", flush=True)
     lengths = jax.device_put(np.full(BATCH_READS, READ_LEN, np.int32), dev)
     # force residency before timing
-    _ = float(np.asarray(eng._dev_chunks[-1][0][:1, :1].astype(jnp.int32)
+    _ = float(np.asarray(eng._dev_chunks[max(eng._dev_chunks)][0][:1, :1].astype(jnp.int32)
                          .sum()))
     _ = float(np.asarray(bases8[-1, -1, -1].astype(jnp.int32)))
     print(f"# upload: {_t.perf_counter() - t_up:.1f}s", flush=True)
@@ -480,7 +480,10 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
     # re-warms — timed runs always use the settled, verified capacity
     cs_arg = {"cs": None}
 
-    def run_once():
+    def run_dispatch():
+        """Enqueue one full run (seed -> condense -> sort -> join ->
+        stats) and the fused result+probe vector WITHOUT fetching —
+        everything here is async device dispatch."""
         shi, slo = seed_all()
         hist, check = eng.hist_device_stream(shi, slo, n_live=n_live,
                                              n_unique=n_unique,
@@ -502,12 +505,19 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
                  check.probe.astype(jnp.float32)]
         if okx is not None:
             parts.append(okx.astype(jnp.float32).reshape(1))
-        v = np.asarray(jnp.concatenate(parts))
+        return jnp.concatenate(parts), check, okx is not None
+
+    def run_fetch(state):
+        v_dev, check, has_okx = state
+        v = np.asarray(v_dev)
         np_ = 1 + int(check.probe.shape[0])
         ok = check(v[1:np_].astype(np.int64))
-        if okx is not None:
+        if has_okx:
             ok = ok and bool(v[np_])
         return float(v[0]), ok
+
+    def run_once():
+        return run_fetch(run_dispatch())
 
     def _auto_cs():
         from sylph_tpu.tpu.bucket_join import cell_cs, sample_cs
@@ -623,7 +633,35 @@ def _bench_gtdb(jax, jnp, n_genomes=100_000, kmers_per_genome=7168,
 
     timed()     # second untimed warm run: run-1 of a pass is routinely
     #             the slowest (relay spin-up) across recorded batteries
-    med = _timed_median(timed, 7, "gtdb")
+    if os.environ.get("SYLPH_BENCH_AB"):
+        _timed_median(timed, 7, "gtdb serial (A/B)")
+    if os.environ.get("SYLPH_BENCH_PIPELINE", "0") != "0":
+        # NEGATIVE RESULT (2026-08-20, kept opt-in): dispatching run i+1
+        # before fetching run i's fused result measured WORSE through
+        # the axon relay (median 0.826 s vs 0.456 s serial in the same
+        # window, noisy 0.47-1.32) — the queued dispatch traffic delays
+        # the fetch round trip instead of hiding it. On a direct-attach
+        # TPU this is the standard overlap; here serial runs are the
+        # production mode. Per-iteration time = dispatch(i+1) +
+        # fetch(i); every run's conservation check still verifies.
+        reps = 7
+        times = []
+        st = run_dispatch()
+        for _i in range(reps):
+            t0 = _t.perf_counter()
+            nxt = run_dispatch()
+            _, ok2 = run_fetch(st)
+            assert ok2, "grange conservation check failed"
+            st = nxt
+            times.append(_t.perf_counter() - t0)
+        _, ok2 = run_fetch(st)
+        assert ok2, "grange conservation check failed"
+        med = float(np.median(times))
+        print(f"# gtdb pipelined timed runs: "
+              f"{[round(x, 3) for x in times]} (median {med:.3f}s, "
+              f"min {min(times):.3f}s)", flush=True)
+    else:
+        med = _timed_median(timed, 7, "gtdb")
     total_bases = n_batches * BATCH_READS * READ_LEN
     return total_bases / med / 1e9
 

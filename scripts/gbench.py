@@ -97,7 +97,7 @@ def main():
               f"({n_ab} deep-coverage)", flush=True)
     eng = GRangeEngine(gidx, devices=[dev])
     n_kmers_dev = jax.device_put(np.full(G, KPG, np.int32), dev)
-    _ = sync(eng._dev_chunks[-1][0][:1, :1])
+    _ = sync(eng._dev_chunks[max(eng._dev_chunks)][0][:1, :1])
     print(f"# index resident: {len(gidx.chunk_hi)} chunks "
           f"[{gidx.B}, {gidx.CI}]", flush=True)
 

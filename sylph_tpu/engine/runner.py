@@ -579,7 +579,15 @@ def contain(opts: ContainOptions, pseudotax: bool,
         device no longer idles through every group's ingest (the same
         overlap the grange chunk loop uses for uploads)."""
         from concurrent.futures import ThreadPoolExecutor
-        B = 8
+        # grange serving (per-sample streamed device views): the host
+        # ingest dominates and its internal pools already use every
+        # core, so concurrent sample loads only thrash — pipeline at
+        # depth 1 instead (load sample i+1 while sample i's device join
+        # + statistics run). Other regimes batch 8 for the vmapped join.
+        env_b = os.environ.get("SYLPH_COHORT_DEPTH")
+        B = (int(env_b) if env_b
+             else 1 if device_engine.sample_streamer() is not None
+             else 8)
         groups = [items[i:i + B] for i in range(0, len(items), B)]
         if not groups:
             return
