@@ -413,10 +413,14 @@ SEG_ENTRIES = 1 << 20
 
 class DeviceSampleStream:
     """Accumulates first-insertion-order k-mers into fixed device
-    buffers during the host ingest. Not thread-safe; the ingest fold is
-    single-threaded by construction (order-dependent)."""
+    buffers during the host ingest. push() is called from ONE thread
+    (the ingest's fold chain is order-dependent); the device_put happens
+    on an internal uploader thread so a slow relay transfer never blocks
+    the fold."""
 
     def __init__(self, device):
+        import queue
+        import threading
         self.device = device
         self._hi_bufs: List = []
         self._lo_bufs: List = []
@@ -424,9 +428,24 @@ class DeviceSampleStream:
         self._pend_lo = np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32)
         self._fill = 0
         self.total = 0
+        # uploads run on a side thread: device_put through a slow relay
+        # can block for the transfer, and push() is called from the
+        # ingest's fold chain — the critical path. Order is the queue's.
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+
+    def _drain(self):
+        import jax
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            hi, lo = item
+            self._hi_bufs.append(jax.device_put(hi, self.device))
+            self._lo_bufs.append(jax.device_put(lo, self.device))
 
     def push(self, kmers_u64: np.ndarray) -> None:
-        import jax
         if kmers_u64.size == 0:
             return
         hi = (kmers_u64 >> np.uint64(32)).astype(np.uint32)
@@ -440,30 +459,40 @@ class DeviceSampleStream:
             self._fill += take
             pos += take
             if self._fill == SEG_ENTRIES:
-                self._hi_bufs.append(
-                    jax.device_put(self._pend_hi, self.device))
-                self._lo_bufs.append(
-                    jax.device_put(self._pend_lo, self.device))
+                self._q.put((self._pend_hi, self._pend_lo))
                 self._pend_hi = np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32)
                 self._pend_lo = np.full(SEG_ENTRIES, 0xFFFFFFFF, np.uint32)
                 self._fill = 0
+
+    def close(self) -> None:
+        """Stop the uploader thread without finalizing (abandoned
+        streams — failed sketches — must not leak a thread per sample
+        in a long serving session)."""
+        if self._worker.is_alive():
+            self._q.put(None)
+            self._worker.join()
 
     def finalize(self, kmers: np.ndarray, counts: np.ndarray):
         """-> DeviceSampleView, or None if the stream went out of sync
         with the finished sketch (callers then use the host path)."""
         import jax
         if self.total == 0:
+            self._q.put(None)
+            self._worker.join()
             return None          # nothing streamed (fallback sketcher)
         if self.total != kmers.size:
             log.warning("device sample stream out of sync (%d streamed vs "
                         "%d sketched); host path", self.total, kmers.size)
+            self._q.put(None)
+            self._worker.join()
             return None
         if self._fill:
             self._pend_hi[self._fill:] = 0xFFFFFFFF
             self._pend_lo[self._fill:] = 0xFFFFFFFF
-            self._hi_bufs.append(jax.device_put(self._pend_hi, self.device))
-            self._lo_bufs.append(jax.device_put(self._pend_lo, self.device))
+            self._q.put((self._pend_hi, self._pend_lo))
             self._fill = 0
+        self._q.put(None)
+        self._worker.join()      # all buffers resident before slicing
         nseg = len(self._hi_bufs)
         wq = np.minimum(counts, 63).astype(np.uint8)
         exc = np.flatnonzero(wq != 1)

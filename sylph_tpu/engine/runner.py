@@ -553,10 +553,13 @@ def contain(opts: ContainOptions, pseudotax: bool,
             sk = _get_seq_sketch(opts, rf, is_sketch,
                                  genome_sketches[0].c,
                                  genome_sketches[0].k, streamer=streamer)
-        if streamer is not None and sk is not None:
-            view = streamer.finalize(sk.kmers, sk.counts)
-            if view is not None:
-                sk._device_view = view
+        if streamer is not None:
+            if sk is not None:
+                view = streamer.finalize(sk.kmers, sk.counts)
+                if view is not None:
+                    sk._device_view = view
+            else:
+                streamer.close()
         return rf, sk
 
     def process(rf, sample):
@@ -707,10 +710,13 @@ def serve(opts: ContainOptions, pseudotax: bool,
             sk = _get_seq_sketch(opts, rfiles, is_sketch,
                                  genome_sketches[0].c,
                                  genome_sketches[0].k, streamer=streamer)
-        if streamer is not None and sk is not None:
-            view = streamer.finalize(sk.kmers, sk.counts)
-            if view is not None:
-                sk._device_view = view
+        if streamer is not None:
+            if sk is not None:
+                view = streamer.finalize(sk.kmers, sk.counts)
+                if view is not None:
+                    sk._device_view = view
+            else:
+                streamer.close()
         if sk is None:
             return
         with stage_timer(f"process sample {rfiles[0]}",
