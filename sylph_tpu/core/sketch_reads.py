@@ -300,7 +300,12 @@ def _sketch_single_streaming(read_file: str, c: int, k: int,
                     if fold_q.get() is None:
                         return
 
-        use_ft = os.environ.get("SYLPH_FOLD_THREAD", "1") != "0"
+        # dedicated fold thread measured NEUTRAL-to-marginally-worse on
+        # the 4-core dev box (ingest 4.09 vs 4.02 s; e2e 0.28 vs 0.30
+        # Gbp/s interleaved medians) — the cores are saturated either
+        # way. In-loop is the default; SYLPH_FOLD_THREAD=1 frees the
+        # main thread on boxes with spare cores.
+        use_ft = os.environ.get("SYLPH_FOLD_THREAD", "0") == "1"
         with ThreadPoolExecutor(max_workers=nw) as pool:
             if use_ft:
                 ft = threading.Thread(target=fold_worker, daemon=True)
