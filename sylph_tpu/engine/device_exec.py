@@ -480,9 +480,21 @@ class DeviceContainment:
             if dv is not None and os.environ.get(
                     "SYLPH_MASK_STREAM", "1") != "0":
                 # one-dispatch stream sweep: a single fused probe+mask
-                # fetch instead of three serial round trips
+                # fetch instead of three serial round trips. The
+                # previous request's measured match total (x1.5 margin)
+                # sizes the code-compaction chain for the actual hit
+                # rate; an under-estimate is caught by the conservation
+                # check and retried without the hint.
+                hint = getattr(self, "_mask_matches_hint", None)
                 try:
-                    out = self._grange.candidate_mask_stream(dv, mask_fn)
+                    ms = self._grange.candidate_mask_stream(
+                        dv, mask_fn,
+                        n_matches=(int(hint * 1.5) if hint else None))
+                    if ms is None and hint:
+                        ms = self._grange.candidate_mask_stream(
+                            dv, mask_fn)
+                    if ms is not None:
+                        out, self._mask_matches_hint = ms
                 except Exception as e:
                     if not _is_transient_jax_error(e):
                         raise

@@ -1421,17 +1421,23 @@ class GRangeEngine:
                                            c.astype(np.uint32))
         return out
 
-    def candidate_mask_stream(self, device_view, mask_fn):
-        """[G] bool candidate mask via the single-dispatch stream sweep.
+    def candidate_mask_stream(self, device_view, mask_fn,
+                              n_matches: Optional[int] = None):
+        """([G] bool candidate mask, measured match total) via the
+        single-dispatch stream sweep.
 
         The per-chunk hists() path pays three serial host<->device round
         trips (slice fetch, conservation fetch, mask fetch) at ~30-100 ms
         each through a slow interconnect; this path sorts the streamed
         device-resident sample, runs hist_device_stream (chunk offsets
         computed ON device, one fused conservation probe) and fetches
-        probe + mask in ONE vector. Returns the bool mask, or None when
-        the regime doesn't apply or the conservation check failed
-        (callers fall back to hists())."""
+        probe + match-total + mask in ONE vector. ``n_matches`` (e.g. the
+        previous request's measured total in a serving session) sizes the
+        code-compaction chain for the actual hit rate instead of the
+        2x-unique worst case — an underestimate is caught by the
+        conservation check and falls back losslessly. Returns None when
+        the regime doesn't apply or the check failed (callers fall back
+        to hists())."""
         if (self.gidx.n_heavy or self._span is not None
                 or len(self._devices) != 1 or device_view is None):
             return None
@@ -1444,10 +1450,12 @@ class GRangeEngine:
         n = device_view.n
         hist, check = self.hist_device_stream(
             shi, slo, n_live=n, n_unique=n,
-            w_dev=w.astype(jnp.int32))
+            n_matches=n_matches, w_dev=w.astype(jnp.int32))
         mask_dev = mask_fn(hist[:G * H])
+        matches_dev = hist[:G * H].sum().reshape(1)
         probe = check.probe
         fused = jnp.concatenate([probe.astype(jnp.int32),
+                                 matches_dev.astype(jnp.int32),
                                  mask_dev.astype(jnp.int32)])
         v = np.asarray(fused)
         np_len = int(probe.shape[0])
@@ -1457,7 +1465,7 @@ class GRangeEngine:
             _log.debug("mask stream conservation check failed; "
                        "falling back to the per-chunk path")
             return None
-        return v[np_len:].astype(bool)
+        return v[np_len + 1:].astype(bool), int(v[np_len])
 
     def partial_hists(self, skmers_u64: np.ndarray,
                       scounts: np.ndarray) -> np.ndarray:

@@ -662,10 +662,21 @@ def test_grange_device_view_matches_host_upload():
     assert not (host_keep & ~dev_keep).any()
 
     # single-dispatch stream sweep (the serving mask path): same mask as
-    # the per-chunk device path
+    # the per-chunk device path, plus the measured match total; the
+    # match-count hint must not change the mask (conservation-verified)
     ms = eng.candidate_mask_stream(view, mask_fn)
-    assert ms is not None and ms.dtype == bool
-    np.testing.assert_array_equal(ms, out)
+    assert ms is not None
+    mask_s, n_matches = ms
+    assert mask_s.dtype == bool
+    np.testing.assert_array_equal(mask_s, out)
+    grid_hist = host - (eng._spill_hist(sk, sc)
+                        if gidx.spill_kmers.size else 0)
+    assert n_matches == int(grid_hist.sum())
+    ms2 = eng.candidate_mask_stream(view, mask_fn,
+                                    n_matches=int(n_matches * 1.5) + 8)
+    assert ms2 is not None
+    np.testing.assert_array_equal(ms2[0], out)
+    assert ms2[1] == n_matches
 
 
 def test_grange_final_stream_recompact(monkeypatch):
