@@ -486,10 +486,18 @@ class DeviceContainment:
                 # rate; an under-estimate is caught by the conservation
                 # check and retried without the hint.
                 hint = getattr(self, "_mask_matches_hint", None)
+                if hint:
+                    # half-octave-quantized: the hint feeds a STATIC
+                    # compile argument (the compaction density), so a
+                    # raw count would recompile per request; rounded up
+                    # to the next sqrt(2) step, serving sessions reuse
+                    # at most 2 compiles per octave of hit rate
+                    # (margin >= 1.5x before rounding)
+                    hint = int(2.0 ** (np.ceil(2.0 * np.log2(
+                        max(hint * 1.5, 2.0))) / 2.0)) + 1
                 try:
                     ms = self._grange.candidate_mask_stream(
-                        dv, mask_fn,
-                        n_matches=(int(hint * 1.5) if hint else None))
+                        dv, mask_fn, n_matches=hint)
                     if ms is None and hint:
                         ms = self._grange.candidate_mask_stream(
                             dv, mask_fn)
