@@ -549,17 +549,21 @@ def contain(opts: ContainOptions, pseudotax: bool,
         streamer = None
         if device_engine is not None and not is_sketch and len(rf) <= 2:
             streamer = device_engine.sample_streamer()
-        with stage_timer(f"load/sketch sample {rf[0]}"):
-            sk = _get_seq_sketch(opts, rf, is_sketch,
-                                 genome_sketches[0].c,
-                                 genome_sketches[0].k, streamer=streamer)
-        if streamer is not None:
-            if sk is not None:
-                view = streamer.finalize(sk.kmers, sk.counts)
-                if view is not None:
-                    sk._device_view = view
-            else:
-                streamer.close()
+        sk = None
+        try:
+            with stage_timer(f"load/sketch sample {rf[0]}"):
+                sk = _get_seq_sketch(opts, rf, is_sketch,
+                                     genome_sketches[0].c,
+                                     genome_sketches[0].k,
+                                     streamer=streamer)
+        finally:
+            if streamer is not None:
+                if sk is not None:
+                    view = streamer.finalize(sk.kmers, sk.counts)
+                    if view is not None:
+                        sk._device_view = view
+                else:
+                    streamer.close()
         return rf, sk
 
     def process(rf, sample):
@@ -706,17 +710,21 @@ def serve(opts: ContainOptions, pseudotax: bool,
         if device_engine is not None and not is_sketch \
                 and len(rfiles) <= 2:
             streamer = device_engine.sample_streamer()
-        with stage_timer(f"load/sketch sample {rfiles[0]}"):
-            sk = _get_seq_sketch(opts, rfiles, is_sketch,
-                                 genome_sketches[0].c,
-                                 genome_sketches[0].k, streamer=streamer)
-        if streamer is not None:
-            if sk is not None:
-                view = streamer.finalize(sk.kmers, sk.counts)
-                if view is not None:
-                    sk._device_view = view
-            else:
-                streamer.close()
+        sk = None
+        try:
+            with stage_timer(f"load/sketch sample {rfiles[0]}"):
+                sk = _get_seq_sketch(opts, rfiles, is_sketch,
+                                     genome_sketches[0].c,
+                                     genome_sketches[0].k,
+                                     streamer=streamer)
+        finally:
+            if streamer is not None:
+                if sk is not None:
+                    view = streamer.finalize(sk.kmers, sk.counts)
+                    if view is not None:
+                        sk._device_view = view
+                else:
+                    streamer.close()
         if sk is None:
             return
         with stage_timer(f"process sample {rfiles[0]}",

@@ -312,3 +312,27 @@ def test_serve_requires_database():
         [sys.executable, "-m", "sylph_tpu", "profile", "--serve"],
         input="", capture_output=True, text=True, cwd=REPO)
     assert rs.returncode == 1
+
+
+def test_serve_mode_tpu(d):
+    """--serve --tpu: the resident device index serves repeated stdin
+    requests; rows must be bit-identical to the host engine's."""
+    r = run(["sketch", tf("e.coli-EC590.fasta.gz"), tf("e.coli-K12.fasta.gz"),
+             tf("e.coli-o157.fasta.gz"), tf("o157_reads.fastq.gz"),
+             "-o", f"{d}/db", "-d", d])
+    assert r.returncode == 0, r.stderr
+    sylsp = f"{d}/o157_reads.fastq.gz.sylsp"
+    req = f"{sylsp}\n{sylsp}\n"
+    rs = subprocess.run(
+        [sys.executable, "-m", "sylph_tpu", "profile", "--serve", "--tpu",
+         f"{d}/db.syldb"],
+        input=req, capture_output=True, text=True, cwd=REPO)
+    assert rs.returncode == 0, rs.stderr
+    host = run(["profile", f"{d}/db.syldb", sylsp])
+    assert host.returncode == 0, host.stderr
+    h = host.stdout.splitlines()
+    s = rs.stdout.splitlines()
+    assert s[0] == h[0]
+    n = len(h) - 1
+    assert s[1:1 + n] == h[1:]            # request 1
+    assert s[1 + n:1 + 2 * n] == h[1:]    # request 2 (warm engine)
