@@ -284,7 +284,8 @@ class ShardedStreamingFold:
     def __init__(self, no_dedup: bool, threshold: Optional[int],
                  n_shards: int = 4):
         from concurrent.futures import ThreadPoolExecutor
-        assert n_shards >= 2 and (n_shards & (n_shards - 1)) == 0
+        assert 2 <= n_shards <= 64 \
+            and (n_shards & (n_shards - 1)) == 0   # C merge caps at 64
         self._lib = get_lib()
         if self._lib is None:
             raise RuntimeError("native sketchcore unavailable")

@@ -431,12 +431,18 @@ class DeviceContainment:
         self._cache_put(sample, counts)
         return counts
 
+    def serves_streams(self) -> bool:
+        """True iff sample_streamer() would return a stream (the grange
+        single-device serving regime) — a side-effect-free probe
+        (sample_streamer starts an uploader thread per call)."""
+        return (self._grange is not None and len(self._devices) == 1
+                and self._grange_span is None)
+
     def sample_streamer(self):
         """DeviceSampleStream for the grange single-device serving path
         (None otherwise): the runner hands it to the read sketcher so
         the sample k-mers upload WHILE the file is still decoding."""
-        if self._grange is None or len(self._devices) != 1 \
-                or self._grange_span is not None:
+        if not self.serves_streams():
             return None
         from .device_sketch import DeviceSampleStream
         return DeviceSampleStream(self._devices[0])

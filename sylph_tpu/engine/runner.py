@@ -592,9 +592,9 @@ def contain(opts: ContainOptions, pseudotax: bool,
         # depth 1 instead (load sample i+1 while sample i's device join
         # + statistics run). Other regimes batch 8 for the vmapped join.
         env_b = os.environ.get("SYLPH_COHORT_DEPTH")
-        B = (int(env_b) if env_b
-             else 1 if device_engine.sample_streamer() is not None
-             else 8)
+        serves = getattr(device_engine, "serves_streams",
+                         lambda: False)()
+        B = int(env_b) if env_b else (1 if serves else 8)
         groups = [items[i:i + B] for i in range(0, len(items), B)]
         if not groups:
             return
