@@ -127,6 +127,16 @@ def _add_contain(sub, name, helptext):
                    "stdin — one per line, two whitespace-separated paths "
                    "for a read pair — emitting each sample's TSV rows "
                    "immediately; EOF ends the loop")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host mode: jax.distributed coordinator "
+                   "address. Run the SAME command on every host with "
+                   "--num-processes/--process-id; the database-scale "
+                   "device index shards its chunks across processes and "
+                   "process 0 writes the TSV")
+    p.add_argument("--num-processes", dest="num_processes", type=int,
+                   default=None, help=argparse.SUPPRESS)
+    p.add_argument("--process-id", dest="process_id", type=int,
+                   default=None, help=argparse.SUPPRESS)
     return p
 
 
@@ -246,6 +256,16 @@ def main(argv=None) -> int:
                 tpu=args.tpu))
         elif args.mode in ("profile", "query"):
             _setup_logging(args.trace, args.debug)
+            if args.coordinator:
+                # multi-host session: every host runs this same command;
+                # the grange engine auto-splits chunk ownership by
+                # process (engine/device_exec.py) and non-zero processes
+                # suppress the (identical) TSV
+                import jax
+                jax.distributed.initialize(
+                    coordinator_address=args.coordinator,
+                    num_processes=args.num_processes,
+                    process_id=args.process_id)
             if args.serve:
                 from .engine.runner import serve
                 serve(_contain_options(args),

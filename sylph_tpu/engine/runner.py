@@ -475,6 +475,21 @@ def _device_engine_for(genome_sketch_files, genome_files,
     return _ENGINE_CACHE[key]
 
 
+def _secondary_process(opts: ContainOptions) -> bool:
+    """True on non-zero processes of a multi-host (jax.distributed)
+    session: every process runs the identical pipeline — the device
+    engine splits chunk ownership and merges histograms, so all
+    downstream statistics (and rows) are the same on every host — and
+    only process 0 writes the TSV."""
+    if not opts.tpu:
+        return False
+    try:
+        import jax
+        return jax.process_count() > 1 and jax.process_index() != 0
+    except Exception:
+        return False
+
+
 def contain(opts: ContainOptions, pseudotax: bool,
             out: Optional[TextIO] = None):
     """Entry point for query (pseudotax=False) / profile (pseudotax=True)."""
@@ -484,11 +499,14 @@ def contain(opts: ContainOptions, pseudotax: bool,
         opts.pseudotax = True
     close_out = False
     if out is None:
-        if opts.out_file_name:
+        if opts.out_file_name and not _secondary_process(opts):
             out = open(opts.out_file_name, "w")
             close_out = True
         else:
             out = sys.stdout
+    if _secondary_process(opts):
+        out = open(os.devnull, "w")
+        close_out = True
 
     log.info("Obtaining sketches...")
     (genome_sketch_files, genome_files, read_sketch_files,
@@ -661,11 +679,14 @@ def serve(opts: ContainOptions, pseudotax: bool,
         opts.pseudotax = True
     close_out = False
     if out is None:
-        if opts.out_file_name:
+        if opts.out_file_name and not _secondary_process(opts):
             out = open(opts.out_file_name, "w")
             close_out = True
         else:
             out = sys.stdout
+    if _secondary_process(opts):
+        out = open(os.devnull, "w")
+        close_out = True
     if in_stream is None:
         in_stream = sys.stdin
 

@@ -57,6 +57,40 @@ def grange_main(pid: int, n_procs: int, out_path: str):
         np.save(out_path, merged)
 
 
+def cli_main(pid: int, n_procs: int, out_path: str, fixture_dir: str):
+    """Full CLI pipeline (contain --tpu) across processes: both processes
+    run the identical profile of the same fixtures; the grange engine
+    (GRANGE_MIN patched down so the tiny db takes the database-scale
+    regime, chunk_slots patched so chunks split across processes) owns a
+    chunk subset per process and merges histograms over gRPC. Process 0
+    writes its TSV for comparison with single-process runs."""
+    import functools
+    import io
+    import os
+
+    import sylph_tpu.tpu.grange as gr
+    from sylph_tpu.engine.device_exec import DeviceContainment
+    from sylph_tpu.engine.runner import ContainOptions, contain
+
+    DeviceContainment.GRANGE_MIN = 1 << 12
+    gr.build_grange_index = functools.partial(gr.build_grange_index,
+                                              chunk_slots=1 << 13)
+    db = os.path.join(fixture_dir, "db.syldb")
+    smp = os.path.join(fixture_dir, "sample.sylsp")
+    out = io.StringIO()
+    contain(ContainOptions(files=[db, smp], tpu=True, threads=2),
+            pseudotax=True, out=out)
+    if pid == 0:
+        with open(out_path, "w") as f:
+            f.write(out.getvalue())
+    else:
+        # non-zero process: the gating in contain() should have produced
+        # the same rows internally but written nothing; record the fact
+        # that this process produced NO output for the test to assert
+        with open(out_path + f".p{pid}", "w") as f:
+            f.write(out.getvalue())
+
+
 def main():
     coord, n_procs, pid, out_path = sys.argv[1:5]
     mode = sys.argv[5] if len(sys.argv) > 5 else "profile"
@@ -67,6 +101,10 @@ def main():
                                process_id=int(pid))
     if mode == "grange":
         grange_main(int(pid), int(n_procs), out_path)
+        jax.distributed.shutdown()
+        return
+    if mode == "cli":
+        cli_main(int(pid), int(n_procs), out_path, sys.argv[6])
         jax.distributed.shutdown()
         return
     import numpy as np

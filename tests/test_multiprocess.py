@@ -112,3 +112,62 @@ def test_two_process_grange(tmp_path):
     np.add.at(want, (gids[live], np.minimum(cts[live], HIST_H - 1)), 1)
     assert (merged == want).all()
     assert merged[:, 1:].sum() > 0
+
+
+def test_two_process_cli_profile(tmp_path, monkeypatch):
+    """End-to-end multi-host CLI: two jax.distributed processes run the
+    identical `profile --tpu` of the same fixtures; the grange engine
+    splits chunk ownership, merges histograms over gRPC, process 0
+    emits the TSV (process 1 must emit nothing), and the rows must be
+    bit-identical to BOTH a single-process grange run and the host
+    engine."""
+    import sylph_tpu.api as sylph
+
+    TF = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "test_files")
+    db = sylph.sketch_genomes([
+        os.path.join(TF, "e.coli-EC590.fasta.gz"),
+        os.path.join(TF, "e.coli-K12.fasta.gz"),
+        os.path.join(TF, "e.coli-o157.fasta.gz")])
+    sample = sylph.sketch_reads(os.path.join(TF, "o157_reads.fastq.gz"))
+    fdir = str(tmp_path)
+    sylph.save_db(os.path.join(fdir, "db.syldb"), db)
+    sylph.save_sample(os.path.join(fdir, "sample.sylsp"), sample)
+
+    port = _free_port()
+    out = str(tmp_path / "out.tsv")
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multiproc_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, f"localhost:{port}", "2", str(i), out,
+         "cli", fdir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    got = open(out).read()
+    assert open(out + ".p1").read() == ""      # only process 0 emits
+
+    # oracles: single-process grange (same patched thresholds) + host
+    import functools
+    import io
+
+    import sylph_tpu.tpu.grange as gr
+    from sylph_tpu.engine.device_exec import DeviceContainment
+    from sylph_tpu.engine.runner import ContainOptions, contain
+    monkeypatch.setattr(DeviceContainment, "GRANGE_MIN", 1 << 12)
+    monkeypatch.setattr(gr, "build_grange_index", functools.partial(
+        gr.build_grange_index, chunk_slots=1 << 13))
+    files = [os.path.join(fdir, "db.syldb"),
+             os.path.join(fdir, "sample.sylsp")]
+    one = io.StringIO()
+    contain(ContainOptions(files=files, tpu=True, threads=2),
+            pseudotax=True, out=one)
+    host = io.StringIO()
+    contain(ContainOptions(files=files, tpu=False, threads=2),
+            pseudotax=True, out=host)
+    assert got == one.getvalue() == host.getvalue()
+    assert len(got.splitlines()) >= 2
