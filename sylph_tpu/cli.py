@@ -236,6 +236,16 @@ def main(argv=None) -> int:
     if args.mode is None:
         ap.print_help(sys.stderr)
         return 2
+    plat = os.environ.get("SYLPH_JAX_PLATFORMS")
+    if plat:
+        # explicit platform override that survives sitecustomize hooks
+        # which force their own jax_platforms after import (some managed
+        # images do); lets tests/ops pin --tpu runs to "cpu" etc.
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     try:
         if args.mode == "sketch":
             _setup_logging(args.trace, args.debug)

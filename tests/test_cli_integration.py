@@ -323,10 +323,15 @@ def test_serve_mode_tpu(d):
     assert r.returncode == 0, r.stderr
     sylsp = f"{d}/o157_reads.fastq.gz.sylsp"
     req = f"{sylsp}\n{sylsp}\n"
+    # pin the subprocess to the CPU backend THROUGH the container's
+    # sitecustomize (which force-sets jax_platforms after import; the
+    # env var alone is clobbered) — without this the test would reach
+    # for the real accelerator, which tests must never do
+    env = dict(os.environ, SYLPH_JAX_PLATFORMS="cpu")
     rs = subprocess.run(
         [sys.executable, "-m", "sylph_tpu", "profile", "--serve", "--tpu",
          f"{d}/db.syldb"],
-        input=req, capture_output=True, text=True, cwd=REPO)
+        input=req, capture_output=True, text=True, cwd=REPO, env=env)
     assert rs.returncode == 0, rs.stderr
     host = run(["profile", f"{d}/db.syldb", sylsp])
     assert host.returncode == 0, host.stderr
