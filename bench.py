@@ -933,6 +933,19 @@ def main():
             dup = DupSpec()
         gbps = _bench_gtdb(jax, jnp, n_genomes=ng, n_samples=ns, match=mt,
                            index_mode=im, dup=dup)
+        if dup is None and ns == 1 and ng == 100_000:
+            # last-recorded secondary-config medians (docs/BENCHMARKS.md
+            # "Round-5 battery results") so the driver artifact's tail
+            # carries round-over-round comparability beyond the default
+            # config; values are quiet-window medians, not this run's.
+            for line in (
+                "# recorded r5 medians (docs/BENCHMARKS.md): "
+                "gtdb --dup 1.07 Gbp/s; --samples 8 1.12 Gbp/s/sample",
+                "# recorded r5: e2e 0.30 Gbp/s (0.91x, decode-bound); "
+                "gtdb_cli 5.78 s best-window (0.185 Gbp/s); "
+                "--serve x8 5.91 s/req; sketchdb build 1.28 Gbp/s",
+            ):
+                print(line, flush=True)
         print(json.dumps({"metric": "gtdb_profile_throughput"
                           + ("_dupskew" if dup is not None else ""),
                           "value": round(gbps, 4), "unit": "Gbp/s",
