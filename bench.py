@@ -941,7 +941,7 @@ def main():
             for line in (
                 "# recorded r5 medians (docs/BENCHMARKS.md): "
                 "gtdb --dup 1.07-1.14 Gbp/s; --samples 8 "
-                "1.12 Gbp/s/sample",
+                "1.12-1.58 Gbp/s/sample",
                 "# recorded r5: e2e 0.30 Gbp/s (0.91x, decode-bound); "
                 "gtdb_cli 5.78 s best-window (0.185 Gbp/s); "
                 "--serve x8 5.91 s/req; sketchdb build 1.28 Gbp/s",
